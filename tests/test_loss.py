@@ -1,0 +1,125 @@
+"""Golden parity of the JAX TAL assigner + v8DetectionLoss against the reference
+torch implementations on random data."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import add_reference_to_path, reference_available
+
+
+def _random_case(seed=0, B=2, nc=3, reg_max=16, shapes=((8, 8), (4, 4), (2, 2)), strides=(8, 16, 32), n_gt=(3, 1)):
+    rng = np.random.default_rng(seed)
+    no = nc + reg_max * 4
+    feats = [rng.normal(0, 1, (B, h, w, no)).astype(np.float32) for h, w in shapes]
+    N = max(n_gt)
+    cls = np.zeros((B, N), np.float32)
+    boxes = np.zeros((B, N, 4), np.float32)
+    mask = np.zeros((B, N), np.float32)
+    flat = []
+    for b in range(B):
+        for j in range(n_gt[b]):
+            c = rng.integers(0, nc)
+            cx, cy = rng.uniform(0.2, 0.8, 2)
+            w, h = rng.uniform(0.1, 0.3, 2)
+            cls[b, j] = c
+            boxes[b, j] = [cx, cy, w, h]
+            mask[b, j] = 1
+            flat.append([b, c, cx, cy, w, h])
+    return feats, cls, boxes, mask, np.array(flat, np.float32)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference oracle not present")
+def test_assigner_parity_with_reference():
+    add_reference_to_path()
+    import torch
+    from ultralytics.utils.tal import TaskAlignedAssigner as RefAssigner
+
+    from yolo_tpu.utils.tal import TaskAlignedAssigner
+
+    rng = np.random.default_rng(1)
+    B, A, nc, N = 2, 84, 3, 4
+    pd_scores = rng.uniform(0, 1, (B, A, nc)).astype(np.float32)
+    anc = rng.uniform(0, 64, (A, 2)).astype(np.float32)
+    # pred boxes around anchors
+    off = rng.uniform(2, 20, (B, A, 4)).astype(np.float32)
+    pd_boxes = np.stack([anc[None, :, 0] - off[..., 0], anc[None, :, 1] - off[..., 1], anc[None, :, 0] + off[..., 2], anc[None, :, 1] + off[..., 3]], -1)
+    gt_labels = rng.integers(0, nc, (B, N, 1))
+    cxy = rng.uniform(10, 54, (B, N, 2))
+    wh = rng.uniform(8, 30, (B, N, 2))
+    gt_boxes = np.concatenate([cxy - wh / 2, cxy + wh / 2], -1).astype(np.float32)
+    mask_gt = (rng.uniform(0, 1, (B, N, 1)) > 0.3).astype(np.float32)
+    gt_boxes = gt_boxes * mask_gt
+
+    ref = RefAssigner(topk=10, num_classes=nc, alpha=0.5, beta=6.0)
+    tl_r, tb_r, ts_r, fg_r, idx_r = ref(
+        torch.tensor(pd_scores), torch.tensor(pd_boxes), torch.tensor(anc),
+        torch.tensor(gt_labels), torch.tensor(gt_boxes), torch.tensor(mask_gt),
+    )
+
+    import jax.numpy as jnp
+
+    ours = TaskAlignedAssigner(topk=10, num_classes=nc, alpha=0.5, beta=6.0)
+    tl_j, tb_j, ts_j, fg_j, idx_j = ours(
+        jnp.asarray(pd_scores), jnp.asarray(pd_boxes), jnp.asarray(anc),
+        jnp.asarray(gt_labels), jnp.asarray(gt_boxes), jnp.asarray(mask_gt),
+    )
+
+    assert np.array_equal(np.asarray(fg_j), fg_r.numpy()), "fg mask mismatch"
+    fg = fg_r.numpy()
+    assert np.allclose(np.asarray(ts_j)[fg], ts_r.numpy()[fg], atol=1e-4)
+    assert np.allclose(np.asarray(tb_j)[fg], tb_r.numpy()[fg], atol=1e-4)
+    assert np.array_equal(np.asarray(idx_j)[fg], idx_r.numpy()[fg])
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference oracle not present")
+def test_detection_loss_parity_with_reference():
+    add_reference_to_path()
+    import torch
+    from types import SimpleNamespace
+
+    from ultralytics.utils.loss import v8DetectionLoss as RefLoss
+
+    B, nc, reg_max = 2, 3, 16
+    shapes, strides = ((8, 8), (4, 4), (2, 2)), (8, 16, 32)
+    feats, cls, boxes, mask, flat = _random_case(seed=7, B=B, nc=nc, shapes=shapes)
+
+    # minimal torch model shim exposing what RefLoss reads
+    class FakeDetect(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.stride = torch.tensor([float(s) for s in strides])
+            self.nc = nc
+            self.reg_max = reg_max
+
+    class FakeModel(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.dummy = torch.nn.Parameter(torch.zeros(1))
+            self.model = torch.nn.ModuleList([FakeDetect()])
+            self.args = SimpleNamespace(box=7.5, cls=0.5, dfl=1.5)
+
+    ref_loss = RefLoss(FakeModel())
+    t_feats = [torch.tensor(f.transpose(0, 3, 1, 2)) for f in feats]
+    t_batch = {
+        "batch_idx": torch.tensor(flat[:, 0]),
+        "cls": torch.tensor(flat[:, 1]),
+        "bboxes": torch.tensor(flat[:, 2:6]),
+    }
+    total_r, comps_r = ref_loss(t_feats, t_batch)
+
+    import jax.numpy as jnp
+
+    from yolo_tpu.nn.tasks import DetectionModel
+    from yolo_tpu.utils.loss import v8DetectionLoss
+
+    shim = SimpleNamespace(nc=nc, head=SimpleNamespace(reg_max=reg_max), stride=list(strides))
+    ours = v8DetectionLoss(shim, SimpleNamespace(box=7.5, cls=0.5, dfl=1.5))
+    total_j, comps_j = ours(
+        [jnp.asarray(f) for f in feats],
+        {"cls": jnp.asarray(cls), "bboxes": jnp.asarray(boxes), "mask_gt": jnp.asarray(mask)},
+    )
+
+    comps_r = comps_r.numpy()
+    comps_j = np.asarray(comps_j)
+    assert np.allclose(comps_j, comps_r, rtol=2e-3, atol=2e-4), (comps_j, comps_r)
+    assert float(total_j) == pytest.approx(float(total_r.sum()), rel=2e-3)

@@ -1,0 +1,85 @@
+"""Model graph construction, forward shapes, fuse parity, and — when the
+read-only reference checkout is present — numeric parity against the reference
+torch model as an oracle (same weights via state_dict import, same input)."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import add_reference_to_path, reference_available
+
+from yolo_tpu.nn.tasks import DetectionModel
+
+
+def test_build_yolov8n_from_yaml():
+    m = DetectionModel("yolov8n.yaml")
+    assert m.nc == 80
+    assert m.stride == [8, 16, 32]
+    params = m.init(0)
+    n = m.param_count(params)
+    # yolov8n ≈ 3.15M params (incl. BN stats ~= small extra)
+    assert 2.5e6 < n < 4.5e6
+
+
+def test_build_yolov8_small_p2_from_yaml():
+    m = DetectionModel("yolov8-small.yaml")
+    assert m.nc == 1
+    assert m.stride == [4, 8, 16, 32]  # P2 head added
+    assert len(m.layers) == 26
+
+
+def test_forward_shapes_and_anchor_count():
+    import jax.numpy as jnp
+
+    m = DetectionModel("yolov8-small.yaml")
+    params = m.init(0)
+    x = jnp.zeros((1, 128, 160, 3), jnp.float32)
+    preds = m.predict(params, x)
+    # anchors: 32*40 + 16*20 + 8*10 + 4*5 = 1700 at 128x160
+    assert preds.shape == (1, 4 + 1, 1700)
+
+
+def test_fuse_preserves_outputs():
+    import jax.numpy as jnp
+
+    m = DetectionModel("yolov8n.yaml")
+    params = m.init(0)
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    y0 = np.asarray(m.predict(params, x))
+    y1 = np.asarray(m.predict(m.fuse(params), x))
+    assert np.allclose(y0, y1, atol=2e-3, rtol=1e-3)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference oracle not present")
+@pytest.mark.parametrize("yaml_name", ["yolov8n.yaml", "yolov8-small.yaml"])
+def test_numeric_parity_with_reference_oracle(yaml_name):
+    """Same weights, same input → same decoded output as the reference torch model."""
+    add_reference_to_path()
+    import torch
+    from ultralytics.nn.tasks import DetectionModel as TorchDetectionModel
+
+    from yolo_tpu.nn.torch_import import state_dict_to_params
+    from yolo_tpu.utils import PKG_DIR
+
+    ref_yaml = f"/root/reference/ultralytics/cfg/models/v8/{yaml_name}"
+    torch_model = TorchDetectionModel(ref_yaml, verbose=False)
+    torch_model.eval()
+
+    ours = DetectionModel(str(PKG_DIR / "cfg" / "models" / "v8" / yaml_name))
+    assert [int(s) for s in torch_model.stride.tolist()] == ours.stride
+
+    sd = {k: v.detach().numpy() for k, v in torch_model.state_dict().items()}
+    params = state_dict_to_params(sd, ours.init(0))
+
+    rng = np.random.default_rng(42)
+    img = rng.uniform(0, 1, (1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        y_t = torch_model(torch.from_numpy(img))[0].numpy()  # (1, 4+nc, A)
+
+    import jax.numpy as jnp
+
+    y_j = np.asarray(ours.predict(params, jnp.asarray(img.transpose(0, 2, 3, 1))))
+    assert y_t.shape == y_j.shape
+    # boxes are in pixels (up to 64), cls are sigmoids — check both at sane tolerances
+    nc = ours.nc
+    assert np.allclose(y_t[:, :4], y_j[:, :4], atol=5e-2), np.abs(y_t[:, :4] - y_j[:, :4]).max()
+    assert np.allclose(y_t[:, 4 : 4 + nc], y_j[:, 4 : 4 + nc], atol=1e-3), np.abs(y_t[:, 4:] - y_j[:, 4:]).max()

@@ -1,0 +1,216 @@
+"""Config system: default.yaml + typed overrides + CLI parsing.
+
+Mirrors the reference's behavior (ref: ultralytics/cfg/__init__.py: get_cfg:279,
+check_cfg:327, smart_value:783, entrypoint:828) with the same key surface; the
+implementation is fresh.
+"""
+
+from __future__ import annotations
+
+import difflib
+import shutil
+import sys
+from pathlib import Path
+from types import SimpleNamespace
+
+from yolo_tpu.utils import DEFAULT_CFG_PATH, LOGGER, IterableSimpleNamespace, colorstr, increment_path, yaml_load
+
+# Typed key groups (validation mirrors reference check_cfg:327) -----------------
+CFG_FLOAT_KEYS = frozenset({"warmup_epochs", "box", "cls", "dfl", "degrees", "shear", "time", "workspace", "batch"})
+CFG_FRACTION_KEYS = frozenset(
+    {
+        "dropout", "lrf", "momentum", "weight_decay", "warmup_momentum", "warmup_bias_lr",
+        "hsv_h", "hsv_s", "hsv_v", "translate", "scale", "perspective", "flipud", "fliplr",
+        "bgr", "mosaic", "mixup", "cutmix", "copy_paste", "conf", "iou", "fraction", "erasing", "lr0",
+    }
+)
+CFG_INT_KEYS = frozenset(
+    {
+        "epochs", "patience", "workers", "seed", "close_mosaic", "mask_ratio", "max_det",
+        "vid_stride", "line_width", "nbs", "save_period", "opset", "n_devices",
+    }
+)
+CFG_BOOL_KEYS = frozenset(
+    {
+        "save", "exist_ok", "verbose", "deterministic", "single_cls", "rect", "cos_lr",
+        "overlap_mask", "val", "save_json", "half", "dnn", "plots", "show", "save_txt",
+        "save_conf", "save_crop", "save_frames", "show_labels", "show_conf", "visualize",
+        "augment", "agnostic_nms", "retina_masks", "show_boxes", "keras", "optimize",
+        "dynamic", "simplify", "nms", "profile", "multi_scale", "stream_buffer", "donate",
+    }
+)
+
+TASKS = {"detect", "segment", "classify", "pose", "obb"}
+MODES = {"train", "val", "predict", "export", "track", "benchmark"}
+
+DEFAULT_CFG_DICT = {k: (None if v == "None" else v) for k, v in yaml_load(DEFAULT_CFG_PATH).items()}
+DEFAULT_CFG = IterableSimpleNamespace(**DEFAULT_CFG_DICT)
+
+
+def cfg2dict(cfg) -> dict:
+    """Convert a cfg (path / str / dict / namespace) to a plain dict."""
+    if isinstance(cfg, (str, Path)):
+        cfg = yaml_load(cfg)
+    elif isinstance(cfg, SimpleNamespace):
+        cfg = vars(cfg)
+    return dict(cfg)
+
+
+def check_cfg(cfg: dict, hard: bool = True):
+    """Type/value-check config entries in place (mirrors reference semantics)."""
+    for k, v in cfg.items():
+        if v is None:
+            continue
+        if k in CFG_FLOAT_KEYS and not isinstance(v, (int, float)):
+            if hard:
+                raise TypeError(f"'{k}={v}' must be an int or float")
+            cfg[k] = float(v)
+        elif k in CFG_FRACTION_KEYS:
+            if not isinstance(v, (int, float)):
+                if hard:
+                    raise TypeError(f"'{k}={v}' must be an int or float")
+                cfg[k] = v = float(v)
+            if not 0.0 <= v <= 1.0:
+                raise ValueError(f"'{k}={v}' must be between 0.0 and 1.0")
+        elif k in CFG_INT_KEYS and not isinstance(v, int):
+            if hard:
+                raise TypeError(f"'{k}={v}' must be an int")
+            cfg[k] = int(v)
+        elif k in CFG_BOOL_KEYS and not isinstance(v, bool):
+            if hard:
+                raise TypeError(f"'{k}={v}' must be a bool")
+            cfg[k] = bool(v)
+
+
+def check_dict_alignment(base: dict, custom: dict, e=None):
+    """Raise with fuzzy suggestions when a custom key isn't in the base config."""
+    mismatched = [k for k in custom if k not in base]
+    if mismatched:
+        msgs = []
+        for x in mismatched:
+            matches = difflib.get_close_matches(x, list(base), n=3, cutoff=0.5)
+            matches = [f"{m}={base[m]}" if base.get(m) is not None else m for m in matches]
+            msgs.append(f"'{x}' is not a valid key. Similar: {matches}")
+        raise SyntaxError("\n".join(msgs)) from e
+
+
+def get_cfg(cfg=DEFAULT_CFG_DICT, overrides: dict | None = None) -> IterableSimpleNamespace:
+    """Merge base cfg and overrides into a validated namespace."""
+    cfg = cfg2dict(cfg)
+    if overrides:
+        overrides = cfg2dict(overrides)
+        overrides.pop("save_dir", None)
+        check_dict_alignment(cfg, overrides)
+        cfg = {**cfg, **overrides}
+    for k in ("project", "name"):  # str-ify numeric project/name
+        if k in cfg and isinstance(cfg[k], (int, float)):
+            cfg[k] = str(cfg[k])
+    if cfg.get("name") == "model" and cfg.get("model"):
+        cfg["name"] = str(cfg["model"]).split(".")[0]
+    check_cfg(cfg)
+    return IterableSimpleNamespace(**cfg)
+
+
+def get_save_dir(args, name: str | None = None) -> Path:
+    """Compute the run save directory (ref: cfg/__init__.py:389)."""
+    if getattr(args, "save_dir", None):
+        return Path(args.save_dir)
+    project = args.project or Path("runs") / args.task
+    name = name or args.name or f"{args.mode}"
+    return increment_path(Path(project) / name, exist_ok=getattr(args, "exist_ok", False))
+
+
+def smart_value(v: str):
+    """Convert a CLI string to its most natural python type."""
+    low = v.lower()
+    if low == "none":
+        return None
+    if low == "true":
+        return True
+    if low == "false":
+        return False
+    try:
+        import ast
+
+        return ast.literal_eval(v)
+    except Exception:
+        return v
+
+
+def parse_key_value_pair(pair: str):
+    """Parse one 'key=value' CLI token."""
+    k, v = pair.split("=", 1)
+    k, v = k.strip(), v.strip()
+    if not v:
+        raise SyntaxError(f"missing value for '{k}='")
+    return k, smart_value(v)
+
+
+def find_model_yaml(name: str) -> Path | None:
+    """Resolve a model yaml name to a file under yolo_tpu/cfg/models/**."""
+    p = Path(name)
+    if p.exists():
+        return p
+    models_dir = Path(DEFAULT_CFG_PATH).parent / "models"
+    hits = sorted(models_dir.rglob(p.name))
+    return hits[0] if hits else None
+
+
+def entrypoint(argv: list[str] | None = None):
+    """CLI: ``yolo <task> <mode> k=v ...`` (ref: cfg/__init__.py:828)."""
+    args = argv if argv is not None else sys.argv[1:]
+    if not args:
+        LOGGER.info(f"usage: yolo TASK MODE ARGS\n  tasks: {TASKS}\n  modes: {MODES}\n  args: k=v pairs overriding cfg/default.yaml")
+        return None
+
+    overrides = {}
+    task, mode = None, None
+    for a in args:
+        if "=" in a:
+            k, v = parse_key_value_pair(a)
+            if k == "cfg":  # custom config file
+                overrides.update(yaml_load(v))
+            else:
+                overrides[k] = v
+        elif a in TASKS:
+            task = a
+        elif a in MODES:
+            mode = a
+        elif a in ("help", "-h", "--help"):
+            return entrypoint([])
+        elif a == "version":
+            from yolo_tpu import __version__
+
+            LOGGER.info(__version__)
+            return None
+        elif a == "settings":
+            from yolo_tpu.utils import yaml_print
+
+            yaml_print(DEFAULT_CFG_DICT)
+            return None
+        elif a == "checks":
+            from yolo_tpu.utils.checks import collect_system_info
+
+            LOGGER.info(collect_system_info())
+            return None
+        else:
+            check_dict_alignment(DEFAULT_CFG_DICT, {a: ""})
+
+    mode = mode or overrides.pop("mode", None) or DEFAULT_CFG.mode or "predict"
+    if mode not in MODES:
+        raise ValueError(f"invalid mode '{mode}', valid: {MODES}")
+    task = task or overrides.pop("task", None)
+
+    from yolo_tpu import YOLO
+
+    model = overrides.pop("model", DEFAULT_CFG.model) or "yolov8n.yaml"
+    yolo = YOLO(model, task=task)
+    return getattr(yolo, mode)(**overrides)
+
+
+def copy_default_cfg():
+    """Copy default.yaml to cwd as default_copy.yaml for user editing."""
+    new_file = Path.cwd() / (DEFAULT_CFG_PATH.name.replace(".yaml", "_copy.yaml"))
+    shutil.copy2(DEFAULT_CFG_PATH, new_file)
+    LOGGER.info(f"{colorstr('green', 'copied')} {DEFAULT_CFG_PATH} -> {new_file}")
+    return new_file

@@ -1,0 +1,159 @@
+"""YOLO model facade (ref: ultralytics/engine/model.py Model:29, models/yolo/model.py YOLO:26).
+
+Same user surface — ``YOLO(model).predict/track/train/val/export/benchmark`` —
+over the functional TPU core. Model sources:
+  - ``*.yaml``  → fresh DetectionModel + random init
+  - ``*.pt``    → torch checkpoint import (layout-converted into the pytree)
+  - ``*.npz``   → native saved params
+  - orbax dir   → native checkpoint
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from yolo_tpu.cfg import DEFAULT_CFG_DICT, get_cfg
+from yolo_tpu.nn.tasks import DetectionModel
+from yolo_tpu.utils import LOGGER
+
+
+class YOLO:
+    """User-facing model handle."""
+
+    def __init__(self, model="yolov8n.yaml", task: str | None = None, verbose: bool = False):
+        self.task = task or "detect"
+        self.overrides: dict = {}
+        self.predictor = None
+        self.trainer = None
+        self.metrics = None
+        self.ckpt_path = None
+        model = str(model)
+        if model.endswith((".yaml", ".yml")):
+            self._new(model, verbose=verbose)
+        else:
+            self._load(model)
+
+    def _new(self, cfg: str, verbose: bool = False):
+        self.model = DetectionModel(cfg, verbose=verbose)
+        self.params = self.model.init(0)
+        self.overrides["model"] = cfg
+        self.overrides["task"] = self.task
+
+    def _load(self, weights: str):
+        path = Path(weights)
+        self.ckpt_path = str(path)
+        if path.suffix == ".pt":
+            from yolo_tpu.nn.torch_import import load_pt
+
+            self.model, self.params, meta = load_pt(path)
+            if meta.get("names"):
+                self.model.names = dict(meta["names"])
+            if meta.get("train_args"):
+                ta = dict(meta["train_args"])
+                self.overrides = {k: v for k, v in ta.items() if k in DEFAULT_CFG_DICT and k not in ("model", "data", "device")}
+        elif path.suffix == ".npz":
+            from yolo_tpu.engine.exporter import load_npz
+
+            self.model, self.params, _ = load_npz(path)
+        elif path.is_dir():
+            from yolo_tpu.engine.exporter import load_orbax
+
+            self.model, self.params, _ = load_orbax(path)
+        else:
+            raise ValueError(f"unsupported model source: {weights}")
+        self.overrides["model"] = str(weights)
+        self.overrides["task"] = self.task
+
+    @property
+    def names(self):
+        return self.model.names
+
+    @property
+    def stride(self):
+        return self.model.stride
+
+    def fuse(self):
+        """Fold BN into convs for inference (ref: BaseModel.fuse)."""
+        self.params = self.model.fuse(self.params)
+        return self
+
+    def __call__(self, source=None, stream: bool = False, **kwargs):
+        return self.predict(source, stream, **kwargs)
+
+    def predict(self, source=None, stream: bool = False, predictor=None, **kwargs):
+        """Run inference (ref: engine/model.py predict:498)."""
+        custom = {"conf": 0.25, "batch": 1, "save": False, "mode": "predict"}
+        args = {**self.overrides, **custom, **kwargs}
+        if self.predictor is None or predictor is not None:
+            from yolo_tpu.engine.predictor import BasePredictor
+
+            self.predictor = (predictor or BasePredictor)(
+                self.model, self.params, overrides={k: v for k, v in args.items() if k in DEFAULT_CFG_DICT}, names=self.model.names
+            )
+        else:
+            for k, v in kwargs.items():
+                if k in DEFAULT_CFG_DICT:
+                    setattr(self.predictor.args, k, v)
+            self.predictor.params = self.params
+        return self.predictor(source, stream=stream)
+
+    def track(self, source=None, stream: bool = False, persist: bool = False, **kwargs):
+        """Track objects (ref: engine/model.py track:559 — conf defaults low to 0.1)."""
+        kwargs.setdefault("conf", 0.1)
+        kwargs.setdefault("batch", 1)
+        kwargs["mode"] = "track"
+        results = self.predict(source, stream=stream, **kwargs)
+        from yolo_tpu.trackers.track import attach_tracker
+
+        return attach_tracker(self, results, persist=persist, stream=stream, tracker_cfg=kwargs.get("tracker"))
+
+    def train(self, trainer=None, **kwargs):
+        """Train the model (ref: engine/model.py train:738)."""
+        from yolo_tpu.engine.trainer import DetectionTrainer
+
+        overrides = {**self.overrides, **kwargs, "mode": "train"}
+        overrides.setdefault("model", self.overrides.get("model"))
+        self.trainer = (trainer or DetectionTrainer)(overrides=overrides, model=self.model, params=self.params)
+        self.trainer.train()
+        self.params = self.trainer.best_params if self.trainer.best_params is not None else self.trainer.params
+        self.metrics = getattr(self.trainer, "metrics", None)
+        return self.metrics
+
+    def val(self, validator=None, **kwargs):
+        """Validate on a dataset (ref: engine/model.py val:603)."""
+        from yolo_tpu.engine.validator import DetectionValidator
+
+        args = {**self.overrides, **kwargs, "mode": "val"}
+        v = (validator or DetectionValidator)(args=args)
+        self.metrics = v(model=self.model, params=self.params)
+        return self.metrics
+
+    def export(self, **kwargs):
+        """Export params/graph (ref: engine/model.py export:690)."""
+        from yolo_tpu.engine.exporter import Exporter
+
+        args = {**self.overrides, **kwargs, "mode": "export"}
+        return Exporter(args=args)(model=self.model, params=self.params)
+
+    def benchmark(self, **kwargs):
+        from yolo_tpu.utils.benchmarks import benchmark
+
+        return benchmark(model=self, **kwargs)
+
+    def save(self, filename="model.npz"):
+        from yolo_tpu.engine.exporter import save_npz
+
+        return save_npz(self.model, self.params, filename)
+
+    def info(self, verbose: bool = True):
+        n_params = self.model.param_count(self.params)
+        n_layers = len(self.model.layers)
+        msg = f"model: {n_layers} layers, {n_params:,} params, strides {self.model.stride}"
+        if verbose:
+            LOGGER.info(msg)
+        return {"layers": n_layers, "parameters": n_params, "stride": self.model.stride}
+
+    def embed(self, source=None, **kwargs):
+        raise NotImplementedError("embedding extraction lands with the classify task")

@@ -1,0 +1,214 @@
+"""Streaming predictor: host IO + one fused device program per input shape.
+
+Reference counterpart: engine/predictor.py BasePredictor:69 (preprocess:152,
+stream_inference:283). TPU re-design: the whole hot path —
+uint8→fp normalize, BGR→RGB, forward, DFL decode, NMS — is ONE jitted XLA
+program with static shapes (cached per (batch, H, W)). Only file/video IO and
+the final pad-trim + scale_boxes run on host. Batch sizes snap to powers of two
+to bound recompilation.
+"""
+
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+
+import numpy as np
+
+from yolo_tpu.cfg import get_cfg
+from yolo_tpu.engine.results import Results
+from yolo_tpu.ops.boxes import scale_boxes
+from yolo_tpu.ops.letterbox import LetterBox
+from yolo_tpu.utils import LOGGER, Profile
+
+IMG_FORMATS = {"bmp", "dng", "jpeg", "jpg", "mpo", "png", "tif", "tiff", "webp", "pfm"}
+VID_FORMATS = {"asf", "avi", "gif", "m4v", "mkv", "mov", "mp4", "mpeg", "mpg", "ts", "wmv", "webm"}
+
+
+def _snap_batch(n: int) -> int:
+    """Round batch up to a power of two (bounds jit cache size)."""
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
+class BasePredictor:
+    """Detection predictor over a functional model + params."""
+
+    def __init__(self, model, params, overrides: dict | None = None, names: dict | None = None):
+        self.args = get_cfg(overrides=overrides or {})
+        if self.args.conf is None:
+            self.args.conf = 0.25
+        self.model = model
+        self.params = params
+        self.names = names or getattr(model, "names", {})
+        self.done_warmup = False
+        self._fn_cache: dict = {}
+        self.callbacks = {}
+        import jax.numpy as jnp
+
+        self.dtype = jnp.bfloat16 if (self.args.half or str(self.args.compute_dtype) == "bfloat16") else jnp.float32
+
+    # --- device program ------------------------------------------------------
+
+    def _predict_fn(self, shape):
+        """Build (or fetch) the fused jitted program for a (B, H, W, C) shape."""
+        key = tuple(shape) + (float(self.args.conf), float(self.args.iou), bool(self.args.agnostic_nms))
+        if key in self._fn_cache:
+            return self._fn_cache[key]
+        import jax
+        import jax.numpy as jnp
+
+        from yolo_tpu.ops.nms import non_max_suppression
+
+        conf, iou, max_det = float(self.args.conf), float(self.args.iou), int(self.args.max_det)
+        agnostic = bool(self.args.agnostic_nms)
+        classes = self.args.classes
+        model, dtype = self.model, self.dtype
+
+        @jax.jit
+        def fn(params, imgs):
+            # imgs: uint8 NHWC BGR (cv2 convention) → RGB fp [0,1]
+            x = imgs[..., ::-1].astype(dtype) / 255.0
+            preds = model.predict(params, x, dtype=dtype)
+            return non_max_suppression(
+                preds, conf_thres=conf, iou_thres=iou, classes=classes, agnostic=agnostic, max_det=max_det
+            )
+
+        self._fn_cache[key] = fn
+        return fn
+
+    def warmup(self, imgsz=(1, 640, 640, 3)):
+        import jax.numpy as jnp
+
+        fn = self._predict_fn(imgsz)
+        out = fn(self.params, jnp.zeros(imgsz, jnp.uint8))
+        import jax
+
+        jax.block_until_ready(out)
+        self.done_warmup = True
+
+    # --- host pipeline ---------------------------------------------------------
+
+    def pre_transform(self, im: np.ndarray) -> tuple[np.ndarray, tuple]:
+        """Letterbox one image to the target size; returns (img, (ratio, pad))."""
+        imgsz = self.args.imgsz
+        if isinstance(imgsz, int):
+            imgsz = (imgsz, imgsz)
+        lb = LetterBox(tuple(imgsz), auto=False, stride=max(self.model.stride))
+        return lb(im, return_meta=True)
+
+    def __call__(self, source, stream: bool = False, **kwargs):
+        gen = self.stream_inference(source, **kwargs)
+        return gen if stream else list(gen)
+
+    def stream_inference(self, source, **kwargs):
+        """Generator over Results (ref: stream_inference:283)."""
+        for k, v in kwargs.items():
+            setattr(self.args, k, v)
+        frames = _iter_source(source, vid_stride=self.args.vid_stride)
+        batch_imgs, batch_meta = [], []
+        max_b = max(1, int(self.args.batch)) if self.args.batch and self.args.batch > 0 else 16
+        pending = []
+        for img, path, frame_info in frames:
+            batch_imgs.append(img)
+            batch_meta.append((path, frame_info))
+            if len(batch_imgs) >= max_b:
+                pending.append((batch_imgs, batch_meta))
+                batch_imgs, batch_meta = [], []
+            while pending:
+                yield from self._run_batch(*pending.pop(0))
+        if batch_imgs:
+            yield from self._run_batch(batch_imgs, batch_meta)
+
+    def _run_batch(self, imgs: list[np.ndarray], metas: list):
+        import jax
+
+        profilers = (Profile(), Profile(), Profile())
+        with profilers[0]:
+            proc, lb_meta = [], []
+            for im in imgs:
+                p, meta = self.pre_transform(im)
+                proc.append(p)
+                lb_meta.append(meta)
+            n = len(proc)
+            B = _snap_batch(n)
+            h, w, c = proc[0].shape
+            batch = np.zeros((B, h, w, c), np.uint8)
+            for i, p in enumerate(proc):
+                batch[i] = p if p.ndim == 3 else p[..., None]
+
+        fn = self._predict_fn(batch.shape)
+        with profilers[1]:
+            out = fn(self.params, batch)
+            out = jax.tree_util.tree_map(lambda a: np.asarray(jax.block_until_ready(a)), out)
+
+        with profilers[2]:
+            results = []
+            for i in range(n):
+                valid = out["valid"][i]
+                boxes = out["boxes"][i][valid]
+                scores = out["scores"][i][valid]
+                cls = out["cls"][i][valid]
+                boxes = scale_boxes((h, w), boxes, imgs[i].shape[:2])
+                data = np.concatenate([boxes, scores[:, None], cls[:, None].astype(np.float32)], axis=-1)
+                path, frame_info = metas[i]
+                r = Results(imgs[i], path, self.names, boxes=data)
+                r.speed = {
+                    "preprocess": profilers[0].dt * 1e3 / n,
+                    "inference": profilers[1].dt * 1e3 / n,
+                    "postprocess": profilers[2].dt * 1e3 / n,
+                }
+                results.append(r)
+        if self.args.verbose:
+            for r, (path, _) in zip(results, metas):
+                LOGGER.info(f"{path}: {len(r)} dets {r.speed['inference']:.1f}ms")
+        return results
+
+
+def _iter_source(source, vid_stride: int = 1):
+    """Yield (bgr_image, path, frame_idx) from ndarray/list/path/dir/video sources."""
+    import cv2
+
+    if isinstance(source, np.ndarray):
+        yield source, "array", 0
+        return
+    if isinstance(source, (list, tuple)):
+        for i, s in enumerate(source):
+            if isinstance(s, np.ndarray):
+                yield s, f"array{i}", 0
+            else:
+                yield from _iter_source(s, vid_stride)
+        return
+    try:
+        from PIL import Image
+
+        if isinstance(source, Image.Image):
+            yield np.asarray(source.convert("RGB"))[..., ::-1], "pil", 0
+            return
+    except ImportError:
+        pass
+    path = Path(str(source))
+    if path.is_dir():
+        for p in sorted(path.iterdir()):
+            if p.suffix.lower().lstrip(".") in IMG_FORMATS | VID_FORMATS:
+                yield from _iter_source(p, vid_stride)
+        return
+    suffix = path.suffix.lower().lstrip(".")
+    if suffix in VID_FORMATS:
+        cap = cv2.VideoCapture(str(path))
+        idx = 0
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            if idx % vid_stride == 0:
+                yield frame, str(path), idx
+            idx += 1
+        cap.release()
+    else:
+        img = cv2.imread(str(path))
+        if img is None:
+            raise FileNotFoundError(f"could not read image {path}")
+        yield img, str(path), 0

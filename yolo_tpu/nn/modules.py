@@ -1,0 +1,355 @@
+"""Functional JAX modules for the YOLO graph.
+
+TPU-first re-design of the reference's torch modules (ref:
+ultralytics/nn/modules/conv.py Conv:39, block.py C2f:294/SPPF:216/Bottleneck:470/
+DFL:58, head.py Detect:26). Differences by design:
+
+  - **Functional**: a module is a static-config object with ``init(key) -> params``
+    and ``__call__(params, x, ctx) -> y``; params are nested dicts (pytrees).
+  - **NHWC / HWIO** layouts (TPU-native), bfloat16 compute via ``ctx.dtype``.
+  - **Param tree keys mirror torch submodule names** (cv1/cv2/m/0/conv/bn/weight…)
+    so a torch state_dict maps onto the tree by name, enabling checkpoint import
+    and oracle parity tests without any torch code in the hot path.
+  - BatchNorm batch-statistics in train mode are *collected* into ``ctx.stats``
+    (path-keyed) and merged into params by the trainer — keeping apply pure.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BN_EPS = 1e-3  # torch BatchNorm2d default eps used by the reference
+BN_MOMENTUM = 0.03  # reference trainer sets bn momentum=0.03 (engine/trainer.py via torch defaults)
+
+
+def autopad(k: int, p: int | None = None, d: int = 1) -> int:
+    """'same'-style padding for odd kernels (ref: nn/modules/conv.py autopad:30)."""
+    if d > 1:
+        k = d * (k - 1) + 1
+    return k // 2 if p is None else p
+
+
+@dataclass
+class Ctx:
+    """Per-call context threaded through module applies."""
+
+    train: bool = False
+    dtype: Any = jnp.float32  # activation/compute dtype
+    stats: dict = field(default_factory=dict)  # path -> (batch_mean, batch_var, n)
+
+
+def silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+# ---------------------------------------------------------------------------
+# Primitive layers
+# ---------------------------------------------------------------------------
+
+
+class ConvBNAct:
+    """Conv2d(bias=False) + BatchNorm + SiLU (ref Conv), fusable for inference."""
+
+    def __init__(self, c1: int, c2: int, k: int = 1, s: int = 1, p: int | None = None, g: int = 1, d: int = 1, act: bool = True):
+        self.c1, self.c2, self.k, self.s, self.g, self.d = c1, c2, k, s, g, d
+        self.p = autopad(k, p, d)
+        self.act = act
+
+    def init(self, key):
+        # He/kaiming-uniform fan_in init matching torch Conv2d defaults.
+        fan_in = self.c1 // self.g * self.k * self.k
+        bound = math.sqrt(1.0 / fan_in) * math.sqrt(3.0)
+        w = jax.random.uniform(key, (self.k, self.k, self.c1 // self.g, self.c2), jnp.float32, -bound, bound)
+        return {
+            "conv": {"weight": w},
+            "bn": {
+                "weight": jnp.ones((self.c2,), jnp.float32),
+                "bias": jnp.zeros((self.c2,), jnp.float32),
+                "running_mean": jnp.zeros((self.c2,), jnp.float32),
+                "running_var": jnp.ones((self.c2,), jnp.float32),
+            },
+        }
+
+    def __call__(self, p, x, ctx: Ctx, path: str = ""):
+        w = p["conv"]["weight"].astype(ctx.dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(ctx.dtype),
+            w,
+            window_strides=(self.s, self.s),
+            padding=[(self.p, self.p), (self.p, self.p)],
+            rhs_dilation=(self.d, self.d),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.g,
+            preferred_element_type=jnp.float32,
+        )
+        if "bn" in p:
+            bn = p["bn"]
+            if ctx.train:
+                axes = (0, 1, 2)
+                mean = jnp.mean(y, axes)
+                var = jnp.var(y, axes)
+                n = y.shape[0] * y.shape[1] * y.shape[2]
+                ctx.stats[f"{path}/bn"] = (jax.lax.stop_gradient(mean), jax.lax.stop_gradient(var), n)
+            else:
+                mean, var = bn["running_mean"], bn["running_var"]
+            y = (y - mean) * (bn["weight"] * jax.lax.rsqrt(var + BN_EPS)) + bn["bias"]
+        elif "bias" in p["conv"]:  # fused path
+            y = y + p["conv"]["bias"]
+        if self.act:
+            y = silu(y)
+        return y.astype(ctx.dtype)
+
+    def fuse(self, p):
+        """Fold BN into conv weight/bias (exact, fp32) for inference."""
+        if "bn" not in p:
+            return p
+        bn = p["bn"]
+        scale = bn["weight"] / jnp.sqrt(bn["running_var"] + BN_EPS)
+        w = p["conv"]["weight"] * scale[None, None, None, :]
+        b = bn["bias"] - bn["running_mean"] * scale
+        return {"conv": {"weight": w, "bias": b}}
+
+
+class DWConv(ConvBNAct):
+    """Depth-wise Conv (ref: nn/modules/conv.py DWConv:196)."""
+
+    def __init__(self, c1, c2, k=1, s=1, d=1, act=True):
+        super().__init__(c1, c2, k, s, g=math.gcd(c1, c2), d=d, act=act)
+
+
+class Conv2d:
+    """Plain conv with bias (the final 1x1 heads inside Detect)."""
+
+    def __init__(self, c1: int, c2: int, k: int = 1, s: int = 1, p: int | None = None):
+        self.c1, self.c2, self.k, self.s = c1, c2, k, s
+        self.p = autopad(k, p)
+
+    def init(self, key):
+        fan_in = self.c1 * self.k * self.k
+        bound = math.sqrt(1.0 / fan_in) * math.sqrt(3.0)
+        k1, k2 = jax.random.split(key)
+        return {
+            "weight": jax.random.uniform(k1, (self.k, self.k, self.c1, self.c2), jnp.float32, -bound, bound),
+            "bias": jax.random.uniform(k2, (self.c2,), jnp.float32, -math.sqrt(1.0 / fan_in), math.sqrt(1.0 / fan_in)),
+        }
+
+    def __call__(self, p, x, ctx: Ctx, path: str = ""):
+        y = jax.lax.conv_general_dilated(
+            x.astype(ctx.dtype),
+            p["weight"].astype(ctx.dtype),
+            window_strides=(self.s, self.s),
+            padding=[(self.p, self.p), (self.p, self.p)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        return (y + p["bias"]).astype(ctx.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Blocks
+# ---------------------------------------------------------------------------
+
+
+class Bottleneck:
+    """Standard bottleneck with optional residual (ref: block.py Bottleneck:470)."""
+
+    def __init__(self, c1, c2, shortcut=True, g=1, k=(3, 3), e=0.5):
+        c_ = int(c2 * e)
+        self.cv1 = ConvBNAct(c1, c_, k[0], 1)
+        self.cv2 = ConvBNAct(c_, c2, k[1], 1, g=g)
+        self.add = shortcut and c1 == c2
+
+    def init(self, key):
+        k1, k2 = jax.random.split(key)
+        return {"cv1": self.cv1.init(k1), "cv2": self.cv2.init(k2)}
+
+    def __call__(self, p, x, ctx, path=""):
+        y = self.cv2(p["cv2"], self.cv1(p["cv1"], x, ctx, f"{path}/cv1"), ctx, f"{path}/cv2")
+        return x + y if self.add else y
+
+
+class C2f:
+    """Fast CSP bottleneck with 2 convs (ref: block.py C2f:294)."""
+
+    def __init__(self, c1, c2, n=1, shortcut=False, g=1, e=0.5):
+        self.c = int(c2 * e)
+        self.n = n
+        self.cv1 = ConvBNAct(c1, 2 * self.c, 1, 1)
+        self.cv2 = ConvBNAct((2 + n) * self.c, c2, 1)
+        self.m = [Bottleneck(self.c, self.c, shortcut, g, k=(3, 3), e=1.0) for _ in range(n)]
+
+    def init(self, key):
+        keys = jax.random.split(key, 2 + self.n)
+        return {
+            "cv1": self.cv1.init(keys[0]),
+            "cv2": self.cv2.init(keys[1]),
+            "m": {str(i): m.init(keys[2 + i]) for i, m in enumerate(self.m)},
+        }
+
+    def __call__(self, p, x, ctx, path=""):
+        y = self.cv1(p["cv1"], x, ctx, f"{path}/cv1")
+        parts = [y[..., : self.c], y[..., self.c :]]
+        for i, m in enumerate(self.m):
+            parts.append(m(p["m"][str(i)], parts[-1], ctx, f"{path}/m/{i}"))
+        return self.cv2(p["cv2"], jnp.concatenate(parts, axis=-1), ctx, f"{path}/cv2")
+
+
+class SPPF:
+    """Spatial pyramid pooling — fast (ref: block.py SPPF:216)."""
+
+    def __init__(self, c1, c2, k=5):
+        c_ = c1 // 2
+        self.k = k
+        self.cv1 = ConvBNAct(c1, c_, 1, 1)
+        self.cv2 = ConvBNAct(c_ * 4, c2, 1, 1)
+
+    def init(self, key):
+        k1, k2 = jax.random.split(key)
+        return {"cv1": self.cv1.init(k1), "cv2": self.cv2.init(k2)}
+
+    def _pool(self, x):
+        pad = self.k // 2
+        return jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, (1, self.k, self.k, 1), (1, 1, 1, 1), [(0, 0), (pad, pad), (pad, pad), (0, 0)]
+        )
+
+    def __call__(self, p, x, ctx, path=""):
+        y = [self.cv1(p["cv1"], x, ctx, f"{path}/cv1")]
+        for _ in range(3):
+            y.append(self._pool(y[-1]))
+        return self.cv2(p["cv2"], jnp.concatenate(y, axis=-1), ctx, f"{path}/cv2")
+
+
+class Concat:
+    """Channel concat (ref: conv.py Concat:655). Axis 1 in NCHW == -1 in NHWC."""
+
+    def __init__(self, dim=1):
+        assert dim == 1, "only channel concat supported"
+
+    def init(self, key):
+        return {}
+
+    def __call__(self, p, xs, ctx, path=""):
+        return jnp.concatenate(xs, axis=-1)
+
+
+class Upsample:
+    """Nearest 2x upsample (ref YAML uses nn.Upsample [None, 2, 'nearest'])."""
+
+    def __init__(self, size=None, scale_factor=2, mode="nearest"):
+        assert mode == "nearest"
+        self.scale = int(scale_factor)
+
+    def init(self, key):
+        return {}
+
+    def __call__(self, p, x, ctx, path=""):
+        b, h, w, c = x.shape
+        s = self.scale
+        return jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, s, w, s, c)).reshape(b, h * s, w * s, c)
+
+
+class MaxPool2d:
+    """nn.MaxPool2d equivalent for YAML graphs that use it."""
+
+    def __init__(self, kernel_size=2, stride=2):
+        self.k, self.s = kernel_size, stride
+
+    def init(self, key):
+        return {}
+
+    def __call__(self, p, x, ctx, path=""):
+        return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, self.k, self.k, 1), (1, self.s, self.s, 1), "SAME")
+
+
+# ---------------------------------------------------------------------------
+# Detect head
+# ---------------------------------------------------------------------------
+
+
+class Detect:
+    """Anchor-free detect head with DFL box regression (ref: head.py Detect:26).
+
+    Uses the reference's *legacy* branch structure (cv3 = Conv,Conv,Conv2d) since
+    yolov8-family YAMLs select legacy=True in parse_model (ref: nn/tasks.py:1643-1673).
+    Decode (`_inference` equivalent) happens in `decode`, fused into the jit graph.
+    """
+
+    def __init__(self, nc: int = 80, ch: tuple = ()):
+        self.nc = nc
+        self.nl = len(ch)
+        self.reg_max = 16
+        self.no = nc + self.reg_max * 4
+        self.stride = [8, 16, 32][: self.nl] if self.nl <= 3 else [4, 8, 16, 32]  # recalibrated at build
+        c2 = max(16, ch[0] // 4, self.reg_max * 4)
+        c3 = max(ch[0], min(nc, 100))
+        self.cv2 = [
+            [ConvBNAct(x, c2, 3), ConvBNAct(c2, c2, 3), Conv2d(c2, 4 * self.reg_max, 1)] for x in ch
+        ]
+        self.cv3 = [
+            [ConvBNAct(x, c3, 3), ConvBNAct(c3, c3, 3), Conv2d(c3, self.nc, 1)] for x in ch
+        ]
+
+    def init(self, key):
+        keys = jax.random.split(key, 2 * self.nl * 3)
+        p = {"cv2": {}, "cv3": {}}
+        ki = 0
+        for l in range(self.nl):
+            p["cv2"][str(l)] = {}
+            p["cv3"][str(l)] = {}
+            for j in range(3):
+                p["cv2"][str(l)][str(j)] = self.cv2[l][j].init(keys[ki]); ki += 1
+                p["cv3"][str(l)][str(j)] = self.cv3[l][j].init(keys[ki]); ki += 1
+        # DFL projection — fixed arange weights, non-trainable (ref: block.py DFL:58)
+        p["dfl"] = {"conv": {"weight": jnp.arange(self.reg_max, dtype=jnp.float32).reshape(1, 1, self.reg_max, 1)}}
+        return self.bias_init(p)
+
+    def bias_init(self, p):
+        """Detection bias priors (ref: head.py bias_init:191)."""
+        for l, s in enumerate(self.stride):
+            p["cv2"][str(l)]["2"]["bias"] = jnp.ones_like(p["cv2"][str(l)]["2"]["bias"])
+            cls_bias = math.log(5 / self.nc / (640 / s) ** 2)
+            p["cv3"][str(l)]["2"]["bias"] = jnp.full_like(p["cv3"][str(l)]["2"]["bias"], cls_bias)
+        return p
+
+    def __call__(self, p, xs, ctx, path=""):
+        """Per-level raw outputs: list of (B, H, W, no) with box dist bins then cls logits."""
+        outs = []
+        for l, x in enumerate(xs):
+            b = x
+            for j in range(3):
+                b = self.cv2[l][j](p["cv2"][str(l)][str(j)], b, ctx, f"{path}/cv2/{l}/{j}")
+            c = x
+            for j in range(3):
+                c = self.cv3[l][j](p["cv3"][str(l)][str(j)], c, ctx, f"{path}/cv3/{l}/{j}")
+            outs.append(jnp.concatenate([b, c], axis=-1))
+        return outs
+
+    def decode(self, p, outs, img_hw=None):
+        """Fused DFL decode → (B, 4+nc, A) xywh-in-pixels + sigmoid cls.
+
+        Equivalent of Detect._inference (ref: head.py:152) but with anchors as
+        trace-time constants (static shapes on TPU).
+        """
+        from yolo_tpu.ops.anchors import dist2bbox, make_anchors
+
+        feat_shapes = [(o.shape[1], o.shape[2]) for o in outs]
+        anchors, strides = make_anchors(feat_shapes, self.stride, 0.5)
+        anchors = jnp.asarray(anchors)  # (A, 2)
+        strides = jnp.asarray(strides)  # (A, 1)
+
+        flat = jnp.concatenate([o.reshape(o.shape[0], -1, self.no) for o in outs], axis=1)  # (B, A, no)
+        box, cls = flat[..., : self.reg_max * 4], flat[..., self.reg_max * 4 :]
+        # DFL: softmax over bins × arange projection
+        b, a, _ = box.shape
+        proj = p["dfl"]["conv"]["weight"].reshape(self.reg_max)
+        dist = jax.nn.softmax(box.reshape(b, a, 4, self.reg_max).astype(jnp.float32), axis=-1) @ proj  # (B, A, 4)
+        dbox = dist2bbox(dist, anchors[None], xywh=True, axis=-1) * strides[None]
+        out = jnp.concatenate([dbox, jax.nn.sigmoid(cls.astype(jnp.float32))], axis=-1)  # (B, A, 4+nc)
+        return jnp.swapaxes(out, 1, 2)  # (B, 4+nc, A) — reference output layout

@@ -1,0 +1,273 @@
+"""YAML→model compiler and task models.
+
+Re-implements the reference graph compiler semantics (ref: ultralytics/nn/tasks.py
+parse_model:1524, DetectionModel:374, yaml_model_load:1703) as a *build-time*
+constructor emitting a static list of functional layers. At runtime the forward
+is a plain Python loop over that list — traced once by jit, so the whole graph
+(plus decode+NMS) compiles into a single XLA program. No nn.Module graph walk,
+no save-list dict lookups at runtime.
+
+Model scale math is identical to the reference so YAML files (including the
+fork's yolov8-small.yaml P2 model) load unchanged:
+  c2 = make_divisible(min(c2, max_channels) * width, 8); n = max(round(n*depth), 1).
+
+Stride calibration is static: strides propagate through the graph spec
+(Conv s=2 doubles, Upsample×2 halves) instead of the reference's dummy forward
+(ref: nn/tasks.py:407-421) — exact for all conv-net YAMLs and free at trace time.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+
+from yolo_tpu.nn import modules as M
+from yolo_tpu.utils import LOGGER, yaml_load
+
+MODULE_MAP = {
+    "Conv": M.ConvBNAct,
+    "DWConv": M.DWConv,
+    "C2f": M.C2f,
+    "SPPF": M.SPPF,
+    "Bottleneck": M.Bottleneck,
+    "Concat": M.Concat,
+    "Detect": M.Detect,
+    "nn.Upsample": M.Upsample,
+    "nn.MaxPool2d": M.MaxPool2d,
+}
+
+HEAD_TYPES = (M.Detect,)
+
+
+def make_divisible(x, divisor: int = 8):
+    """Round channel count up to the nearest multiple of divisor (ref: utils/ops.py)."""
+    return math.ceil(x / divisor) * divisor
+
+
+def yaml_model_load(path) -> dict:
+    """Load a model YAML, inferring scale from a trailing n/s/m/l/x letter."""
+    path = Path(path)
+    stem = path.stem
+    m = re.search(r"(\d+)([nslmx])(.*)$", stem)  # scale letter right after version digits
+    unified = path
+    scale = ""
+    if m and not path.exists():
+        scale = m.group(2)
+        unified = path.with_name(f"{stem[: m.start(2)]}{m.group(3)}{path.suffix}")
+    if not unified.exists():
+        from yolo_tpu.cfg import find_model_yaml
+
+        found = find_model_yaml(str(unified)) or find_model_yaml(str(path))
+        if found is None:
+            raise FileNotFoundError(f"model yaml '{path}' not found")
+        unified = found
+    d = yaml_load(unified, append_filename=True)
+    d["scale"] = d.get("scale") or scale
+    return d
+
+
+def guess_model_scale(model_path) -> str:
+    m = re.search(r"yolo[a-z]*\d+([nslmx])", Path(model_path).stem)
+    return m.group(1) if m else ""
+
+
+class LayerSpec:
+    """Static record of one graph node: (index, from, module, is_output_saved)."""
+
+    __slots__ = ("i", "f", "module", "type")
+
+    def __init__(self, i, f, module, type_):
+        self.i, self.f, self.module, self.type = i, f, module, type_
+
+
+def parse_model(d: dict, ch: int = 3, verbose: bool = False):
+    """Compile a model dict into (layers, save_list). Mirrors reference scale math."""
+    max_channels = float("inf")
+    nc, scales = d.get("nc"), d.get("scales")
+    depth, width = d.get("depth_multiple", 1.0), d.get("width_multiple", 1.0)
+    if scales:
+        scale = d.get("scale")
+        if not scale:
+            scale = tuple(scales.keys())[0]
+            LOGGER.warning(f"no model scale passed, assuming scale='{scale}'")
+        depth, width, max_channels = scales[scale]
+
+    ch = [ch]
+    layers, save = [], []
+    for i, (f, n, mname, args) in enumerate(d["backbone"] + d["head"]):
+        if mname not in MODULE_MAP:
+            raise NotImplementedError(f"module '{mname}' not supported yet")
+        mcls = MODULE_MAP[mname]
+        args = [
+            (nc if a == "nc" else True if a == "True" else False if a == "False" else None if a == "None" else a)
+            if isinstance(a, str)
+            else a
+            for a in args
+        ]
+        n = max(round(n * depth), 1) if n > 1 else n
+
+        if mcls in (M.ConvBNAct, M.DWConv, M.C2f, M.SPPF, M.Bottleneck):
+            c1, c2 = ch[f], args[0]
+            if c2 != nc:
+                c2 = make_divisible(min(c2, max_channels) * width, 8)
+            args = [c1, c2, *args[1:]]
+            if mcls is M.C2f:
+                args.insert(2, n)
+                n = 1
+        elif mcls is M.Concat:
+            c2 = sum(ch[x] for x in f)
+        elif mcls is M.Detect:
+            args.append([ch[x] for x in f])
+            c2 = None
+        elif mcls in (M.Upsample, M.MaxPool2d):
+            c2 = ch[f]
+        else:
+            c2 = ch[f]
+
+        module = mcls(*args)
+        t = mname
+        layers.append(LayerSpec(i, f, module, t))
+        save.extend(x % i for x in ([f] if isinstance(f, int) else f) if x != -1)
+        if i == 0:
+            ch = []
+        ch.append(c2)
+    return layers, sorted(set(save))
+
+
+def _compute_strides(layers):
+    """Statically propagate spatial strides through the graph to the Detect head."""
+    stride = {}
+    strides = []
+    for spec in layers:
+        f = spec.f
+        src_idx = f if isinstance(f, int) else f[0]
+        if src_idx == -1:
+            src_idx = spec.i - 1
+        src = stride.get(src_idx, 1) if not isinstance(spec.module, M.Detect) else None
+        if isinstance(spec.module, M.ConvBNAct):
+            s = src * spec.module.s
+        elif isinstance(spec.module, M.Upsample):
+            s = src // spec.module.scale
+        elif isinstance(spec.module, M.MaxPool2d):
+            s = src * spec.module.s
+        elif isinstance(spec.module, M.Detect):
+            spec.module.stride = [stride[x] for x in f]
+            s = None
+        else:
+            s = src
+        stride[spec.i] = s
+        strides.append(s)
+    return strides
+
+
+class BaseModel:
+    """Functional model: static layer list + pure forward over a params pytree."""
+
+    def __init__(self):
+        self.layers: list[LayerSpec] = []
+        self.save: list[int] = []
+
+    def init(self, seed: int = 0):
+        """Initialize the full parameter tree {'model': {str(i): layer_params}}."""
+        key = jax.random.PRNGKey(seed)
+        keys = jax.random.split(key, len(self.layers))
+        return {"model": {str(spec.i): spec.module.init(keys[spec.i]) for spec in self.layers}}
+
+    def forward_features(self, params, x, ctx: M.Ctx):
+        """Graph walk with skip connections (ref: nn/tasks.py _predict_once:159)."""
+        y = {}
+        mp = params["model"]
+        out = None
+        for spec in self.layers:
+            f = spec.f
+            if f != -1:
+                x_in = [x if j == -1 else y[j] for j in f] if isinstance(f, list) else y[f]
+            else:
+                x_in = x
+            out = spec.module(mp[str(spec.i)], x_in, ctx, f"model/{spec.i}")
+            if spec.i in self.save:
+                y[spec.i] = out
+            x = out if not isinstance(out, list) else x
+        return out  # head output
+
+    def param_count(self, params) -> int:
+        return sum(int(p.size) for p in jax.tree_util.tree_leaves(params))
+
+
+class DetectionModel(BaseModel):
+    """YOLO detection model (ref: nn/tasks.py DetectionModel:374).
+
+    >>> model = DetectionModel("yolov8-small.yaml", nc=1)
+    >>> params = model.init(0)
+    >>> preds = model.predict(params, images_nhwc)  # (B, 4+nc, A)
+    """
+
+    task = "detect"
+
+    def __init__(self, cfg="yolov8n.yaml", ch: int = 3, nc: int | None = None, verbose: bool = False):
+        super().__init__()
+        self.yaml = cfg if isinstance(cfg, dict) else yaml_model_load(cfg)
+        if nc and nc != self.yaml.get("nc"):
+            LOGGER.info(f"overriding model.yaml nc={self.yaml.get('nc')} with nc={nc}")
+            self.yaml["nc"] = nc
+        self.nc = self.yaml["nc"]
+        self.names = {i: f"{i}" for i in range(self.nc)}
+        self.layers, self.save = parse_model(self.yaml, ch=ch, verbose=verbose)
+        _compute_strides(self.layers)
+        self.head: M.Detect = self.layers[-1].module
+        self.stride = self.head.stride
+        if verbose:
+            LOGGER.info(f"DetectionModel: {len(self.layers)} layers, strides {self.stride}")
+
+    # --- functional API ---------------------------------------------------
+
+    def raw_forward(self, params, x, train: bool = False, dtype=jnp.float32):
+        """Per-level head outputs, NHWC: list[(B, H_l, W_l, 4*reg_max+nc)]."""
+        ctx = M.Ctx(train=train, dtype=dtype)
+        outs = self.forward_features(params, x, ctx)
+        return outs, ctx.stats
+
+    def predict(self, params, x, dtype=jnp.float32):
+        """Decoded predictions (B, 4+nc, A) — equivalent of Detect._inference output."""
+        ctx = M.Ctx(train=False, dtype=dtype)
+        outs = self.forward_features(params, x, ctx)
+        return self.head.decode(params["model"][str(self.layers[-1].i)], outs)
+
+    def fuse(self, params):
+        """Return params with all Conv+BN folded (exact inference speedup)."""
+        return {"model": {str(s.i): _fuse_module(s.module, params["model"][str(s.i)]) for s in self.layers}}
+
+
+def _fuse_module(m, p):
+    """Recursively fold BN into convs across the module tree."""
+    if isinstance(m, M.ConvBNAct):
+        return m.fuse(p)
+    if isinstance(m, M.Bottleneck):
+        return {"cv1": m.cv1.fuse(p["cv1"]), "cv2": m.cv2.fuse(p["cv2"])}
+    if isinstance(m, M.C2f):
+        return {
+            "cv1": m.cv1.fuse(p["cv1"]),
+            "cv2": m.cv2.fuse(p["cv2"]),
+            "m": {k: _fuse_module(m.m[int(k)], v) for k, v in p["m"].items()},
+        }
+    if isinstance(m, M.SPPF):
+        return {"cv1": m.cv1.fuse(p["cv1"]), "cv2": m.cv2.fuse(p["cv2"])}
+    if isinstance(m, M.Detect):
+        out = {"cv2": {}, "cv3": {}, "dfl": p["dfl"]}
+        for l in range(m.nl):
+            out["cv2"][str(l)] = {
+                "0": m.cv2[l][0].fuse(p["cv2"][str(l)]["0"]),
+                "1": m.cv2[l][1].fuse(p["cv2"][str(l)]["1"]),
+                "2": p["cv2"][str(l)]["2"],
+            }
+            out["cv3"][str(l)] = {
+                "0": m.cv3[l][0].fuse(p["cv3"][str(l)]["0"]),
+                "1": m.cv3[l][1].fuse(p["cv3"][str(l)]["1"]),
+                "2": p["cv3"][str(l)]["2"],
+            }
+        return out
+    return p

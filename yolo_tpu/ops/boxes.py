@@ -1,0 +1,189 @@
+"""Box conversion and IoU math.
+
+Functional equivalents of the reference box ops (ref: ultralytics/utils/ops.py
+xyxy/xywh converters :256-467, scale_boxes:105, clip_boxes:157; utils/metrics.py
+bbox_iou:79, box_iou). Written array-library-agnostic: every function works on
+numpy arrays (host tracker code) and jax arrays (device code) alike, because it
+only uses ufunc-style primitives present in both namespaces.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+def _xp(x):
+    """Pick the array namespace (numpy or jax.numpy) matching the input."""
+    if isinstance(x, (np.ndarray, list, tuple, float, int)):
+        return np
+    import jax.numpy as jnp
+
+    return jnp
+
+
+def xyxy2xywh(x):
+    """(x1,y1,x2,y2) → (cx,cy,w,h)."""
+    xp = _xp(x)
+    x = xp.asarray(x)
+    cx = (x[..., 0] + x[..., 2]) / 2
+    cy = (x[..., 1] + x[..., 3]) / 2
+    w = x[..., 2] - x[..., 0]
+    h = x[..., 3] - x[..., 1]
+    return xp.stack([cx, cy, w, h], axis=-1)
+
+
+def xywh2xyxy(x):
+    """(cx,cy,w,h) → (x1,y1,x2,y2)."""
+    xp = _xp(x)
+    x = xp.asarray(x)
+    hw = x[..., 2] / 2
+    hh = x[..., 3] / 2
+    return xp.stack([x[..., 0] - hw, x[..., 1] - hh, x[..., 0] + hw, x[..., 1] + hh], axis=-1)
+
+
+def xywhn2xyxy(x, w: int = 640, h: int = 640, padw: float = 0.0, padh: float = 0.0):
+    """Normalized (cx,cy,w,h) → pixel (x1,y1,x2,y2) with optional pad offsets."""
+    xp = _xp(x)
+    x = xp.asarray(x)
+    return xp.stack(
+        [
+            w * (x[..., 0] - x[..., 2] / 2) + padw,
+            h * (x[..., 1] - x[..., 3] / 2) + padh,
+            w * (x[..., 0] + x[..., 2] / 2) + padw,
+            h * (x[..., 1] + x[..., 3] / 2) + padh,
+        ],
+        axis=-1,
+    )
+
+
+def xyxy2xywhn(x, w: int = 640, h: int = 640, clip: bool = False, eps: float = 0.0):
+    """Pixel (x1,y1,x2,y2) → normalized (cx,cy,w,h)."""
+    xp = _xp(x)
+    x = xp.asarray(x)
+    if clip:
+        x = clip_boxes(x, (h - eps, w - eps))
+    return xp.stack(
+        [
+            (x[..., 0] + x[..., 2]) / 2 / w,
+            (x[..., 1] + x[..., 3]) / 2 / h,
+            (x[..., 2] - x[..., 0]) / w,
+            (x[..., 3] - x[..., 1]) / h,
+        ],
+        axis=-1,
+    )
+
+
+def ltwh2xyxy(x):
+    """(left,top,w,h) → (x1,y1,x2,y2)."""
+    xp = _xp(x)
+    x = xp.asarray(x)
+    return xp.stack([x[..., 0], x[..., 1], x[..., 0] + x[..., 2], x[..., 1] + x[..., 3]], axis=-1)
+
+
+def xyxy2ltwh(x):
+    """(x1,y1,x2,y2) → (left,top,w,h)."""
+    xp = _xp(x)
+    x = xp.asarray(x)
+    return xp.stack([x[..., 0], x[..., 1], x[..., 2] - x[..., 0], x[..., 3] - x[..., 1]], axis=-1)
+
+
+def clip_boxes(boxes, shape):
+    """Clip xyxy boxes to image bounds shape=(h, w)."""
+    xp = _xp(boxes)
+    boxes = xp.asarray(boxes)
+    h, w = shape[0], shape[1]
+    return xp.stack(
+        [
+            xp.clip(boxes[..., 0], 0, w),
+            xp.clip(boxes[..., 1], 0, h),
+            xp.clip(boxes[..., 2], 0, w),
+            xp.clip(boxes[..., 3], 0, h),
+        ],
+        axis=-1,
+    )
+
+
+def scale_boxes(img1_shape, boxes, img0_shape, ratio_pad=None, padding: bool = True, xywh: bool = False):
+    """Rescale boxes from letterboxed img1_shape back to original img0_shape.
+
+    Matches the reference inverse-letterbox math (ref: utils/ops.py:105): gain is
+    min(h1/h0, w1/w0); pad is round((wdiff)/2 - 0.1), round((hdiff)/2 - 0.1).
+    """
+    xp = _xp(boxes)
+    boxes = xp.asarray(boxes)
+    if ratio_pad is None:
+        gain = min(img1_shape[0] / img0_shape[0], img1_shape[1] / img0_shape[1])
+        pad = (
+            round((img1_shape[1] - img0_shape[1] * gain) / 2 - 0.1),
+            round((img1_shape[0] - img0_shape[0] * gain) / 2 - 0.1),
+        )
+    else:
+        gain = ratio_pad[0][0]
+        pad = ratio_pad[1]
+    if padding:
+        boxes = boxes - xp.asarray([pad[0], pad[1], 0 if xywh else pad[0], 0 if xywh else pad[1]], dtype=boxes.dtype)
+    boxes = boxes / gain
+    return clip_boxes(boxes, img0_shape)
+
+
+def box_iou(box1, box2, eps: float = 1e-7):
+    """Pairwise IoU matrix between (N,4) and (M,4) xyxy boxes → (N,M)."""
+    xp = _xp(box1)
+    box1 = xp.asarray(box1)
+    box2 = xp.asarray(box2)
+    lt = xp.maximum(box1[..., :, None, :2], box2[..., None, :, :2])
+    rb = xp.minimum(box1[..., :, None, 2:4], box2[..., None, :, 2:4])
+    wh = xp.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area1 = (box1[..., 2] - box1[..., 0]) * (box1[..., 3] - box1[..., 1])
+    area2 = (box2[..., 2] - box2[..., 0]) * (box2[..., 3] - box2[..., 1])
+    return inter / (area1[..., :, None] + area2[..., None, :] - inter + eps)
+
+
+def bbox_iou(box1, box2, xywh: bool = True, GIoU: bool = False, DIoU: bool = False, CIoU: bool = False, eps: float = 1e-7):
+    """Elementwise IoU / GIoU / DIoU / CIoU between aligned boxes.
+
+    Semantics mirror the reference (ref: utils/metrics.py bbox_iou:79); used by
+    the loss (CIoU) and tracker gating.
+    """
+    xp = _xp(box1)
+    box1 = xp.asarray(box1)
+    box2 = xp.asarray(box2)
+    if xywh:
+        x1, y1, w1, h1 = box1[..., 0], box1[..., 1], box1[..., 2], box1[..., 3]
+        x2, y2, w2, h2 = box2[..., 0], box2[..., 1], box2[..., 2], box2[..., 3]
+        b1x1, b1x2, b1y1, b1y2 = x1 - w1 / 2, x1 + w1 / 2, y1 - h1 / 2, y1 + h1 / 2
+        b2x1, b2x2, b2y1, b2y2 = x2 - w2 / 2, x2 + w2 / 2, y2 - h2 / 2, y2 + h2 / 2
+    else:
+        b1x1, b1y1, b1x2, b1y2 = box1[..., 0], box1[..., 1], box1[..., 2], box1[..., 3]
+        b2x1, b2y1, b2x2, b2y2 = box2[..., 0], box2[..., 1], box2[..., 2], box2[..., 3]
+        w1, h1 = b1x2 - b1x1, b1y2 - b1y1 + eps
+        w2, h2 = b2x2 - b2x1, b2y2 - b2y1 + eps
+
+    inter = xp.clip(xp.minimum(b1x2, b2x2) - xp.maximum(b1x1, b2x1), 0, None) * xp.clip(
+        xp.minimum(b1y2, b2y2) - xp.maximum(b1y1, b2y1), 0, None
+    )
+    union = w1 * h1 + w2 * h2 - inter + eps
+    iou = inter / union
+    if not (GIoU or DIoU or CIoU):
+        return iou
+
+    cw = xp.maximum(b1x2, b2x2) - xp.minimum(b1x1, b2x1)  # enclosing width
+    ch = xp.maximum(b1y2, b2y2) - xp.minimum(b1y1, b2y1)  # enclosing height
+    if CIoU or DIoU:
+        c2 = cw**2 + ch**2 + eps
+        rho2 = ((b2x1 + b2x2 - b1x1 - b1x2) ** 2 + (b2y1 + b2y2 - b1y1 - b1y2) ** 2) / 4
+        if CIoU:
+            v = (4 / math.pi**2) * (xp.arctan(w2 / h2) - xp.arctan(w1 / h1)) ** 2
+            if xp is np:
+                alpha = v / (v - iou + (1 + eps))
+            else:
+                import jax
+
+                alpha = jax.lax.stop_gradient(v / (v - iou + (1 + eps)))
+            return iou - (rho2 / c2 + v * alpha)
+        return iou - rho2 / c2
+    c_area = cw * ch + eps
+    return iou - (c_area - union) / c_area

@@ -1,0 +1,139 @@
+"""Fixed-shape non-max suppression for TPU.
+
+The reference NMS (ref: ultralytics/utils/nms.py non_max_suppression:13) is
+data-dependent: boolean-mask the candidates, then torchvision NMS. XLA needs
+static shapes, so the TPU design is:
+
+  1. score-filter → top-K candidate slots (padded, invalid slots score -1)
+  2. exact greedy suppression over the K×K IoU matrix (sequential fori_loop,
+     identical keep-set to torchvision within fp tolerance)
+  3. top-max_det of the kept set → fixed (max_det, 6) output + valid mask
+
+Everything is jittable and vmapped over the batch, so decode+NMS fuses with the
+model forward into one XLA program. A numpy twin (`nms_numpy`) is the golden
+oracle for tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAX_WH = 7680.0  # class-offset magnitude for batched class-aware NMS (same trick as reference)
+
+
+def nms_fixed(boxes, scores, iou_threshold: float, max_det: int):
+    """Exact greedy NMS over fixed-size inputs.
+
+    Args:
+        boxes: (K, 4) xyxy, may include padded entries.
+        scores: (K,) scores; padded entries must be < 0.
+        iou_threshold: suppression threshold (strict >, matching torchvision).
+        max_det: number of output slots.
+
+    Returns:
+        keep_idx: (max_det,) indices into the input arrays.
+        keep_valid: (max_det,) bool mask of real detections.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_tpu.ops.boxes import box_iou
+
+    K = boxes.shape[0]
+    order = jnp.argsort(-scores)
+    b = boxes[order]
+    s = scores[order]
+    iou = box_iou(b, b)
+    col = jax.lax.broadcasted_iota(jnp.int32, (K,), 0)
+
+    def body(i, suppressed):
+        row = (iou[i] > iou_threshold) & (col > i)
+        alive = jnp.logical_not(suppressed[i])
+        return jnp.where(alive, suppressed | row, suppressed)
+
+    suppressed = jax.lax.fori_loop(0, K, body, jnp.zeros((K,), dtype=bool))
+    keep = jnp.logical_not(suppressed) & (s > 0)
+    ranked = jnp.where(keep, s, -1.0)
+    sel = jnp.argsort(-ranked)[:max_det]
+    keep_idx = order[sel]
+    keep_valid = ranked[sel] > 0
+    return keep_idx, keep_valid
+
+
+def non_max_suppression(
+    prediction,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    classes=None,
+    agnostic: bool = False,
+    max_det: int = 300,
+    nc: int = 0,
+    max_nms: int = 1024,
+):
+    """Fixed-shape NMS over raw decoded predictions.
+
+    Args:
+        prediction: (B, 4+nc, A) — xywh boxes then per-class scores (decode output,
+            same layout as the reference Detect._inference, ref: nn/modules/head.py:152).
+        max_nms: candidate slots entering suppression (reference uses 30000 dynamic;
+            1024 static covers IR scenes with huge margin).
+
+    Returns:
+        dict of fixed-shape arrays:
+            boxes (B, max_det, 4) xyxy | scores (B, max_det) | cls (B, max_det)
+            valid (B, max_det) bool
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_tpu.ops.boxes import xywh2xyxy
+
+    nc = nc or (prediction.shape[1] - 4)
+    K = min(max_nms, prediction.shape[2])
+
+    def single(pred):
+        boxes_xywh = pred[:4].T  # (A, 4)
+        cls_scores = pred[4 : 4 + nc].T  # (A, nc)
+        if classes is not None:
+            allowed = jnp.zeros((nc,), bool).at[jnp.asarray(classes)].set(True)
+            cls_scores = jnp.where(allowed[None, :], cls_scores, 0.0)
+        conf = jnp.max(cls_scores, axis=-1)
+        cls_id = jnp.argmax(cls_scores, axis=-1)
+        conf = jnp.where(conf > conf_thres, conf, -1.0)
+        top_conf, top_idx = jax.lax.top_k(conf, K)
+        b = xywh2xyxy(boxes_xywh[top_idx])
+        c = cls_id[top_idx]
+        offset = jnp.where(agnostic, 0.0, c.astype(b.dtype) * MAX_WH)
+        keep_idx, keep_valid = nms_fixed(b + offset[:, None], top_conf, iou_thres, max_det)
+        return (
+            jnp.where(keep_valid[:, None], b[keep_idx], 0.0),
+            jnp.where(keep_valid, top_conf[keep_idx], 0.0),
+            jnp.where(keep_valid, c[keep_idx], -1),
+            keep_valid,
+        )
+
+    boxes, scores, cls, valid = jax.vmap(single)(prediction)
+    return {"boxes": boxes, "scores": scores, "cls": cls, "valid": valid}
+
+
+# Host/golden oracle ------------------------------------------------------------
+
+
+def nms_numpy(boxes: np.ndarray, scores: np.ndarray, iou_threshold: float) -> np.ndarray:
+    """Greedy NMS, numpy. Returns kept indices in descending-score order."""
+    order = np.argsort(-scores)
+    keep = []
+    suppressed = np.zeros(len(boxes), dtype=bool)
+    areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        xx1 = np.maximum(boxes[i, 0], boxes[:, 0])
+        yy1 = np.maximum(boxes[i, 1], boxes[:, 1])
+        xx2 = np.minimum(boxes[i, 2], boxes[:, 2])
+        yy2 = np.minimum(boxes[i, 3], boxes[:, 3])
+        inter = np.clip(xx2 - xx1, 0, None) * np.clip(yy2 - yy1, 0, None)
+        iou = inter / (areas[i] + areas - inter + 1e-7)
+        suppressed |= iou > iou_threshold
+    return np.asarray(keep, dtype=np.int64)

@@ -1,0 +1,110 @@
+"""YOLOv8 detection loss in JAX (BCE cls + CIoU box + DFL).
+
+Semantics mirror the reference (ref: ultralytics/utils/loss.py v8DetectionLoss:196,
+BboxLoss:110, DFLoss:89): TAL assignment (topk=10, α=0.5, β=6), target-score-sum
+normalization, per-hyp gains, ×batch_size. Targets arrive pre-padded to a static
+(B, max_boxes) — the data pipeline's collate pads — so the loss jits cleanly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from yolo_tpu.ops.anchors import bbox2dist, dist2bbox, make_anchors
+from yolo_tpu.ops.boxes import bbox_iou, xywh2xyxy
+from yolo_tpu.utils.tal import TaskAlignedAssigner
+
+
+def _df_loss(pred_dist, target):
+    """Distribution focal loss: CE against the two integer bins bracketing target.
+
+    pred_dist: (..., 4, reg_max) logits; target: (..., 4) continuous distances.
+    Returns (...,) mean over the 4 sides.
+    """
+    reg_max = pred_dist.shape[-1]
+    target = jnp.clip(target, 0, reg_max - 1 - 0.01)
+    tl = target.astype(jnp.int32)
+    tr = tl + 1
+    wl = tr.astype(target.dtype) - target
+    wr = 1.0 - wl
+    logp = jax.nn.log_softmax(pred_dist, axis=-1)
+    ce_l = -jnp.take_along_axis(logp, tl[..., None], axis=-1)[..., 0]
+    ce_r = -jnp.take_along_axis(logp, jnp.clip(tr, 0, reg_max - 1)[..., None], axis=-1)[..., 0]
+    return (ce_l * wl + ce_r * wr).mean(axis=-1)
+
+
+class v8DetectionLoss:
+    """Detection criterion over raw per-level head outputs (NHWC)."""
+
+    def __init__(self, model, hyp, tal_topk: int = 10):
+        self.nc = model.nc
+        self.reg_max = model.head.reg_max
+        self.no = self.nc + self.reg_max * 4
+        self.stride = model.stride
+        self.hyp = hyp  # namespace with box/cls/dfl gains
+        self.assigner = TaskAlignedAssigner(topk=tal_topk, num_classes=self.nc, alpha=0.5, beta=6.0)
+        self.proj = jnp.arange(self.reg_max, dtype=jnp.float32)
+
+    def __call__(self, feats, batch):
+        """Compute (total_loss, detached (box, cls, dfl) components).
+
+        Args:
+            feats: list of per-level (B, H, W, no) raw head outputs.
+            batch: dict with 'cls' (B, N), 'bboxes' (B, N, 4) normalized xywh,
+                   'mask_gt' (B, N) validity.
+        """
+        B = feats[0].shape[0]
+        flat = jnp.concatenate([f.reshape(B, -1, self.no) for f in feats], axis=1).astype(jnp.float32)
+        pred_distri, pred_scores = flat[..., : self.reg_max * 4], flat[..., self.reg_max * 4 :]
+
+        feat_shapes = [(f.shape[1], f.shape[2]) for f in feats]
+        anchor_points, stride_tensor = make_anchors(feat_shapes, self.stride, 0.5)
+        anchor_points = jnp.asarray(anchor_points)
+        stride_tensor = jnp.asarray(stride_tensor)
+        imgsz = jnp.array([feat_shapes[0][0] * self.stride[0], feat_shapes[0][1] * self.stride[0]], jnp.float32)
+
+        # targets: normalized xywh → pixel xyxy
+        gt_labels = batch["cls"][..., None].astype(jnp.int32)  # (B, N, 1)
+        scale = jnp.array([imgsz[1], imgsz[0], imgsz[1], imgsz[0]], jnp.float32)
+        gt_bboxes = xywh2xyxy(batch["bboxes"] * scale)  # (B, N, 4)
+        mask_gt = (batch["mask_gt"][..., None] if "mask_gt" in batch else (jnp.sum(gt_bboxes, 2, keepdims=True) > 0)).astype(
+            jnp.float32
+        )
+        gt_bboxes = gt_bboxes * mask_gt
+
+        # decode pred boxes (grid units)
+        b, a, _ = pred_distri.shape
+        dist = jax.nn.softmax(pred_distri.reshape(b, a, 4, self.reg_max), axis=-1) @ self.proj
+        pred_bboxes = dist2bbox(dist, anchor_points[None], xywh=False, axis=-1)  # (B, A, 4) xyxy grid units
+
+        _, target_bboxes, target_scores, fg_mask, _ = self.assigner(
+            jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
+            jax.lax.stop_gradient(pred_bboxes) * stride_tensor[None],
+            anchor_points * stride_tensor,
+            gt_labels,
+            gt_bboxes,
+            mask_gt,
+        )
+
+        target_scores_sum = jnp.maximum(target_scores.sum(), 1.0)
+
+        # cls: BCE-with-logits, sum-normalized
+        bce = jnp.clip(pred_scores, 0, None) - pred_scores * target_scores + jnp.log1p(jnp.exp(-jnp.abs(pred_scores)))
+        loss_cls = bce.sum() / target_scores_sum
+
+        # box: CIoU + DFL on foreground anchors (masked, static-shape)
+        fg = fg_mask.astype(jnp.float32)
+        weight = target_scores.sum(-1) * fg  # (B, A)
+        target_bboxes_g = target_bboxes / stride_tensor[None]
+        iou = bbox_iou(pred_bboxes, target_bboxes_g, xywh=False, CIoU=True)
+        loss_iou = (((1.0 - iou) * weight) * fg).sum() / target_scores_sum
+
+        target_ltrb = bbox2dist(anchor_points[None], target_bboxes_g, self.reg_max - 1)
+        dfl = _df_loss(pred_distri.reshape(b, a, 4, self.reg_max), target_ltrb)  # (B, A)
+        loss_dfl = ((dfl * weight) * fg).sum() / target_scores_sum
+
+        loss = jnp.stack(
+            [loss_iou * self.hyp.box, loss_cls * self.hyp.cls, loss_dfl * self.hyp.dfl]
+        )
+        return loss.sum() * B, jax.lax.stop_gradient(loss)

@@ -1,0 +1,119 @@
+"""Task-Aligned assigner, fully vectorized for XLA.
+
+Semantics mirror the reference (ref: ultralytics/utils/tal.py TaskAlignedAssigner:14
+— align metric score^α·IoU^β, topk=10 in-gt candidates, duplicate-anchor conflict
+resolution by max IoU, normalized target scores). Differences by design:
+no data-dependent branches (the n_max_boxes==0 early-out and the fg_mask.max()>1
+fast path become mask arithmetic), so the whole assigner jits into the train step.
+
+gt arrays are padded to a static max_boxes; mask_gt marks real rows.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from yolo_tpu.ops.boxes import bbox_iou
+
+
+class TaskAlignedAssigner:
+    """Assign gts to anchors by task-aligned metric; returns dense target tensors."""
+
+    def __init__(self, topk: int = 10, num_classes: int = 80, alpha: float = 1.0, beta: float = 6.0, eps: float = 1e-9):
+        self.topk = topk
+        self.num_classes = num_classes
+        self.alpha = alpha
+        self.beta = beta
+        self.eps = eps
+
+    def __call__(self, pd_scores, pd_bboxes, anc_points, gt_labels, gt_bboxes, mask_gt):
+        """Compute the assignment.
+
+        Args:
+            pd_scores: (B, A, nc) sigmoided class scores.
+            pd_bboxes: (B, A, 4) xyxy in pixels.
+            anc_points: (A, 2) anchor centers in pixels.
+            gt_labels: (B, N, 1) int labels (padded rows arbitrary).
+            gt_bboxes: (B, N, 4) xyxy pixels (padded rows zero).
+            mask_gt: (B, N, 1) validity of gt rows.
+
+        Returns:
+            target_labels (B, A), target_bboxes (B, A, 4), target_scores (B, A, nc),
+            fg_mask (B, A) bool, target_gt_idx (B, A).
+        """
+        B, A, nc = pd_scores.shape
+        N = gt_bboxes.shape[1]
+        mask_gt = mask_gt[..., 0].astype(bool)  # (B, N)
+
+        mask_in_gts = self._candidates_in_gts(anc_points, gt_bboxes)  # (B, N, A)
+        align_metric, overlaps = self._box_metrics(
+            pd_scores, pd_bboxes, gt_labels, gt_bboxes, mask_in_gts & mask_gt[..., None]
+        )
+        mask_topk = self._topk_mask(align_metric, mask_gt)  # (B, N, A)
+        mask_pos = (mask_topk & mask_in_gts & mask_gt[..., None]).astype(jnp.float32)
+
+        target_gt_idx, fg_mask, mask_pos = self._resolve_conflicts(mask_pos, overlaps)
+
+        # gather targets
+        tl = jnp.clip(jnp.take_along_axis(gt_labels[..., 0], target_gt_idx, axis=1), 0, None)  # (B, A)
+        tb = jnp.take_along_axis(gt_bboxes, target_gt_idx[..., None], axis=1)  # (B, A, 4)
+        one_hot = jax.nn.one_hot(tl, self.num_classes, dtype=jnp.float32)
+        target_scores = jnp.where(fg_mask[..., None] > 0, one_hot, 0.0)
+
+        # normalize by per-gt max align metric scaled to max overlap
+        align_metric = align_metric * mask_pos
+        pos_align = jnp.max(align_metric, axis=-1, keepdims=True)  # (B, N, 1)
+        pos_overlaps = jnp.max(overlaps * mask_pos, axis=-1, keepdims=True)
+        norm = jnp.max(align_metric * pos_overlaps / (pos_align + self.eps), axis=-2)[..., None]  # (B, A, 1)
+        target_scores = target_scores * norm
+
+        return tl, tb, target_scores, fg_mask > 0, target_gt_idx
+
+    def _candidates_in_gts(self, anc_points, gt_bboxes, eps: float = 1e-9):
+        """(B, N, A) bool: anchor center strictly inside gt box."""
+        lt = gt_bboxes[..., None, :2]  # (B, N, 1, 2)
+        rb = gt_bboxes[..., None, 2:]
+        deltas = jnp.concatenate([anc_points[None, None] - lt, rb - anc_points[None, None]], axis=-1)
+        return jnp.min(deltas, axis=-1) > eps
+
+    def _box_metrics(self, pd_scores, pd_bboxes, gt_labels, gt_bboxes, mask):
+        """align metric + CIoU overlaps, zeroed outside mask."""
+        # scores of each anchor for each gt's class: (B, N, A)
+        scores_t = jnp.swapaxes(pd_scores, 1, 2)  # (B, nc, A)
+        bbox_scores = jnp.take_along_axis(scores_t, jnp.clip(gt_labels, 0, None).astype(jnp.int32), axis=1)
+        bbox_scores = jnp.where(mask, bbox_scores, 0.0)
+        overlaps = bbox_iou(gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :], xywh=False, CIoU=True)
+        overlaps = jnp.where(mask, jnp.clip(overlaps, 0.0, None), 0.0)
+        return bbox_scores**self.alpha * overlaps**self.beta, overlaps
+
+    def _topk_mask(self, metrics, mask_gt):
+        """(B, N, A) bool marking the top-k metric anchors of each valid gt.
+
+        Reference quirk preserved: invalid (masked) topk slots scatter onto index 0
+        and any anchor hit more than once is dropped (count>1 → 0), ref :230.
+        """
+        B, N, A = metrics.shape
+        topk_vals, topk_idxs = jax.lax.top_k(metrics, self.topk)  # (B, N, k)
+        valid = jnp.broadcast_to(mask_gt[..., None], topk_idxs.shape)
+        topk_idxs = jnp.where(valid, topk_idxs, 0)
+        counts = (
+            jnp.zeros((B, N, A), jnp.int32)
+            .at[
+                jnp.arange(B)[:, None, None],
+                jnp.arange(N)[None, :, None],
+                topk_idxs,
+            ]
+            .add(1)
+        )
+        return (counts == 1)  # counts>1 filtered, like reference
+
+    def _resolve_conflicts(self, mask_pos, overlaps):
+        """Anchor claimed by several gts → keep the max-overlap gt (ref :305-330)."""
+        fg = jnp.sum(mask_pos, axis=-2)  # (B, A)
+        max_idx = jnp.argmax(overlaps, axis=-2)  # (B, A)
+        is_max = jax.nn.one_hot(max_idx, mask_pos.shape[1], axis=1, dtype=mask_pos.dtype)  # (B, N, A)
+        mask_pos = jnp.where((fg[:, None, :] > 1), is_max, mask_pos)
+        fg = jnp.sum(mask_pos, axis=-2)
+        target_gt_idx = jnp.argmax(mask_pos, axis=-2)  # (B, A)
+        return target_gt_idx, fg, mask_pos
