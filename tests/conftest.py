@@ -7,10 +7,16 @@ import os
 import sys
 from pathlib import Path
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: shell exports axon (real TPU)
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The machine's sitecustomize imports jax at interpreter boot (axon TPU tunnel),
+# so the env vars above are too late for jax.config — update it directly.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 ROOT = Path(__file__).resolve().parents[1]
 if str(ROOT) not in sys.path:
@@ -54,6 +60,51 @@ def add_reference_to_path():
             "        iou = inter/(areas[i]+areas-inter+1e-7)\n"
             "        sup |= iou > iou_threshold\n"
             "    return torch.tensor(keep, dtype=torch.long)\n"
+        )
+    lap_stub = stub_root / "lap.py"
+    if not lap_stub.exists():
+        lap_stub.write_text(
+            "'''scipy-backed emulation of lap.lapjv for the reference tracker tests.'''\n"
+            "import numpy as np\n"
+            "import scipy.optimize\n"
+            "__version__ = '0.5.12'\n"
+            "def lapjv(cost, extend_cost=False, cost_limit=np.inf, return_cost=True):\n"
+            "    cost = np.asarray(cost, dtype=float)\n"
+            "    n, m = cost.shape\n"
+            "    L = cost_limit if np.isfinite(cost_limit) else 1e9\n"
+            "    BIG = 1e12\n"
+            "    # square augmentation: dummy col/row per real row/col at cost L\n"
+            "    C = np.full((n + m, n + m), 0.0)\n"
+            "    C[:n, :m] = np.where(cost <= L, cost, BIG)\n"
+            "    C[:n, m:] = np.where(np.eye(n, dtype=bool), L, BIG)\n"
+            "    C[n:, :m] = np.where(np.eye(m, dtype=bool), L, BIG)\n"
+            "    rows, cols = scipy.optimize.linear_sum_assignment(C)\n"
+            "    x = np.full(n, -1, dtype=int)\n"
+            "    y = np.full(m, -1, dtype=int)\n"
+            "    total = 0.0\n"
+            "    for r, c in zip(rows, cols):\n"
+            "        if r < n and c < m and cost[r, c] <= L:\n"
+            "            x[r] = c\n"
+            "            y[c] = r\n"
+            "            total += cost[r, c]\n"
+            "    if return_cost:\n"
+            "        return total, x, y\n"
+            "    return x, y\n"
+        )
+    oracle = stub_root / "grayscale_tracking_system_oracle.py"
+    if not oracle.exists():
+        oracle.write_text(
+            "'''Thin shim exposing the reference grayscale scorer as a pure function\n"
+            "(the reference class loads a YOLO model in __init__, so we bypass it).'''\n"
+            "import importlib.util\n"
+            "_spec = importlib.util.spec_from_file_location(\n"
+            "    'gts_ref', '/root/reference/Grayscale-Tracking/grayscale_tracking_system.py')\n"
+            "_mod = importlib.util.module_from_spec(_spec)\n"
+            "_spec.loader.exec_module(_mod)\n"
+            "def ref_gradient_magnitude_prediction(frame, last_center, roi_size=40):\n"
+            "    t = _mod.GrayscaleTracker.__new__(_mod.GrayscaleTracker)\n"
+            "    t.roi_size = roi_size\n"
+            "    return _mod.GrayscaleTracker.gradient_magnitude_prediction(t, frame, last_center)\n"
         )
     for p in (str(stub_root), str(REFERENCE)):
         if p not in sys.path:

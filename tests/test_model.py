@@ -28,24 +28,27 @@ def test_build_yolov8_small_p2_from_yaml():
 
 
 def test_forward_shapes_and_anchor_count():
+    import jax
     import jax.numpy as jnp
 
     m = DetectionModel("yolov8-small.yaml")
     params = m.init(0)
     x = jnp.zeros((1, 128, 160, 3), jnp.float32)
-    preds = m.predict(params, x)
+    preds = jax.jit(m.predict)(params, x)
     # anchors: 32*40 + 16*20 + 8*10 + 4*5 = 1700 at 128x160
     assert preds.shape == (1, 4 + 1, 1700)
 
 
 def test_fuse_preserves_outputs():
+    import jax
     import jax.numpy as jnp
 
     m = DetectionModel("yolov8n.yaml")
     params = m.init(0)
     x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
-    y0 = np.asarray(m.predict(params, x))
-    y1 = np.asarray(m.predict(m.fuse(params), x))
+    fn = jax.jit(m.predict)
+    y0 = np.asarray(fn(params, x))
+    y1 = np.asarray(fn(m.fuse(params), x))
     assert np.allclose(y0, y1, atol=2e-3, rtol=1e-3)
 
 
@@ -75,9 +78,10 @@ def test_numeric_parity_with_reference_oracle(yaml_name):
     with torch.no_grad():
         y_t = torch_model(torch.from_numpy(img))[0].numpy()  # (1, 4+nc, A)
 
+    import jax
     import jax.numpy as jnp
 
-    y_j = np.asarray(ours.predict(params, jnp.asarray(img.transpose(0, 2, 3, 1))))
+    y_j = np.asarray(jax.jit(ours.predict)(params, jnp.asarray(img.transpose(0, 2, 3, 1))))
     assert y_t.shape == y_j.shape
     # boxes are in pixels (up to 64), cls are sigmoids — check both at sane tolerances
     nc = ours.nc

@@ -1,0 +1,140 @@
+"""MOT tracker tests: Kalman filter parity with the reference, ByteTrack behavior
+on synthetic streams, and golden parity of the full BYTETracker."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import add_reference_to_path, reference_available
+
+
+def synth_stream(n_frames=40, drop=(15, 22)):
+    """Two targets moving linearly; target 0 drops out during `drop` window."""
+    frames = []
+    for f in range(n_frames):
+        dets = []
+        if not (drop[0] <= f < drop[1]):
+            dets.append(([100 + 4 * f, 200.0, 30.0, 20.0], 0.9, 0))
+        dets.append(([400 - 3 * f + 0.01 * f * f, 300.0, 40.0, 24.0], 0.85, 0))
+        frames.append(dets)
+    return frames
+
+
+def _args(**over):
+    from yolo_tpu.utils import IterableSimpleNamespace
+
+    base = dict(
+        tracker_type="bytetrack", track_high_thresh=0.25, track_low_thresh=0.1,
+        new_track_thresh=0.25, track_buffer=30, match_thresh=0.8, fuse_score=True,
+        gmc_method="sparseOptFlow", proximity_thresh=0.5, appearance_thresh=0.8, with_reid=False,
+    )
+    base.update(over)
+    return IterableSimpleNamespace(**base)
+
+
+def test_kalman_xyah_parity_with_reference():
+    if not reference_available():
+        pytest.skip("no reference")
+    add_reference_to_path()
+    from ultralytics.trackers.utils.kalman_filter import KalmanFilterXYAH as RefKF
+
+    from yolo_tpu.trackers.kalman_filter import KalmanFilterXYAH
+
+    ours, ref = KalmanFilterXYAH(), RefKF()
+    z0 = np.array([100.0, 200.0, 1.5, 20.0])
+    m1, c1 = ours.initiate(z0)
+    m2, c2 = ref.initiate(z0)
+    assert np.allclose(m1, m2) and np.allclose(c1, c2)
+    for i in range(5):
+        m1, c1 = ours.predict(m1, c1)
+        m2, c2 = ref.predict(m2, c2)
+        z = z0 + [4.0 * i, -2.0 * i, 0, 0.1 * i]
+        m1, c1 = ours.update(m1, c1, z)
+        m2, c2 = ref.update(m2, c2, z)
+        assert np.allclose(m1, m2, atol=1e-8) and np.allclose(c1, c2, atol=1e-8)
+    # vectorized multi_predict == scalar predict
+    means = np.stack([m1, m1 + 1])
+    covs = np.stack([c1, c1 * 1.1])
+    mm, cc = ours.multi_predict(means.copy(), covs.copy())
+    ms, cs = ours.predict(means[0].copy(), covs[0].copy())
+    assert np.allclose(mm[0], ms) and np.allclose(cc[0], cs)
+
+
+def test_bytetracker_track_continuity():
+    from yolo_tpu.trackers.byte_tracker import BYTETracker
+
+    tracker = BYTETracker(_args(), frame_rate=30)
+    ids_t0 = []
+    for f, dets in enumerate(synth_stream()):
+        boxes = np.array([d[0] for d in dets], np.float32)
+        scores = np.array([d[1] for d in dets], np.float32)
+        cls = np.array([d[2] for d in dets], np.float32)
+        out = tracker.update(boxes, scores, cls)
+        for row in out:
+            if abs(row[1] + row[3] - 2 * 200.0) < 60:  # target 0 row (y≈200)
+                ids_t0.append((f, int(row[4])))
+    # target 0's id must be stable before the dropout and re-acquired after
+    pre = {i for f, i in ids_t0 if f < 15}
+    post = {i for f, i in ids_t0 if f >= 22}
+    assert len(pre) == 1
+    assert pre == post, "track id must survive a 7-frame dropout via lost-state reactivation"
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference oracle not present")
+def test_bytetracker_golden_parity():
+    """Same det stream → identical ids/boxes as the reference BYTETracker."""
+    add_reference_to_path()
+    from types import SimpleNamespace
+
+    from ultralytics.trackers.byte_tracker import BYTETracker as RefTracker
+
+    from yolo_tpu.trackers.byte_tracker import BYTETracker
+
+    class FakeBoxes:
+        """Duck-type of ultralytics Boxes for RefTracker.update."""
+
+        def __init__(self, xywh, conf, cls):
+            self.xywh = xywh
+            self.conf = conf
+            self.cls = cls
+
+        def __len__(self):
+            return len(self.conf)
+
+        def __getitem__(self, idx):
+            return FakeBoxes(self.xywh[idx], self.conf[idx], self.cls[idx])
+
+    ours = BYTETracker(_args(), frame_rate=30)
+    ref = RefTracker(_args(), frame_rate=30)
+
+    rng = np.random.default_rng(0)
+    for f, dets in enumerate(synth_stream(n_frames=35)):
+        boxes = np.array([d[0] for d in dets], np.float32) + rng.normal(0, 0.3, (len(dets), 4)).astype(np.float32)
+        scores = np.array([d[1] for d in dets], np.float32)
+        cls = np.array([d[2] for d in dets], np.float32)
+        out_a = ours.update(boxes.copy(), scores.copy(), cls.copy())
+        out_b = ref.update(FakeBoxes(boxes.copy(), scores.copy(), cls.copy()))
+        assert out_a.shape == np.asarray(out_b).shape, (f, out_a, out_b)
+        if len(out_a):
+            a = out_a[np.argsort(out_a[:, 4])]
+            b = np.asarray(out_b)[np.argsort(np.asarray(out_b)[:, 4])]
+            assert np.allclose(a[:, :5], b[:, :5], atol=1e-3), (f, a, b)
+
+
+def test_track_glue_assigns_ids():
+    from yolo_tpu.engine.results import Results
+    from yolo_tpu.trackers.track import attach_tracker
+
+    class M:
+        pass
+
+    model = M()
+    results = []
+    img = np.zeros((480, 640, 3), np.uint8)
+    for f in range(5):
+        boxes = np.array([[100 + 5 * f, 200, 140 + 5 * f, 230, 0.9, 0]], np.float32)
+        results.append(Results(img, f"f{f}", {0: "t"}, boxes=boxes))
+    tracked = attach_tracker(model, results, persist=True)
+    ids = [r.boxes.id for r in tracked if len(r.boxes)]
+    assert all(i is not None for i in ids)
+    flat = {int(i[0]) for i in ids if i is not None and len(i)}
+    assert len(flat) == 1  # one stable id

@@ -1,0 +1,287 @@
+"""Host-side (numpy/cv2) training augmentations.
+
+Covers the reference pipeline used by the IR small-target recipe (ref:
+ultralytics/data/augment.py v8_transforms:2530 — Mosaic:492, CopyPaste:1776,
+RandomPerspective:1050, MixUp:866, RandomHSV:1415, RandomFlip:1498,
+LetterBox:1593). Augmentation stays on host by design (SURVEY §7 hard parts):
+it is branchy, uint8, and per-sample — the device pipeline starts at the
+collated batch.
+
+Labels travel as dicts: {'img': HWC uint8 BGR, 'cls': (n,), 'bboxes': (n,4)
+pixel xyxy, 'shape': original (h, w)}.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+
+from yolo_tpu.ops.letterbox import LetterBox
+
+
+def _clip_bboxes(bboxes, w, h):
+    bboxes[:, [0, 2]] = bboxes[:, [0, 2]].clip(0, w)
+    bboxes[:, [1, 3]] = bboxes[:, [1, 3]].clip(0, h)
+    return bboxes
+
+
+def _filter_boxes(bboxes, cls, wh_thr=2, ar_thr=100, area_thr=0.0, orig_boxes=None, eps=1e-16):
+    """Drop degenerate boxes after geometric transforms (ref: box_candidates)."""
+    w = bboxes[:, 2] - bboxes[:, 0]
+    h = bboxes[:, 3] - bboxes[:, 1]
+    ar = np.maximum(w / (h + eps), h / (w + eps))
+    keep = (w > wh_thr) & (h > wh_thr) & (ar < ar_thr)
+    if orig_boxes is not None and area_thr > 0:
+        ow = orig_boxes[:, 2] - orig_boxes[:, 0]
+        oh = orig_boxes[:, 3] - orig_boxes[:, 1]
+        keep &= (w * h) / (ow * oh + eps) > area_thr
+    return bboxes[keep], cls[keep]
+
+
+def random_hsv(img, hgain=0.5, sgain=0.5, vgain=0.5, rng=None):
+    """HSV jitter (ref: RandomHSV:1415). IR recipe: hgain=sgain=0, vgain=0.3."""
+    import cv2
+
+    rng = rng or random
+    if hgain or sgain or vgain:
+        r = np.array([rng.uniform(-1, 1) for _ in range(3)]) * [hgain, sgain, vgain] + 1
+        hue, sat, val = cv2.split(cv2.cvtColor(img, cv2.COLOR_BGR2HSV))
+        dtype = img.dtype
+        x = np.arange(0, 256, dtype=r.dtype)
+        lut_hue = ((x * r[0]) % 180).astype(dtype)
+        lut_sat = np.clip(x * r[1], 0, 255).astype(dtype)
+        lut_val = np.clip(x * r[2], 0, 255).astype(dtype)
+        img_hsv = cv2.merge((cv2.LUT(hue, lut_hue), cv2.LUT(sat, lut_sat), cv2.LUT(val, lut_val)))
+        img = cv2.cvtColor(img_hsv, cv2.COLOR_HSV2BGR)
+    return img
+
+
+def random_flip(labels, lr_p=0.5, ud_p=0.0, rng=None):
+    """Horizontal/vertical flips with box updates (ref: RandomFlip:1498)."""
+    rng = rng or random
+    img = labels["img"]
+    h, w = img.shape[:2]
+    b = labels["bboxes"]
+    if ud_p and rng.random() < ud_p:
+        img = np.flipud(img)
+        b = b.copy()
+        b[:, [1, 3]] = h - b[:, [3, 1]]
+    if lr_p and rng.random() < lr_p:
+        img = np.fliplr(img)
+        b = b.copy()
+        b[:, [0, 2]] = w - b[:, [2, 0]]
+    labels["img"] = np.ascontiguousarray(img)
+    labels["bboxes"] = b
+    return labels
+
+
+def random_perspective(labels, degrees=0.0, translate=0.1, scale=0.5, shear=0.0, perspective=0.0, border=(0, 0), rng=None):
+    """Affine/perspective warp with box transform (ref: RandomPerspective:1050)."""
+    import cv2
+
+    rng = rng or random
+    img = labels["img"]
+    h, w = img.shape[:2]
+    height = h + border[0] * 2
+    width = w + border[1] * 2
+
+    C = np.eye(3)
+    C[0, 2] = -w / 2
+    C[1, 2] = -h / 2
+    P = np.eye(3)
+    P[2, 0] = rng.uniform(-perspective, perspective)
+    P[2, 1] = rng.uniform(-perspective, perspective)
+    R = np.eye(3)
+    a = rng.uniform(-degrees, degrees)
+    s = rng.uniform(1 - scale, 1 + scale)
+    R[:2] = cv2.getRotationMatrix2D(angle=a, center=(0, 0), scale=s)
+    S = np.eye(3)
+    S[0, 1] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
+    S[1, 0] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
+    T = np.eye(3)
+    T[0, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * width
+    T[1, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * height
+    M = T @ S @ R @ P @ C
+
+    if (border[0] != 0) or (border[1] != 0) or (M != np.eye(3)).any():
+        if perspective:
+            img = cv2.warpPerspective(img, M, dsize=(width, height), borderValue=(114, 114, 114))
+        else:
+            img = cv2.warpAffine(img, M[:2], dsize=(width, height), borderValue=(114, 114, 114))
+
+    bboxes, cls = labels["bboxes"], labels["cls"]
+    n = len(bboxes)
+    if n:
+        xy = np.ones((n * 4, 3))
+        xy[:, :2] = bboxes[:, [0, 1, 2, 3, 0, 3, 2, 1]].reshape(n * 4, 2)
+        xy = xy @ M.T
+        xy = (xy[:, :2] / xy[:, 2:3] if perspective else xy[:, :2]).reshape(n, 8)
+        x = xy[:, [0, 2, 4, 6]]
+        y = xy[:, [1, 3, 5, 7]]
+        new = np.stack((x.min(1), y.min(1), x.max(1), y.max(1)), axis=1)
+        new = _clip_bboxes(new, width, height)
+        orig_scaled = bboxes * s
+        new, cls = _filter_boxes(new, cls, area_thr=0.1, orig_boxes=None) if False else (new, cls)
+        keep = ((new[:, 2] - new[:, 0]) > 2) & ((new[:, 3] - new[:, 1]) > 2)
+        # keep also area-ratio candidates like reference box_candidates (area_thr 0.1)
+        ow = (orig_scaled[:, 2] - orig_scaled[:, 0]) + 1e-16
+        oh = (orig_scaled[:, 3] - orig_scaled[:, 1]) + 1e-16
+        keep &= ((new[:, 2] - new[:, 0]) * (new[:, 3] - new[:, 1]) / (ow * oh)) > 0.1
+        bboxes, cls = new[keep], cls[keep]
+    labels["img"] = img
+    labels["bboxes"] = bboxes
+    labels["cls"] = cls
+    return labels
+
+
+def mosaic4(items, imgsz: int, rng=None):
+    """4-image mosaic on a 2·imgsz canvas (ref: Mosaic:492 _mosaic4)."""
+    rng = rng or random
+    s = imgsz
+    yc = int(rng.uniform(s // 2, 2 * s - s // 2))
+    xc = int(rng.uniform(s // 2, 2 * s - s // 2))
+    canvas = np.full((s * 2, s * 2, items[0]["img"].shape[-1]), 114, dtype=np.uint8)
+    all_boxes, all_cls = [], []
+    for i, it in enumerate(items):
+        img = it["img"]
+        h, w = img.shape[:2]
+        if i == 0:  # top-left
+            x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
+            x1b, y1b, x2b, y2b = w - (x2a - x1a), h - (y2a - y1a), w, h
+        elif i == 1:  # top-right
+            x1a, y1a, x2a, y2a = xc, max(yc - h, 0), min(xc + w, s * 2), yc
+            x1b, y1b, x2b, y2b = 0, h - (y2a - y1a), min(w, x2a - x1a), h
+        elif i == 2:  # bottom-left
+            x1a, y1a, x2a, y2a = max(xc - w, 0), yc, xc, min(s * 2, yc + h)
+            x1b, y1b, x2b, y2b = w - (x2a - x1a), 0, w, min(y2a - y1a, h)
+        else:  # bottom-right
+            x1a, y1a, x2a, y2a = xc, yc, min(xc + w, s * 2), min(s * 2, yc + h)
+            x1b, y1b, x2b, y2b = 0, 0, min(w, x2a - x1a), min(y2a - y1a, h)
+        canvas[y1a:y2a, x1a:x2a] = img[y1b:y2b, x1b:x2b]
+        padw, padh = x1a - x1b, y1a - y1b
+        if len(it["bboxes"]):
+            b = it["bboxes"].copy()
+            b[:, [0, 2]] += padw
+            b[:, [1, 3]] += padh
+            all_boxes.append(b)
+            all_cls.append(it["cls"])
+    bboxes = np.concatenate(all_boxes) if all_boxes else np.zeros((0, 4), np.float32)
+    cls = np.concatenate(all_cls) if all_cls else np.zeros((0,), np.float32)
+    bboxes = _clip_bboxes(bboxes, 2 * s, 2 * s)
+    return {"img": canvas, "bboxes": bboxes, "cls": cls, "shape": (2 * s, 2 * s)}
+
+
+def copy_paste(labels, donor, p=0.5, rng=None):
+    """Box-level copy-paste: blit donor target patches onto this image
+    (bbox variant of ref CopyPaste:1776 'flip' mode — no segments in IR data)."""
+    rng = rng or random
+    if p <= 0 or len(donor["bboxes"]) == 0:
+        return labels
+    img = labels["img"]
+    h, w = img.shape[:2]
+    new_boxes, new_cls = [labels["bboxes"]], [labels["cls"]]
+    for box, c in zip(donor["bboxes"], donor["cls"]):
+        if rng.random() > p:
+            continue
+        x1, y1, x2, y2 = map(int, box)
+        bw, bh = x2 - x1, y2 - y1
+        if bw < 2 or bh < 2 or bw >= w or bh >= h:
+            continue
+        patch = donor["img"][y1:y2, x1:x2]
+        nx = int(rng.uniform(0, w - bw))
+        ny = int(rng.uniform(0, h - bh))
+        # skip if overlapping an existing box (ioa check like reference)
+        cand = np.array([nx, ny, nx + bw, ny + bh], np.float32)
+        ex = np.concatenate(new_boxes) if new_boxes else np.zeros((0, 4))
+        if len(ex):
+            ix1 = np.maximum(cand[0], ex[:, 0])
+            iy1 = np.maximum(cand[1], ex[:, 1])
+            ix2 = np.minimum(cand[2], ex[:, 2])
+            iy2 = np.minimum(cand[3], ex[:, 3])
+            inter = np.clip(ix2 - ix1, 0, None) * np.clip(iy2 - iy1, 0, None)
+            if (inter / (bw * bh + 1e-9) > 0.30).any():
+                continue
+        img[ny : ny + bh, nx : nx + bw] = patch
+        new_boxes.append(cand[None])
+        new_cls.append(np.array([c], np.float32))
+    labels["img"] = img
+    labels["bboxes"] = np.concatenate(new_boxes).astype(np.float32)
+    labels["cls"] = np.concatenate(new_cls).astype(np.float32)
+    return labels
+
+
+def mixup(labels, other, rng=None):
+    """Beta(32, 32) image blend, labels concatenated (ref: MixUp:866)."""
+    rng = rng or random
+    r = np.random.beta(32.0, 32.0)
+    labels["img"] = (labels["img"].astype(np.float32) * r + other["img"].astype(np.float32) * (1 - r)).astype(np.uint8)
+    labels["bboxes"] = np.concatenate([labels["bboxes"], other["bboxes"]])
+    labels["cls"] = np.concatenate([labels["cls"], other["cls"]])
+    return labels
+
+
+class TrainTransforms:
+    """Composed training pipeline ≈ reference v8_transforms order:
+    Mosaic → CopyPaste → RandomPerspective → MixUp → HSV → flips."""
+
+    def __init__(self, dataset, imgsz: int, hyp):
+        self.dataset = dataset
+        self.imgsz = imgsz
+        self.hyp = hyp
+        self.mosaic_enabled = True
+
+    def __call__(self, labels, rng=None):
+        rng = rng or random
+        h = self.hyp
+        use_mosaic = self.mosaic_enabled and rng.random() < h.mosaic
+        if use_mosaic:
+            others = [self.dataset.load_raw(rng.randrange(len(self.dataset))) for _ in range(3)]
+            labels = mosaic4([labels, *others], self.imgsz, rng)
+            border = (-self.imgsz // 2, -self.imgsz // 2)
+        else:
+            lb = LetterBox((self.imgsz, self.imgsz), scaleup=True)
+            img, (ratio, pad) = lb(labels["img"], return_meta=True)
+            b = labels["bboxes"] * ratio[0]
+            b[:, [0, 2]] += pad[0]
+            b[:, [1, 3]] += pad[1]
+            labels = {**labels, "img": img, "bboxes": b}
+            border = (0, 0)
+
+        if h.copy_paste > 0 and rng.random() < 0.5:
+            donor = self.dataset.load_raw(rng.randrange(len(self.dataset)))
+            labels = copy_paste(labels, donor, p=h.copy_paste, rng=rng)
+
+        labels = random_perspective(
+            labels,
+            degrees=h.degrees,
+            translate=h.translate,
+            scale=h.scale,
+            shear=h.shear,
+            perspective=h.perspective,
+            border=border,
+            rng=rng,
+        )
+        if use_mosaic and rng.random() < h.mixup:
+            other = self(self.dataset.load_raw(rng.randrange(len(self.dataset))), rng)
+            labels = mixup(labels, {"img": other["img"], "bboxes": other["bboxes"], "cls": other["cls"]}, rng)
+
+        labels["img"] = random_hsv(labels["img"], h.hsv_h, h.hsv_s, h.hsv_v, rng)
+        labels = random_flip(labels, lr_p=h.fliplr, ud_p=h.flipud, rng=rng)
+        return labels
+
+
+class ValTransforms:
+    """Letterbox-only eval pipeline."""
+
+    def __init__(self, imgsz: int, stride: int = 32):
+        self.lb = LetterBox((imgsz, imgsz), scaleup=False, stride=stride)
+
+    def __call__(self, labels, rng=None):
+        img, (ratio, pad) = self.lb(labels["img"], return_meta=True)
+        b = labels["bboxes"] * ratio[0]
+        if len(b):
+            b[:, [0, 2]] += pad[0]
+            b[:, [1, 3]] += pad[1]
+        return {**labels, "img": img, "bboxes": b, "ratio_pad": (ratio, pad)}

@@ -1,0 +1,177 @@
+"""YOLO-format detection dataset (images/ + labels/*.txt) with label caching.
+
+Reference counterpart: data/dataset.py YOLODataset:49 + data/base.py BaseDataset:23.
+Host-side numpy; the collate produces fixed-shape padded batches so the jitted
+train step never sees dynamic shapes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from pathlib import Path
+
+import numpy as np
+
+from yolo_tpu.utils import LOGGER, yaml_load
+
+IMG_EXTS = {".bmp", ".jpg", ".jpeg", ".png", ".tif", ".tiff", ".webp"}
+
+
+def check_det_dataset(data) -> dict:
+    """Resolve a dataset yaml (ref: data/utils.py check_det_dataset): path/train/val/names."""
+    if isinstance(data, dict):
+        d = dict(data)
+    else:
+        d = yaml_load(data)
+        d.setdefault("yaml_file", str(data))
+    root = Path(d.get("path") or Path(d.get("yaml_file", ".")).parent)
+    for split in ("train", "val", "test"):
+        if d.get(split) and not Path(d[split]).is_absolute():
+            d[split] = str(root / d[split])
+    names = d.get("names") or {0: "object"}
+    if isinstance(names, list):
+        names = dict(enumerate(names))
+    d["names"] = {int(k): v for k, v in names.items()}
+    d["nc"] = len(d["names"])
+    return d
+
+
+def img2label_path(img_path: str) -> str:
+    """images/xxx.jpg → labels/xxx.txt (reference convention)."""
+    sa, sb = f"{Path(img_path).parent.name}", "labels"
+    p = Path(img_path)
+    parent = p.parent
+    if parent.name == "images" or "images" in parent.parts:
+        parts = list(p.parts)
+        idx = len(parts) - 1 - parts[::-1].index("images")
+        parts[idx] = "labels"
+        return str(Path(*parts).with_suffix(".txt"))
+    return str(p.with_suffix(".txt"))
+
+
+class YOLODataset:
+    """Detection dataset over a directory (or list file) of images."""
+
+    def __init__(self, img_path, imgsz: int = 640, augment: bool = False, hyp=None, stride: int = 32, single_cls: bool = False, fraction: float = 1.0, names=None, cache: bool = True):
+        self.img_path = img_path
+        self.imgsz = imgsz
+        self.augment = augment
+        self.hyp = hyp
+        self.stride = stride
+        self.single_cls = single_cls
+        self.names = names or {}
+        self.im_files = self._list_images(img_path, fraction)
+        if not self.im_files:
+            raise FileNotFoundError(f"no images found in {img_path}")
+        self.labels = self._load_labels(cache)
+        if augment and hyp is not None:
+            from yolo_tpu.data.augment import TrainTransforms
+
+            self.transforms = TrainTransforms(self, imgsz, hyp)
+        else:
+            from yolo_tpu.data.augment import ValTransforms
+
+            self.transforms = ValTransforms(imgsz, stride)
+
+    @staticmethod
+    def _list_images(img_path, fraction: float):
+        p = Path(img_path)
+        if p.is_file() and p.suffix == ".txt":  # list file
+            files = [line.strip() for line in p.read_text().splitlines() if line.strip()]
+        elif p.is_dir():
+            files = sorted(str(f) for f in p.rglob("*") if f.suffix.lower() in IMG_EXTS)
+        else:
+            files = sorted(str(f) for f in Path(p.parent).glob(p.name) if f.suffix.lower() in IMG_EXTS)
+        n = max(1, int(len(files) * fraction)) if files else 0
+        return files[:n]
+
+    def _load_labels(self, cache: bool = True) -> list[dict]:
+        """Parse label txts once; cache as json keyed by a file-list hash."""
+        label_files = [img2label_path(f) for f in self.im_files]
+        key = hashlib.sha1(("".join(self.im_files + label_files)).encode()).hexdigest()[:16]
+        cache_path = Path(self.im_files[0]).parent / f".labels_{key}.cache.json"
+        if cache and cache_path.exists():
+            try:
+                raw = json.loads(cache_path.read_text())
+                return [
+                    {"cls": np.array(r["cls"], np.float32), "bboxes": np.array(r["bboxes"], np.float32).reshape(-1, 4)}
+                    for r in raw
+                ]
+            except Exception:
+                pass
+        labels = []
+        n_missing = 0
+        for lf in label_files:
+            cls, boxes = [], []
+            if Path(lf).exists():
+                for line in Path(lf).read_text().splitlines():
+                    parts = line.split()
+                    if len(parts) >= 5:
+                        cls.append(0.0 if self.single_cls else float(parts[0]))
+                        boxes.append([float(x) for x in parts[1:5]])
+            else:
+                n_missing += 1
+            labels.append({"cls": np.array(cls, np.float32), "bboxes": np.array(boxes, np.float32).reshape(-1, 4)})
+        if n_missing:
+            LOGGER.warning(f"{n_missing}/{len(label_files)} label files missing (treated as background)")
+        if cache:
+            try:
+                cache_path.write_text(
+                    json.dumps([{"cls": l["cls"].tolist(), "bboxes": l["bboxes"].tolist()} for l in labels])
+                )
+            except OSError:
+                pass
+        return labels
+
+    def __len__(self):
+        return len(self.im_files)
+
+    def load_raw(self, i: int) -> dict:
+        """Load image i with pixel-space xyxy labels (pre-transform)."""
+        import cv2
+
+        img = cv2.imread(self.im_files[i])
+        if img is None:
+            raise FileNotFoundError(self.im_files[i])
+        h, w = img.shape[:2]
+        lb = self.labels[i]
+        from yolo_tpu.ops.boxes import xywhn2xyxy
+
+        bboxes = xywhn2xyxy(lb["bboxes"], w=w, h=h) if len(lb["bboxes"]) else np.zeros((0, 4), np.float32)
+        return {"img": img, "cls": lb["cls"].copy(), "bboxes": np.asarray(bboxes, np.float32), "shape": (h, w), "im_file": self.im_files[i]}
+
+    def __getitem__(self, i: int) -> dict:
+        return self.transforms(self.load_raw(i))
+
+    def close_mosaic(self):
+        """Disable mosaic/mixup for final epochs (ref: trainer close_mosaic :381)."""
+        if hasattr(self.transforms, "mosaic_enabled"):
+            self.transforms.mosaic_enabled = False
+
+
+def collate_batch(samples: list[dict], max_boxes: int = 64):
+    """Stack samples into fixed-shape arrays for the jitted step.
+
+    Returns dict: img (B,H,W,3) uint8, cls (B,N), bboxes (B,N,4) normalized xywh,
+    mask_gt (B,N), plus host metadata lists.
+    """
+    from yolo_tpu.ops.boxes import xyxy2xywhn
+
+    B = len(samples)
+    H, W = samples[0]["img"].shape[:2]
+    imgs = np.zeros((B, H, W, 3), np.uint8)
+    cls = np.zeros((B, max_boxes), np.float32)
+    bboxes = np.zeros((B, max_boxes, 4), np.float32)
+    mask = np.zeros((B, max_boxes), np.float32)
+    meta = []
+    for i, s in enumerate(samples):
+        im = s["img"]
+        imgs[i] = im if im.ndim == 3 else im[..., None].repeat(3, -1)
+        n = min(len(s["cls"]), max_boxes)
+        if n:
+            cls[i, :n] = s["cls"][:n]
+            bboxes[i, :n] = np.asarray(xyxy2xywhn(s["bboxes"][:n], w=W, h=H), np.float32)
+            mask[i, :n] = 1.0
+        meta.append({"im_file": s.get("im_file"), "shape": s.get("shape"), "ratio_pad": s.get("ratio_pad")})
+    return {"img": imgs, "cls": cls, "bboxes": bboxes, "mask_gt": mask, "meta": meta}

@@ -1,0 +1,150 @@
+"""Export / native checkpoint formats.
+
+Reference counterpart: engine/exporter.py (16 torch-ecosystem formats). On TPU
+the deployment story is different by design: params are a pytree and the graph
+is jit-compiled from source, so the export surface is:
+
+  - ``npz``         — flat params + model yaml in one portable file (default)
+  - ``orbax``       — sharded orbax checkpoint directory (large models, resume)
+  - ``stablehlo``   — serialized lowered StableHLO of the fused predict program
+                      (consumable from C++ via PJRT, see examples/cpp_client)
+  - ``savedmodel``  — alias of npz+yaml bundle for serving shims
+
+Each loader returns (model, params, meta) so `YOLO(<artifact>)` round-trips.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+from yolo_tpu.utils import LOGGER, yaml_load
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}{k}" if not prefix else f"{prefix}.{k}"
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten(flat: dict):
+    tree: dict = {}
+    for key, v in flat.items():
+        parts = key.split(".")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def save_npz(model, params, filename="model.npz", meta: dict | None = None) -> Path:
+    """Save params + embedded model yaml to a single .npz."""
+    filename = Path(filename)
+    filename.parent.mkdir(parents=True, exist_ok=True)
+    flat = _flatten(params)
+    payload = {f"param::{k}": v for k, v in flat.items()}
+    payload["__yaml__"] = np.frombuffer(json.dumps(model.yaml, default=str).encode(), dtype=np.uint8)
+    payload["__meta__"] = np.frombuffer(
+        json.dumps({"names": getattr(model, "names", {}), **(meta or {})}, default=str).encode(), dtype=np.uint8
+    )
+    np.savez(filename, **payload)
+    LOGGER.info(f"saved {filename} ({filename.stat().st_size / 1e6:.1f} MB)")
+    return filename
+
+
+def load_npz(filename):
+    """Load a .npz produced by save_npz → (model, params, meta)."""
+    import jax.numpy as jnp
+
+    from yolo_tpu.nn.tasks import DetectionModel
+
+    data = np.load(filename, allow_pickle=False)
+    yaml_cfg = json.loads(bytes(data["__yaml__"]).decode())
+    meta = json.loads(bytes(data["__meta__"]).decode()) if "__meta__" in data else {}
+    model = DetectionModel(yaml_cfg)
+    if meta.get("names"):
+        model.names = {int(k): v for k, v in meta["names"].items()}
+    flat = {k[len("param::") :]: data[k] for k in data.files if k.startswith("param::")}
+    params = _unflatten({k: jnp.asarray(v) for k, v in flat.items()})
+    return model, params, meta
+
+
+def save_orbax(model, params, dirname, meta: dict | None = None) -> Path:
+    """Save an orbax checkpoint dir (params + yaml/meta json sidecars)."""
+    import orbax.checkpoint as ocp
+
+    dirname = Path(dirname).resolve()
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(dirname / "params", params, force=True)
+    ckptr.wait_until_finished()
+    (dirname / "model.json").write_text(json.dumps({"yaml": model.yaml, "names": getattr(model, "names", {}), **(meta or {})}, default=str))
+    LOGGER.info(f"saved orbax checkpoint {dirname}")
+    return dirname
+
+
+def load_orbax(dirname):
+    import jax
+    import orbax.checkpoint as ocp
+
+    from yolo_tpu.nn.tasks import DetectionModel
+
+    dirname = Path(dirname).resolve()
+    info = json.loads((dirname / "model.json").read_text())
+    model = DetectionModel(info["yaml"])
+    if info.get("names"):
+        model.names = {int(k): v for k, v in info["names"].items()}
+    template = jax.tree_util.tree_map(lambda x: np.asarray(x), model.init(0))
+    ckptr = ocp.StandardCheckpointer()
+    params = ckptr.restore(dirname / "params", template)
+    return model, params, info
+
+
+def export_stablehlo(model, params, imgsz=(640, 640), batch: int = 1, filename="model.stablehlo") -> Path:
+    """Serialize the fused inference program to portable StableHLO bytes."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jax_export
+
+    h, w = (imgsz, imgsz) if isinstance(imgsz, int) else imgsz
+
+    def infer(p, imgs):
+        x = imgs.astype(jnp.float32) / 255.0
+        return model.predict(p, x)
+
+    exported = jax_export.export(jax.jit(infer))(
+        jax.tree_util.tree_map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params),
+        jax.ShapeDtypeStruct((batch, h, w, 3), jnp.uint8),
+    )
+    blob = exported.serialize()
+    Path(filename).write_bytes(blob)
+    LOGGER.info(f"exported StableHLO: {filename} ({len(blob) / 1e6:.1f} MB)")
+    return Path(filename)
+
+
+class Exporter:
+    """Dispatch exports by args.format (ref: engine/exporter.py Exporter:207)."""
+
+    def __init__(self, args=None):
+        from yolo_tpu.cfg import get_cfg, DEFAULT_CFG_DICT
+
+        self.args = get_cfg(overrides={k: v for k, v in (args or {}).items() if k in DEFAULT_CFG_DICT})
+
+    def __call__(self, model, params):
+        fmt = (self.args.format or "npz").lower()
+        name = Path(str(self.args.model or "model")).stem
+        if fmt in ("npz", "savedmodel", "-"):
+            return save_npz(model, params, f"{name}.npz")
+        if fmt == "orbax":
+            return save_orbax(model, params, f"{name}_orbax")
+        if fmt == "stablehlo":
+            imgsz = self.args.imgsz or 640
+            return export_stablehlo(model, params, imgsz=imgsz, filename=f"{name}.stablehlo")
+        raise ValueError(f"unsupported export format '{fmt}' (npz | orbax | stablehlo)")

@@ -117,7 +117,9 @@ class YOLO:
         overrides.setdefault("model", self.overrides.get("model"))
         self.trainer = (trainer or DetectionTrainer)(overrides=overrides, model=self.model, params=self.params)
         self.trainer.train()
+        self.model = self.trainer.model  # trainer may rebuild for the dataset's nc
         self.params = self.trainer.best_params if self.trainer.best_params is not None else self.trainer.params
+        self.predictor = None  # stale jit cache references the old model
         self.metrics = getattr(self.trainer, "metrics", None)
         return self.metrics
 

@@ -1,0 +1,97 @@
+"""Detection validator: batched device inference + host metric accumulation.
+
+Reference counterpart: engine/validator.py BaseValidator:42 +
+models/yolo/detect/val.py DetectionValidator:45 (postprocess:109 NMS at
+conf=0.001/iou=0.7, _process_batch:261 10-threshold IoU matching, DetMetrics).
+The device side is the same fused predict+NMS program the predictor uses;
+matching/AP run on host once per batch.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from yolo_tpu.cfg import DEFAULT_CFG_DICT, get_cfg
+from yolo_tpu.data.build import build_dataloader, build_yolo_dataset
+from yolo_tpu.data.dataset import check_det_dataset
+from yolo_tpu.ops.boxes import scale_boxes, xywhn2xyxy
+from yolo_tpu.utils import LOGGER
+from yolo_tpu.utils.metrics import ConfusionMatrix, DetMetrics, match_predictions
+
+
+class DetectionValidator:
+    """Evaluate a detection model on a dataset split."""
+
+    def __init__(self, args=None, data: dict | None = None):
+        overrides = {k: v for k, v in (args or {}).items() if k in DEFAULT_CFG_DICT}
+        self.args = get_cfg(overrides=overrides)
+        if self.args.conf is None:
+            self.args.conf = 0.001  # val default (ref: validator)
+        self.data = data
+        self.iou_thresholds = np.linspace(0.5, 0.95, 10)
+
+    def __call__(self, model, params) -> dict:
+        import jax
+        import jax.numpy as jnp
+
+        from yolo_tpu.ops.nms import non_max_suppression
+
+        data = self.data or check_det_dataset(self.args.data)
+        split = data.get(self.args.split) or data.get("val") or data.get("train")
+        stride = int(max(model.stride))
+        dataset = build_yolo_dataset(self.args, split, self.args.batch, data, mode="val", stride=stride)
+        batch_size = min(int(self.args.batch) if self.args.batch and self.args.batch > 0 else 16, len(dataset))
+        loader = build_dataloader(dataset, batch_size, workers=self.args.workers, shuffle=False, drop_last=False)
+
+        conf, iou, max_det = float(self.args.conf), float(self.args.iou), int(self.args.max_det)
+        dtype = jnp.bfloat16 if self.args.half else jnp.float32
+
+        @jax.jit
+        def infer(p, imgs):
+            x = imgs[..., ::-1].astype(dtype) / 255.0  # BGR→RGB like predictor
+            preds = model.predict(p, x, dtype=dtype)
+            return non_max_suppression(preds, conf_thres=conf, iou_thres=iou, max_det=max_det)
+
+        metrics = DetMetrics(names=getattr(model, "names", {}))
+        cm = ConfusionMatrix(nc=model.nc)
+        n_img = 0
+        t0 = time.time()
+        last_shape = None
+        for batch in loader:
+            imgs = batch["img"]
+            if imgs.shape[0] != (last_shape[0] if last_shape else None):
+                pass  # shape change → new jit cache entry, expected on last partial batch
+            pad_to = batch_size
+            if imgs.shape[0] < pad_to:  # pad last batch to keep one compiled shape
+                pad = np.zeros((pad_to - imgs.shape[0],) + imgs.shape[1:], imgs.dtype)
+                imgs_in = np.concatenate([imgs, pad])
+            else:
+                imgs_in = imgs
+            out = infer(params, jnp.asarray(imgs_in))
+            out = {k: np.asarray(v) for k, v in out.items()}
+            H, W = imgs.shape[1:3]
+            for i in range(imgs.shape[0]):
+                meta = batch["meta"][i]
+                valid = out["valid"][i]
+                pboxes = out["boxes"][i][valid]
+                pconf = out["scores"][i][valid]
+                pcls = out["cls"][i][valid]
+                # gts: normalized xywh on the letterboxed canvas → pixel xyxy
+                m = batch["mask_gt"][i] > 0
+                gt_boxes = np.asarray(xywhn2xyxy(batch["bboxes"][i][m], w=W, h=H))
+                gt_cls = batch["cls"][i][m]
+                tp = match_predictions(pboxes, pcls, gt_boxes, gt_cls, self.iou_thresholds)
+                metrics.update(tp, pconf, pcls, gt_cls)
+                cm.process_batch(pboxes, pconf, pcls, gt_boxes, gt_cls)
+                n_img += 1
+        results = metrics.process()
+        dt = time.time() - t0
+        LOGGER.info(
+            f"val: {n_img} images in {dt:.1f}s — P {results['precision']:.4f} R {results['recall']:.4f} "
+            f"mAP50 {results['mAP50']:.4f} mAP50-95 {results['mAP50-95']:.4f}"
+        )
+        self.confusion_matrix = cm
+        self.metrics = metrics
+        return results

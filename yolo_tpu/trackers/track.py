@@ -1,0 +1,71 @@
+"""Tracker ↔ predictor glue (ref: trackers/track.py on_predict_start:18,
+on_predict_postprocess_end:72).
+
+`attach_tracker` consumes Results from a predict run, pushes detections through
+a BYTETracker/BOTSORT instance per stream, and rewrites each Results with
+track-id-augmented boxes (id column before conf, like the reference)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from yolo_tpu.utils import IterableSimpleNamespace, yaml_load
+
+TRACKER_MAP = {}
+
+
+def _tracker_map():
+    if not TRACKER_MAP:
+        from yolo_tpu.trackers.bot_sort import BOTSORT
+        from yolo_tpu.trackers.byte_tracker import BYTETracker
+
+        TRACKER_MAP.update({"bytetrack": BYTETracker, "botsort": BOTSORT})
+    return TRACKER_MAP
+
+
+def load_tracker_cfg(tracker: str | None):
+    name = tracker or "botsort.yaml"
+    path = Path(name)
+    if not path.exists():
+        path = Path(__file__).resolve().parents[1] / "cfg" / "trackers" / path.name
+    cfg = IterableSimpleNamespace(**yaml_load(path))
+    if cfg.tracker_type not in ("bytetrack", "botsort"):
+        raise ValueError(f"unsupported tracker type {cfg.tracker_type}")
+    return cfg
+
+
+def create_tracker(tracker: str | None, frame_rate: int = 30):
+    cfg = load_tracker_cfg(tracker)
+    return _tracker_map()[cfg.tracker_type](args=cfg, frame_rate=frame_rate)
+
+
+def attach_tracker(model, results, persist: bool = False, stream: bool = False, tracker_cfg=None):
+    """Run MOT over an iterable of Results; returns same-type iterable."""
+    if not persist or getattr(model, "_tracker", None) is None:
+        model._tracker = create_tracker(tracker_cfg)
+
+    tracker = model._tracker
+
+    def process(r):
+        from yolo_tpu.ops.boxes import xyxy2xywh
+
+        det = r.boxes
+        if len(det) == 0:
+            return r
+        xywh = np.asarray(xyxy2xywh(det.xyxy))
+        tracks = tracker.update(xywh, det.conf, det.cls)
+        if len(tracks) == 0:
+            r.update(boxes=np.zeros((0, 7), np.float32))
+            return r
+        idx = tracks[:, -1].astype(int)
+        kept = r[idx.tolist()]
+        # [x1,y1,x2,y2, id, conf, cls]
+        boxes = np.concatenate([tracks[:, :4], tracks[:, 4:5], kept.boxes.conf[:, None], kept.boxes.cls[:, None]], axis=-1)
+        r.update(boxes=boxes.astype(np.float32))
+        return r
+
+    if stream:
+        return (process(r) for r in results)
+    return [process(r) for r in results]

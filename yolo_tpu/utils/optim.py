@@ -1,0 +1,128 @@
+"""Minimal functional optimizers with *runtime* lr/momentum.
+
+The reference interpolates lr and momentum per-iteration during warmup
+(ref: engine/trainer.py:393-403), which under jit means they must be step
+arguments, not baked into the optimizer state. These optimizers take (lr,
+momentum) at update time, so one compiled train step serves the whole schedule.
+
+Grouping matches the reference optimizer build (ref :829): weight decay only on
+conv/linear kernel weights (g0); BN scale/bias and biases undecayed (g1/g2);
+DFL projection and BN running stats frozen.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _path_keys(path):
+    return [str(getattr(p, "key", p)) for p in path]
+
+
+def is_decay_param(path) -> bool:
+    keys = _path_keys(path)
+    return keys[-1] == "weight" and "bn" not in keys and "dfl" not in keys
+
+
+def is_frozen_param(path) -> bool:
+    keys = _path_keys(path)
+    return "dfl" in keys or keys[-1] in ("running_mean", "running_var")
+
+
+def clip_by_global_norm(grads, max_norm: float):
+    leaves = jax.tree_util.tree_leaves(grads)
+    gnorm = jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32))) for g in leaves))
+    scale = jnp.minimum(1.0, max_norm / (gnorm + 1e-6))
+    return jax.tree_util.tree_map(lambda g: g * scale, grads), gnorm
+
+
+class SGD:
+    """SGD + nesterov momentum + decoupled weight decay on the decay group."""
+
+    def __init__(self, weight_decay: float = 0.0, nesterov: bool = True, clip_norm: float = 10.0):
+        self.weight_decay = weight_decay
+        self.nesterov = nesterov
+        self.clip_norm = clip_norm
+
+    def init(self, params):
+        return {"mu": jax.tree_util.tree_map(jnp.zeros_like, params)}
+
+    def update(self, grads, state, params, lr, momentum):
+        grads, _ = clip_by_global_norm(grads, self.clip_norm)
+
+        def upd(path, g, mu, p):
+            if is_frozen_param(path):
+                return jnp.zeros_like(p), mu
+            if self.weight_decay and is_decay_param(path):
+                g = g + self.weight_decay * p
+            mu_new = momentum * mu + g
+            step = g + momentum * mu_new if self.nesterov else mu_new
+            return -lr * step, mu_new
+
+        flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+        g_flat = jax.tree_util.tree_leaves(grads)
+        mu_flat = jax.tree_util.tree_leaves(state["mu"])
+        deltas, mus = [], []
+        for (path, p), g, mu in zip(flat, g_flat, mu_flat):
+            d, m = upd(path, g, mu, p)
+            deltas.append(d)
+            mus.append(m)
+        new_params = jax.tree_util.tree_unflatten(treedef, [p + d for (_, p), d in zip(flat, deltas)])
+        return new_params, {"mu": jax.tree_util.tree_unflatten(treedef, mus)}
+
+
+class AdamW:
+    """AdamW with runtime (lr, b1); decoupled decay on the decay group only."""
+
+    def __init__(self, weight_decay: float = 0.0, b2: float = 0.999, eps: float = 1e-8, clip_norm: float = 10.0):
+        self.weight_decay = weight_decay
+        self.b2 = b2
+        self.eps = eps
+        self.clip_norm = clip_norm
+
+    def init(self, params):
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return {"m": zeros, "v": jax.tree_util.tree_map(jnp.zeros_like, params), "t": jnp.zeros((), jnp.float32)}
+
+    def update(self, grads, state, params, lr, b1):
+        grads, _ = clip_by_global_norm(grads, self.clip_norm)
+        t = state["t"] + 1.0
+
+        flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+        g_flat = jax.tree_util.tree_leaves(grads)
+        m_flat = jax.tree_util.tree_leaves(state["m"])
+        v_flat = jax.tree_util.tree_leaves(state["v"])
+        new_p, new_m, new_v = [], [], []
+        for (path, p), g, m, v in zip(flat, g_flat, m_flat, v_flat):
+            if is_frozen_param(path):
+                new_p.append(p)
+                new_m.append(m)
+                new_v.append(v)
+                continue
+            m2 = b1 * m + (1 - b1) * g
+            v2 = self.b2 * v + (1 - self.b2) * jnp.square(g)
+            mhat = m2 / (1 - b1**t)
+            vhat = v2 / (1 - self.b2**t)
+            step = mhat / (jnp.sqrt(vhat) + self.eps)
+            if self.weight_decay and is_decay_param(path):
+                step = step + self.weight_decay * p
+            new_p.append(p - lr * step)
+            new_m.append(m2)
+            new_v.append(v2)
+        return (
+            jax.tree_util.tree_unflatten(treedef, new_p),
+            {
+                "m": jax.tree_util.tree_unflatten(treedef, new_m),
+                "v": jax.tree_util.tree_unflatten(treedef, new_v),
+                "t": t,
+            },
+        )
+
+
+def build_optimizer(name: str, weight_decay: float):
+    if name in ("Adam", "AdamW", "NAdam", "RAdam"):
+        return AdamW(weight_decay=weight_decay)
+    if name in ("SGD", "RMSProp"):
+        return SGD(weight_decay=weight_decay)
+    raise ValueError(f"unknown optimizer {name}")
