@@ -59,7 +59,8 @@ def main():
     conf_thres, iou_thres, max_det = 0.15, 0.6, 32
 
     model = DetectionModel("yolov8-small.yaml")
-    params = model.fuse(model.init(0))
+    params = model.fuse(model.init(0))  # numpy on host
+    params = jax.device_put(params)  # one upload
     dtype = jnp.bfloat16
 
     @jax.jit
@@ -79,19 +80,22 @@ def main():
     tracker = EnhancedMultiTargetTracker(max_lost_frames=150, min_hits=1, iou_threshold=0.1)
     # silence tracker prints during timing
     import contextlib, io
+    from collections import deque
 
+    DEPTH = 3  # in-flight batches: upload(i+2) ∥ compute(i+1) ∥ host-track(i)
     t0 = time.perf_counter()
-    pending = None  # (device_out, batch_index) double buffer
+    inflight = deque()
     sink = io.StringIO()
     with contextlib.redirect_stdout(sink):
         for bi in range(n_batches):
-            out = device_step(params, jnp.asarray(clip[bi * batch : (bi + 1) * batch]))
-            if pending is not None:
-                host = {k: np.asarray(v) for k, v in pending.items()}  # sync previous batch
+            dev = jax.device_put(clip[bi * batch : (bi + 1) * batch])  # async upload
+            inflight.append(device_step(params, dev))  # async dispatch
+            if len(inflight) >= DEPTH:
+                host = {k: np.asarray(v) for k, v in inflight.popleft().items()}
                 _track(host, tracker, batch, conf_thres)
-            pending = out
-        host = {k: np.asarray(v) for k, v in pending.items()}
-        _track(host, tracker, batch, conf_thres)
+        while inflight:
+            host = {k: np.asarray(v) for k, v in inflight.popleft().items()}
+            _track(host, tracker, batch, conf_thres)
     dt = time.perf_counter() - t0
     fps = frames_used / dt
 

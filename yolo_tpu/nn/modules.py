@@ -61,18 +61,20 @@ class ConvBNAct:
         self.p = autopad(k, p, d)
         self.act = act
 
-    def init(self, key):
+    def init(self, rng):
         # He/kaiming-uniform fan_in init matching torch Conv2d defaults.
+        # numpy on host: eager per-op device dispatch at init time is expensive
+        # on a remote TPU; params upload once at the first jit call instead.
         fan_in = self.c1 // self.g * self.k * self.k
         bound = math.sqrt(1.0 / fan_in) * math.sqrt(3.0)
-        w = jax.random.uniform(key, (self.k, self.k, self.c1 // self.g, self.c2), jnp.float32, -bound, bound)
+        w = rng.uniform(-bound, bound, (self.k, self.k, self.c1 // self.g, self.c2)).astype(np.float32)
         return {
             "conv": {"weight": w},
             "bn": {
-                "weight": jnp.ones((self.c2,), jnp.float32),
-                "bias": jnp.zeros((self.c2,), jnp.float32),
-                "running_mean": jnp.zeros((self.c2,), jnp.float32),
-                "running_var": jnp.ones((self.c2,), jnp.float32),
+                "weight": np.ones((self.c2,), np.float32),
+                "bias": np.zeros((self.c2,), np.float32),
+                "running_mean": np.zeros((self.c2,), np.float32),
+                "running_var": np.ones((self.c2,), np.float32),
             },
         }
 
@@ -106,11 +108,14 @@ class ConvBNAct:
         return y.astype(ctx.dtype)
 
     def fuse(self, p):
-        """Fold BN into conv weight/bias (exact, fp32) for inference."""
+        """Fold BN into conv weight/bias (exact, fp32) for inference.
+
+        Uses the array namespace of the params (numpy params stay on host)."""
         if "bn" not in p:
             return p
         bn = p["bn"]
-        scale = bn["weight"] / jnp.sqrt(bn["running_var"] + BN_EPS)
+        xp = np if isinstance(bn["weight"], np.ndarray) else jnp
+        scale = bn["weight"] / xp.sqrt(bn["running_var"] + BN_EPS)
         w = p["conv"]["weight"] * scale[None, None, None, :]
         b = bn["bias"] - bn["running_mean"] * scale
         return {"conv": {"weight": w, "bias": b}}
@@ -130,13 +135,13 @@ class Conv2d:
         self.c1, self.c2, self.k, self.s = c1, c2, k, s
         self.p = autopad(k, p)
 
-    def init(self, key):
+    def init(self, rng):
         fan_in = self.c1 * self.k * self.k
         bound = math.sqrt(1.0 / fan_in) * math.sqrt(3.0)
-        k1, k2 = jax.random.split(key)
+        bb = math.sqrt(1.0 / fan_in)
         return {
-            "weight": jax.random.uniform(k1, (self.k, self.k, self.c1, self.c2), jnp.float32, -bound, bound),
-            "bias": jax.random.uniform(k2, (self.c2,), jnp.float32, -math.sqrt(1.0 / fan_in), math.sqrt(1.0 / fan_in)),
+            "weight": rng.uniform(-bound, bound, (self.k, self.k, self.c1, self.c2)).astype(np.float32),
+            "bias": rng.uniform(-bb, bb, (self.c2,)).astype(np.float32),
         }
 
     def __call__(self, p, x, ctx: Ctx, path: str = ""):
@@ -165,9 +170,8 @@ class Bottleneck:
         self.cv2 = ConvBNAct(c_, c2, k[1], 1, g=g)
         self.add = shortcut and c1 == c2
 
-    def init(self, key):
-        k1, k2 = jax.random.split(key)
-        return {"cv1": self.cv1.init(k1), "cv2": self.cv2.init(k2)}
+    def init(self, rng):
+        return {"cv1": self.cv1.init(rng), "cv2": self.cv2.init(rng)}
 
     def __call__(self, p, x, ctx, path=""):
         y = self.cv2(p["cv2"], self.cv1(p["cv1"], x, ctx, f"{path}/cv1"), ctx, f"{path}/cv2")
@@ -184,12 +188,11 @@ class C2f:
         self.cv2 = ConvBNAct((2 + n) * self.c, c2, 1)
         self.m = [Bottleneck(self.c, self.c, shortcut, g, k=(3, 3), e=1.0) for _ in range(n)]
 
-    def init(self, key):
-        keys = jax.random.split(key, 2 + self.n)
+    def init(self, rng):
         return {
-            "cv1": self.cv1.init(keys[0]),
-            "cv2": self.cv2.init(keys[1]),
-            "m": {str(i): m.init(keys[2 + i]) for i, m in enumerate(self.m)},
+            "cv1": self.cv1.init(rng),
+            "cv2": self.cv2.init(rng),
+            "m": {str(i): m.init(rng) for i, m in enumerate(self.m)},
         }
 
     def __call__(self, p, x, ctx, path=""):
@@ -209,9 +212,8 @@ class SPPF:
         self.cv1 = ConvBNAct(c1, c_, 1, 1)
         self.cv2 = ConvBNAct(c_ * 4, c2, 1, 1)
 
-    def init(self, key):
-        k1, k2 = jax.random.split(key)
-        return {"cv1": self.cv1.init(k1), "cv2": self.cv2.init(k2)}
+    def init(self, rng):
+        return {"cv1": self.cv1.init(rng), "cv2": self.cv2.init(rng)}
 
     def _pool(self, x):
         pad = self.k // 2
@@ -232,7 +234,7 @@ class Concat:
     def __init__(self, dim=1):
         assert dim == 1, "only channel concat supported"
 
-    def init(self, key):
+    def init(self, rng):
         return {}
 
     def __call__(self, p, xs, ctx, path=""):
@@ -246,7 +248,7 @@ class Upsample:
         assert mode == "nearest"
         self.scale = int(scale_factor)
 
-    def init(self, key):
+    def init(self, rng):
         return {}
 
     def __call__(self, p, x, ctx, path=""):
@@ -261,7 +263,7 @@ class MaxPool2d:
     def __init__(self, kernel_size=2, stride=2):
         self.k, self.s = kernel_size, stride
 
-    def init(self, key):
+    def init(self, rng):
         return {}
 
     def __call__(self, p, x, ctx, path=""):
@@ -296,26 +298,24 @@ class Detect:
             [ConvBNAct(x, c3, 3), ConvBNAct(c3, c3, 3), Conv2d(c3, self.nc, 1)] for x in ch
         ]
 
-    def init(self, key):
-        keys = jax.random.split(key, 2 * self.nl * 3)
+    def init(self, rng):
         p = {"cv2": {}, "cv3": {}}
-        ki = 0
         for l in range(self.nl):
             p["cv2"][str(l)] = {}
             p["cv3"][str(l)] = {}
             for j in range(3):
-                p["cv2"][str(l)][str(j)] = self.cv2[l][j].init(keys[ki]); ki += 1
-                p["cv3"][str(l)][str(j)] = self.cv3[l][j].init(keys[ki]); ki += 1
+                p["cv2"][str(l)][str(j)] = self.cv2[l][j].init(rng)
+                p["cv3"][str(l)][str(j)] = self.cv3[l][j].init(rng)
         # DFL projection — fixed arange weights, non-trainable (ref: block.py DFL:58)
-        p["dfl"] = {"conv": {"weight": jnp.arange(self.reg_max, dtype=jnp.float32).reshape(1, 1, self.reg_max, 1)}}
+        p["dfl"] = {"conv": {"weight": np.arange(self.reg_max, dtype=np.float32).reshape(1, 1, self.reg_max, 1)}}
         return self.bias_init(p)
 
     def bias_init(self, p):
         """Detection bias priors (ref: head.py bias_init:191)."""
         for l, s in enumerate(self.stride):
-            p["cv2"][str(l)]["2"]["bias"] = jnp.ones_like(p["cv2"][str(l)]["2"]["bias"])
+            p["cv2"][str(l)]["2"]["bias"] = np.ones_like(np.asarray(p["cv2"][str(l)]["2"]["bias"]))
             cls_bias = math.log(5 / self.nc / (640 / s) ** 2)
-            p["cv3"][str(l)]["2"]["bias"] = jnp.full_like(p["cv3"][str(l)]["2"]["bias"], cls_bias)
+            p["cv3"][str(l)]["2"]["bias"] = np.full_like(np.asarray(p["cv3"][str(l)]["2"]["bias"]), cls_bias)
         return p
 
     def __call__(self, p, xs, ctx, path=""):

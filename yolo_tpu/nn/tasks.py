@@ -172,10 +172,16 @@ class BaseModel:
         self.save: list[int] = []
 
     def init(self, seed: int = 0):
-        """Initialize the full parameter tree {'model': {str(i): layer_params}}."""
-        key = jax.random.PRNGKey(seed)
-        keys = jax.random.split(key, len(self.layers))
-        return {"model": {str(spec.i): spec.module.init(keys[spec.i]) for spec in self.layers}}
+        """Initialize the full parameter tree {'model': {str(i): layer_params}}.
+
+        Params are host numpy arrays — init stays off-device (critical when the
+        TPU sits behind a remote tunnel where eager per-op dispatch is slow);
+        the first jitted call uploads the tree once.
+        """
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        return {"model": {str(spec.i): spec.module.init(rng) for spec in self.layers}}
 
     def forward_features(self, params, x, ctx: M.Ctx):
         """Graph walk with skip connections (ref: nn/tasks.py _predict_once:159)."""
