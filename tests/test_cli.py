@@ -1,0 +1,58 @@
+"""CLI entrypoint tests (ref: tests/test_cli.py pattern — task×mode k=v parsing)."""
+
+import numpy as np
+import pytest
+
+from yolo_tpu.cfg import check_cfg, entrypoint, get_cfg, parse_key_value_pair, smart_value
+
+
+def test_smart_value_typing():
+    assert smart_value("none") is None
+    assert smart_value("True") is True
+    assert smart_value("false") is False
+    assert smart_value("0.25") == 0.25
+    assert smart_value("640") == 640
+    assert smart_value("[640,512]") == [640, 512]
+    assert smart_value("yolov8n.yaml") == "yolov8n.yaml"
+
+
+def test_parse_key_value_pair():
+    assert parse_key_value_pair("conf=0.3") == ("conf", 0.3)
+    assert parse_key_value_pair("model=foo.yaml") == ("model", "foo.yaml")
+    with pytest.raises(SyntaxError):
+        parse_key_value_pair("conf=")
+
+
+def test_get_cfg_rejects_unknown_keys():
+    with pytest.raises(SyntaxError) as e:
+        get_cfg(overrides={"conff": 0.5})
+    assert "conf" in str(e.value)  # fuzzy suggestion offered
+
+
+def test_check_cfg_type_validation():
+    with pytest.raises(ValueError):
+        check_cfg({"conf": 1.5})  # fraction key out of range
+    with pytest.raises(TypeError):
+        check_cfg({"epochs": "ten"})
+
+
+def test_entrypoint_version_and_help(capsys):
+    assert entrypoint(["version"]) is None
+    assert entrypoint([]) is None
+
+
+def test_entrypoint_checks():
+    assert entrypoint(["checks"]) is None
+
+
+def test_entrypoint_predict_smoke(tmp_path):
+    import cv2
+
+    img = np.full((64, 64, 3), 30, np.uint8)
+    cv2.circle(img, (32, 32), 5, (250, 250, 250), -1)
+    src = tmp_path / "img.png"
+    cv2.imwrite(str(src), img)
+    results = entrypoint(
+        ["detect", "predict", "model=yolov8n.yaml", f"source={src}", "imgsz=64", "conf=0.9", "verbose=False"]
+    )
+    assert isinstance(results, list) and len(results) == 1
