@@ -1,11 +1,13 @@
 #!/usr/bin/env python3
 """Benchmark: fps/chip on 640×512 IR detect+track (driver headline metric).
 
-Pipeline measured = the BASELINE.json config 4: batched fused device program
-(normalize → yolov8-small(P2) forward → DFL decode → NMS) + host
-EnhancedMultiTargetTracker (max_lost_frames=150, min_hits=1, iou_threshold=0.1)
-over a 3612-frame synthetic IR clip, double-buffered so host tracking overlaps
-device compute.
+Pipeline measured = BASELINE.json config 4 via the fused on-device program
+(yolo_tpu.pipeline.FusedDetectTrack): per 128-frame chunk, ONE host→device
+upload of grayscale uint8 frames, then normalize → yolov8-small(P2) forward →
+DFL decode → NMS → lax.scan of the batched Kalman tracker (max_lost_frames=150,
+min_hits=1, iou_threshold=0.1) all inside a single jit; ONE tiny download of
+per-frame track tables. Host work is only the contract stats accounting
+(detection/prediction frame counts + state switches, ref README.md:177-182).
 
 Baseline: the reference's best recorded detect+track throughput is 65.8 fps on
 its dev GPU (ref: camera_motion_compensation/test_results/
@@ -27,101 +29,64 @@ BASELINE_FPS = 65.8  # reference feature_matching tracker fps (GPU)
 
 
 def make_clip(n_frames: int, h: int = 512, w: int = 640, seed: int = 0):
-    """Synthetic IR clip: dim noise background + 2 moving bright small targets.
-
-    Generated as uint8 batches on host (stands in for decoded video frames).
-    """
+    """Synthetic IR clip: dim noise background + 2 moving bright small targets,
+    with a cloud-occlusion dropout window for target A. Single-channel uint8
+    (IR video decodes to grayscale; the device broadcasts to model channels)."""
     rng = np.random.default_rng(seed)
     base = rng.normal(26, 6, (h, w)).clip(0, 255).astype(np.uint8)
     frames = np.broadcast_to(base[None], (n_frames, h, w)).copy()
     for f in range(n_frames):
-        # target A crosses left→right with a cloud-occlusion gap
-        if not (1200 <= f < 1500):
+        if not (1200 <= f < 1500):  # occlusion gap
             cx, cy = int(40 + 0.15 * f) % w, 200 + int(10 * np.sin(f / 120))
             frames[f, max(cy - 4, 0) : cy + 4, max(cx - 6, 0) : cx + 6] = 230
-        # target B drifts down-right
         cx2, cy2 = (520 + int(0.02 * f)) % w, (90 + int(0.05 * f)) % h
         frames[f, max(cy2 - 3, 0) : cy2 + 3, max(cx2 - 4, 0) : cx2 + 4] = 210
-    return frames[..., None].repeat(3, -1)  # HWC3 like a video decode
+    return frames[..., None]
 
 
 def main():
-    import jax
-    import jax.numpy as jnp
-
-    from yolo_tpu.kalman.multi_tracker import EnhancedMultiTargetTracker
     from yolo_tpu.nn.tasks import DetectionModel
-    from yolo_tpu.ops.nms import non_max_suppression
+    from yolo_tpu.pipeline import FusedDetectTrack
 
     n_frames = int(os.getenv("BENCH_FRAMES", "3612"))
-    batch = int(os.getenv("BENCH_BATCH", "128"))
+    chunk = int(os.getenv("BENCH_CHUNK", "128"))
     h, w = 512, 640
-    conf_thres, iou_thres, max_det = 0.15, 0.6, 32
 
     model = DetectionModel("yolov8-small.yaml")
-    params = model.fuse(model.init(0))  # numpy on host
-    params = jax.device_put(params)  # one upload
-    dtype = jnp.bfloat16
+    params = model.fuse(model.init(0))  # numpy host init, uploads at first call
 
-    @jax.jit
-    def device_step(p, imgs):
-        # IR frames are single-channel: upload (B, H, W, 1) uint8 and broadcast
-        # to the 3-channel model input on device — the host→device link is the
-        # pipeline bottleneck, so every byte counts.
-        x = imgs.astype(dtype) / 255.0
-        x = jnp.broadcast_to(x, x.shape[:-1] + (3,))
-        preds = model.predict(p, x, dtype=dtype)
-        return non_max_suppression(preds, conf_thres=conf_thres, iou_thres=iou_thres, max_det=max_det, max_nms=256)
+    ft = FusedDetectTrack(
+        model, params, frame_hw=(h, w), channels=1, chunk=chunk,
+        conf=0.15, iou=0.6, max_lost_frames=150, min_hits=1, iou_threshold=0.1,
+        n_max=64, d_max=16,
+    )
 
-    clip = make_clip(n_frames, h, w)[..., :1]  # grayscale transport (IR video)
-    n_batches = n_frames // batch
-    frames_used = n_batches * batch
+    clip = make_clip(n_frames, h, w)
+    frames_used = (n_frames // chunk) * chunk
 
-    # warmup / compile
-    warm = device_step(params, jnp.asarray(clip[:batch]))
-    jax.block_until_ready(warm)
+    # warmup/compile on the first chunk, then reset tracking state
+    ft.process_chunk(clip[:chunk])
+    from yolo_tpu.kalman.batched import init_state
 
-    tracker = EnhancedMultiTargetTracker(max_lost_frames=150, min_hits=1, iou_threshold=0.1)
-    # silence tracker prints during timing
-    import contextlib, io
+    ft.state = init_state(ft.n_max)
 
-    # NOTE: a deep in-flight pipeline hurts here — the host<->device link
-    # serializes, so queueing extra uploads delays the readback of the batch
-    # the tracker is waiting on. One batch in flight is optimal on this link.
     t0 = time.perf_counter()
-    sink = io.StringIO()
-    with contextlib.redirect_stdout(sink):
-        for bi in range(n_batches):
-            dev = jax.device_put(clip[bi * batch : (bi + 1) * batch])
-            out = device_step(params, dev)
-            host = {k: np.asarray(v) for k, v in out.items()}
-            _track(host, tracker, batch, conf_thres)
+    _, stats = ft.run_clip(clip[:frames_used])
     dt = time.perf_counter() - t0
     fps = frames_used / dt
 
     print(
         json.dumps(
             {
-                "metric": "detect+track fps/chip @640x512 IR (yolov8-small P2, batch %d)" % batch,
+                "metric": "detect+track fps/chip @640x512 IR (fused yolov8-small P2 + on-device Kalman scan, chunk %d)" % chunk,
                 "value": round(fps, 2),
                 "unit": "fps",
                 "vs_baseline": round(fps / BASELINE_FPS, 2),
             }
         )
     )
-
-
-def _track(host_out, tracker, batch, conf_thres):
-    for i in range(batch):
-        valid = host_out["valid"][i]
-        dets = []
-        if valid.any():
-            boxes = host_out["boxes"][i][valid]
-            scores = host_out["scores"][i][valid]
-            for b, s in zip(boxes, scores):
-                if s > conf_thres:
-                    dets.append([b[0], b[1], b[2], b[3], s])
-        tracker.update(dets)
+    if os.getenv("BENCH_VERBOSE"):
+        print(json.dumps(stats), file=sys.stderr)
 
 
 if __name__ == "__main__":
