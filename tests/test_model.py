@@ -53,8 +53,15 @@ def test_fuse_preserves_outputs():
 
 
 @pytest.mark.skipif(not reference_available(), reason="reference oracle not present")
-@pytest.mark.parametrize("yaml_name", ["yolov8n.yaml", "yolov8-small.yaml"])
-def test_numeric_parity_with_reference_oracle(yaml_name):
+@pytest.mark.parametrize(
+    "yaml_name,ref_dir,our_dir",
+    [
+        ("yolov8n.yaml", "v8", "v8"),
+        ("yolov8-small.yaml", "v8", "v8"),
+        ("yolo11n.yaml", "11", "11"),
+    ],
+)
+def test_numeric_parity_with_reference_oracle(yaml_name, ref_dir, our_dir):
     """Same weights, same input → same decoded output as the reference torch model."""
     add_reference_to_path()
     import torch
@@ -63,11 +70,11 @@ def test_numeric_parity_with_reference_oracle(yaml_name):
     from yolo_tpu.nn.torch_import import state_dict_to_params
     from yolo_tpu.utils import PKG_DIR
 
-    ref_yaml = f"/root/reference/ultralytics/cfg/models/v8/{yaml_name}"
+    ref_yaml = f"/root/reference/ultralytics/cfg/models/{ref_dir}/{yaml_name}"
     torch_model = TorchDetectionModel(ref_yaml, verbose=False)
     torch_model.eval()
 
-    ours = DetectionModel(str(PKG_DIR / "cfg" / "models" / "v8" / yaml_name))
+    ours = DetectionModel(str(PKG_DIR / "cfg" / "models" / our_dir / yaml_name))
     assert [int(s) for s in torch_model.stride.tolist()] == ours.stride
 
     sd = {k: v.detach().numpy() for k, v in torch_model.state_dict().items()}

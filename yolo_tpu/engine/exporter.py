@@ -74,6 +74,10 @@ def load_npz(filename):
         model.names = {int(k): v for k, v in meta["names"].items()}
     flat = {k[len("param::") :]: data[k] for k in data.files if k.startswith("param::")}
     params = _unflatten({k: jnp.asarray(v) for k, v in flat.items()})
+    # parameterless layers (Upsample/Concat) flatten to nothing — restore their
+    # empty dicts so the tree matches the module structure
+    for spec in model.layers:
+        params.setdefault("model", {}).setdefault(str(spec.i), {})
     return model, params, meta
 
 

@@ -166,8 +166,11 @@ class Bottleneck:
 
     def __init__(self, c1, c2, shortcut=True, g=1, k=(3, 3), e=0.5):
         c_ = int(c2 * e)
-        self.cv1 = ConvBNAct(c1, c_, k[0], 1)
-        self.cv2 = ConvBNAct(c_, c2, k[1], 1, g=g)
+        # k entries may be ints or (kh, kw) pairs (square only, like all YOLO convs)
+        k0 = k[0][0] if isinstance(k[0], (tuple, list)) else k[0]
+        k1 = k[1][0] if isinstance(k[1], (tuple, list)) else k[1]
+        self.cv1 = ConvBNAct(c1, c_, k0, 1)
+        self.cv2 = ConvBNAct(c_, c2, k1, 1, g=g)
         self.add = shortcut and c1 == c2
 
     def init(self, rng):
@@ -275,6 +278,20 @@ class MaxPool2d:
 # ---------------------------------------------------------------------------
 
 
+class _Seq:
+    """Two-submodule sequential with torch-style child names ("0", "1")."""
+
+    def __init__(self, m0, m1):
+        self.mods = [m0, m1]
+
+    def init(self, rng):
+        return {"0": self.mods[0].init(rng), "1": self.mods[1].init(rng)}
+
+    def __call__(self, p, x, ctx, path=""):
+        x = self.mods[0](p["0"], x, ctx, f"{path}/0")
+        return self.mods[1](p["1"], x, ctx, f"{path}/1")
+
+
 class Detect:
     """Anchor-free detect head with DFL box regression (ref: head.py Detect:26).
 
@@ -283,20 +300,31 @@ class Detect:
     Decode (`_inference` equivalent) happens in `decode`, fused into the jit graph.
     """
 
-    def __init__(self, nc: int = 80, ch: tuple = ()):
+    def __init__(self, nc: int = 80, ch: tuple = (), legacy: bool = True):
         self.nc = nc
         self.nl = len(ch)
         self.reg_max = 16
         self.no = nc + self.reg_max * 4
         self.stride = [8, 16, 32][: self.nl] if self.nl <= 3 else [4, 8, 16, 32]  # recalibrated at build
+        self.legacy = legacy
         c2 = max(16, ch[0] // 4, self.reg_max * 4)
         c3 = max(ch[0], min(nc, 100))
         self.cv2 = [
             [ConvBNAct(x, c2, 3), ConvBNAct(c2, c2, 3), Conv2d(c2, 4 * self.reg_max, 1)] for x in ch
         ]
-        self.cv3 = [
-            [ConvBNAct(x, c3, 3), ConvBNAct(c3, c3, 3), Conv2d(c3, self.nc, 1)] for x in ch
-        ]
+        if legacy:  # v3/v5/v8/v9 branch structure (ref: head.py :96-100)
+            self.cv3 = [
+                [ConvBNAct(x, c3, 3), ConvBNAct(c3, c3, 3), Conv2d(c3, self.nc, 1)] for x in ch
+            ]
+        else:  # v10/v11 depthwise-separable cls branch (ref: head.py :101-111)
+            self.cv3 = [
+                [
+                    _Seq(DWConv(x, x, 3), ConvBNAct(x, c3, 1)),
+                    _Seq(DWConv(c3, c3, 3), ConvBNAct(c3, c3, 1)),
+                    Conv2d(c3, self.nc, 1),
+                ]
+                for x in ch
+            ]
 
     def init(self, rng):
         p = {"cv2": {}, "cv3": {}}
@@ -353,3 +381,149 @@ class Detect:
         dbox = dist2bbox(dist, anchors[None], xywh=True, axis=-1) * strides[None]
         out = jnp.concatenate([dbox, jax.nn.sigmoid(cls.astype(jnp.float32))], axis=-1)  # (B, A, 4+nc)
         return jnp.swapaxes(out, 1, 2)  # (B, 4+nc, A) — reference output layout
+
+
+# ---------------------------------------------------------------------------
+# YOLO11-family blocks (ref: block.py C3:329, C3k:~1150, C3k2:1107, SCDown:1573,
+# Attention:1301, PSABlock:~1360, C2PSA:1475)
+# ---------------------------------------------------------------------------
+
+
+class C3:
+    """CSP bottleneck with 3 convolutions (ref: block.py C3:329)."""
+
+    def __init__(self, c1, c2, n=1, shortcut=True, g=1, e=0.5, bottleneck_k=((1, 1), (3, 3))):
+        c_ = int(c2 * e)
+        self.cv1 = ConvBNAct(c1, c_, 1, 1)
+        self.cv2 = ConvBNAct(c1, c_, 1, 1)
+        self.cv3 = ConvBNAct(2 * c_, c2, 1)
+        self.m = [Bottleneck(c_, c_, shortcut, g, k=bottleneck_k, e=1.0) for _ in range(n)]
+
+    def init(self, rng):
+        return {
+            "cv1": self.cv1.init(rng),
+            "cv2": self.cv2.init(rng),
+            "cv3": self.cv3.init(rng),
+            "m": {str(i): m.init(rng) for i, m in enumerate(self.m)},
+        }
+
+    def __call__(self, p, x, ctx, path=""):
+        a = self.cv1(p["cv1"], x, ctx, f"{path}/cv1")
+        for i, m in enumerate(self.m):
+            a = m(p["m"][str(i)], a, ctx, f"{path}/m/{i}")
+        b = self.cv2(p["cv2"], x, ctx, f"{path}/cv2")
+        return self.cv3(p["cv3"], jnp.concatenate([a, b], axis=-1), ctx, f"{path}/cv3")
+
+
+class C3k(C3):
+    """C3 with square k×k bottleneck kernels (ref: block.py C3k)."""
+
+    def __init__(self, c1, c2, n=1, shortcut=True, g=1, e=0.5, k=3):
+        super().__init__(c1, c2, n, shortcut, g, e, bottleneck_k=((k, k), (k, k)))
+
+
+class C3k2(C2f):
+    """C2f whose inner blocks are C3k (or plain half-width Bottlenecks)
+    (ref: block.py C3k2:1107)."""
+
+    def __init__(self, c1, c2, n=1, c3k=False, e=0.5, g=1, shortcut=True):
+        super().__init__(c1, c2, n, shortcut, g, e)
+        self.m = [
+            C3k(self.c, self.c, 2, shortcut, g) if c3k else Bottleneck(self.c, self.c, shortcut, g, k=((3, 3), (3, 3)), e=0.5)
+            for _ in range(n)
+        ]
+
+
+class SCDown:
+    """Separable-conv downsample: 1x1 pointwise + k/s depthwise (ref: block.py SCDown:1573)."""
+
+    def __init__(self, c1, c2, k, s):
+        self.cv1 = ConvBNAct(c1, c2, 1, 1)
+        self.cv2 = ConvBNAct(c2, c2, k, s, g=c2, act=False)
+
+    def init(self, rng):
+        return {"cv1": self.cv1.init(rng), "cv2": self.cv2.init(rng)}
+
+    def __call__(self, p, x, ctx, path=""):
+        return self.cv2(p["cv2"], self.cv1(p["cv1"], x, ctx, f"{path}/cv1"), ctx, f"{path}/cv2")
+
+
+class Attention:
+    """Spatial self-attention over feature maps (ref: block.py Attention:1301).
+
+    NHWC layout: tokens are pixels; qk dims follow the reference (attn_ratio
+    scaled key dim, depthwise 3x3 positional conv on v).
+    """
+
+    def __init__(self, dim, num_heads=8, attn_ratio=0.5):
+        self.num_heads = num_heads
+        self.head_dim = dim // num_heads
+        self.key_dim = int(self.head_dim * attn_ratio)
+        self.scale = self.key_dim**-0.5
+        nh_kd = self.key_dim * num_heads
+        h = dim + nh_kd * 2
+        self.dim, self.h = dim, h
+        self.qkv = ConvBNAct(dim, h, 1, act=False)
+        self.proj = ConvBNAct(dim, dim, 1, act=False)
+        self.pe = ConvBNAct(dim, dim, 3, 1, g=dim, act=False)
+
+    def init(self, rng):
+        return {"qkv": self.qkv.init(rng), "proj": self.proj.init(rng), "pe": self.pe.init(rng)}
+
+    def __call__(self, p, x, ctx, path=""):
+        B, H, W, C = x.shape
+        N = H * W
+        qkv = self.qkv(p["qkv"], x, ctx, f"{path}/qkv")  # (B, H, W, h)
+        qkv = qkv.reshape(B, N, self.num_heads, self.key_dim * 2 + self.head_dim)
+        q = qkv[..., : self.key_dim]
+        k = qkv[..., self.key_dim : 2 * self.key_dim]
+        v = qkv[..., 2 * self.key_dim :]  # (B, N, heads, head_dim)
+        attn = jnp.einsum("bnhk,bmhk->bhnm", q, k) * self.scale
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, H, W, C)
+        pe = self.pe(p["pe"], v.reshape(B, H, W, C), ctx, f"{path}/pe")
+        return self.proj(p["proj"], out + pe, ctx, f"{path}/proj")
+
+
+class PSABlock:
+    """Attention + conv FFN with residuals (ref: block.py PSABlock)."""
+
+    def __init__(self, c, attn_ratio=0.5, num_heads=4, shortcut=True):
+        self.attn = Attention(c, num_heads=num_heads, attn_ratio=attn_ratio)
+        self.ffn1 = ConvBNAct(c, c * 2, 1)
+        self.ffn2 = ConvBNAct(c * 2, c, 1, act=False)
+        self.add = shortcut
+
+    def init(self, rng):
+        return {"attn": self.attn.init(rng), "ffn": {"0": self.ffn1.init(rng), "1": self.ffn2.init(rng)}}
+
+    def __call__(self, p, x, ctx, path=""):
+        a = self.attn(p["attn"], x, ctx, f"{path}/attn")
+        x = x + a if self.add else a
+        f = self.ffn2(p["ffn"]["1"], self.ffn1(p["ffn"]["0"], x, ctx, f"{path}/ffn/0"), ctx, f"{path}/ffn/1")
+        return x + f if self.add else f
+
+
+class C2PSA:
+    """CSP wrapper around stacked PSABlocks (ref: block.py C2PSA:1475)."""
+
+    def __init__(self, c1, c2, n=1, e=0.5):
+        assert c1 == c2
+        self.c = int(c1 * e)
+        self.cv1 = ConvBNAct(c1, 2 * self.c, 1, 1)
+        self.cv2 = ConvBNAct(2 * self.c, c1, 1)
+        self.m = [PSABlock(self.c, attn_ratio=0.5, num_heads=max(self.c // 64, 1)) for _ in range(n)]
+
+    def init(self, rng):
+        return {
+            "cv1": self.cv1.init(rng),
+            "cv2": self.cv2.init(rng),
+            "m": {str(i): m.init(rng) for i, m in enumerate(self.m)},
+        }
+
+    def __call__(self, p, x, ctx, path=""):
+        y = self.cv1(p["cv1"], x, ctx, f"{path}/cv1")
+        a, b = y[..., : self.c], y[..., self.c :]
+        for i, m in enumerate(self.m):
+            b = m(p["m"][str(i)], b, ctx, f"{path}/m/{i}")
+        return self.cv2(p["cv2"], jnp.concatenate([a, b], axis=-1), ctx, f"{path}/cv2")

@@ -38,6 +38,13 @@ MODULE_MAP = {
     "Detect": M.Detect,
     "nn.Upsample": M.Upsample,
     "nn.MaxPool2d": M.MaxPool2d,
+    # YOLO11 family
+    "C3": M.C3,
+    "C3k": M.C3k,
+    "C3k2": M.C3k2,
+    "SCDown": M.SCDown,
+    "C2PSA": M.C2PSA,
+    "PSABlock": M.PSABlock,
 }
 
 HEAD_TYPES = (M.Detect,)
@@ -98,6 +105,8 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
 
     ch = [ch]
     layers, save = [], []
+    # v10/v11-era modules switch Detect to its depthwise cls branch (ref :1643-1673)
+    legacy = not any(row[2] in ("C3k2", "A2C2f", "C2fCIB") for row in d["backbone"] + d["head"])
     for i, (f, n, mname, args) in enumerate(d["backbone"] + d["head"]):
         if mname not in MODULE_MAP:
             raise NotImplementedError(f"module '{mname}' not supported yet")
@@ -110,18 +119,21 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
         ]
         n = max(round(n * depth), 1) if n > 1 else n
 
-        if mcls in (M.ConvBNAct, M.DWConv, M.C2f, M.SPPF, M.Bottleneck):
+        if mcls in (M.ConvBNAct, M.DWConv, M.C2f, M.SPPF, M.Bottleneck, M.C3, M.C3k, M.C3k2, M.SCDown, M.C2PSA):
             c1, c2 = ch[f], args[0]
             if c2 != nc:
                 c2 = make_divisible(min(c2, max_channels) * width, 8)
             args = [c1, c2, *args[1:]]
-            if mcls is M.C2f:
+            if mcls in (M.C2f, M.C3, M.C3k, M.C3k2, M.C2PSA):
                 args.insert(2, n)
                 n = 1
+            if mcls is M.C3k2 and d.get("scale") in ("m", "l", "x"):
+                args[3] = True  # deeper scales use C3k inner blocks (ref :1643)
         elif mcls is M.Concat:
             c2 = sum(ch[x] for x in f)
         elif mcls is M.Detect:
             args.append([ch[x] for x in f])
+            args.append(legacy)
             c2 = None
         elif mcls in (M.Upsample, M.MaxPool2d):
             c2 = ch[f]

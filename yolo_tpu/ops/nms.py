@@ -16,9 +16,16 @@ oracle for tests.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 MAX_WH = 7680.0  # class-offset magnitude for batched class-aware NMS (same trick as reference)
+
+# Pallas suppression kernel (ops/pallas_nms.py): the whole candidate set stays
+# in VMEM for the sequential pass. Opt-in until profiled faster than the XLA
+# loop on every shape: YOLO_TPU_PALLAS_NMS=1.
+USE_PALLAS_NMS = os.getenv("YOLO_TPU_PALLAS_NMS", "0") == "1"
 
 
 def nms_fixed(boxes, scores, iou_threshold: float, max_det: int):
@@ -104,15 +111,39 @@ def non_max_suppression(
         b = xywh2xyxy(boxes_xywh[top_idx])
         c = cls_id[top_idx]
         offset = jnp.where(agnostic, 0.0, c.astype(b.dtype) * MAX_WH)
-        keep_idx, keep_valid = nms_fixed(b + offset[:, None], top_conf, iou_thres, max_det)
-        return (
-            jnp.where(keep_valid[:, None], b[keep_idx], 0.0),
-            jnp.where(keep_valid, top_conf[keep_idx], 0.0),
-            jnp.where(keep_valid, c[keep_idx], -1),
-            keep_valid,
-        )
+        return b, c, top_conf, offset
 
-    boxes, scores, cls, valid = jax.vmap(single)(prediction)
+    b, c, top_conf, offset = jax.vmap(single)(prediction)
+
+    if USE_PALLAS_NMS and jax.default_backend() == "tpu":
+        from yolo_tpu.ops.pallas_nms import pallas_nms_keep
+
+        keep_mask = pallas_nms_keep(b + offset[..., None], top_conf, iou_thres)
+
+        def select(bb, cc, ss, keep):
+            ranked = jnp.where(keep, ss, -1.0)
+            sel = jnp.argsort(-ranked)[:max_det]
+            keep_valid = ranked[sel] > 0
+            return (
+                jnp.where(keep_valid[:, None], bb[sel], 0.0),
+                jnp.where(keep_valid, ss[sel], 0.0),
+                jnp.where(keep_valid, cc[sel], -1),
+                keep_valid,
+            )
+
+        boxes, scores, cls, valid = jax.vmap(select)(b, c, top_conf, keep_mask)
+    else:
+
+        def suppress(bb, cc, ss, off):
+            keep_idx, keep_valid = nms_fixed(bb + off[:, None], ss, iou_thres, max_det)
+            return (
+                jnp.where(keep_valid[:, None], bb[keep_idx], 0.0),
+                jnp.where(keep_valid, ss[keep_idx], 0.0),
+                jnp.where(keep_valid, cc[keep_idx], -1),
+                keep_valid,
+            )
+
+        boxes, scores, cls, valid = jax.vmap(suppress)(b, c, top_conf, offset)
     return {"boxes": boxes, "scores": scores, "cls": cls, "valid": valid}
 
 
