@@ -1,0 +1,52 @@
+"""Classification task: model build, training learns a trivial 2-class problem."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def cls_dataset(tmp_path_factory):
+    """Two trivially-separable classes: dark squares vs bright circles."""
+    import cv2
+
+    root = tmp_path_factory.mktemp("cls")
+    rng = np.random.default_rng(0)
+    for split in ("train",):
+        for cname in ("dark_square", "bright_circle"):
+            d = root / split / cname
+            d.mkdir(parents=True)
+            for i in range(8):
+                img = rng.normal(120, 10, (64, 64, 3)).clip(0, 255).astype(np.uint8)
+                if cname == "dark_square":
+                    cv2.rectangle(img, (16, 16), (48, 48), (10, 10, 10), -1)
+                else:
+                    cv2.circle(img, (32, 32), 16, (250, 250, 250), -1)
+                cv2.imwrite(str(d / f"{i}.png"), img)
+    return root
+
+
+def test_classification_model_builds():
+    from yolo_tpu.nn.tasks import ClassificationModel
+
+    m = ClassificationModel("yolov8n-cls.yaml", nc=2)
+    params = m.init(0)
+    import jax
+    import jax.numpy as jnp
+
+    probs = jax.jit(m.predict)(params, jnp.zeros((2, 64, 64, 3), jnp.float32))
+    assert probs.shape == (2, 2)
+    assert np.allclose(np.asarray(probs).sum(-1), 1.0, atol=1e-5)
+
+
+def test_classify_training_learns(cls_dataset):
+    from yolo_tpu import YOLO
+
+    m = YOLO("yolov8n-cls.yaml", task="classify")
+    # BN running stats (momentum 0.03, torch semantics) need ~25 epochs to
+    # converge on a 2-step-per-epoch toy set before eval-mode accuracy follows
+    # the (instantly zero) train loss
+    metrics = m.train(
+        data=str(cls_dataset), epochs=25, imgsz=64, batch=8, lr0=0.01, amp=False,
+        project=str(cls_dataset / "runs"), name="exp", exist_ok=True, verbose=False,
+    )
+    assert metrics["top1"] >= 0.9, metrics

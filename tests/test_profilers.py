@@ -1,0 +1,64 @@
+"""Profiling utilities + trainer resume."""
+
+import numpy as np
+import pytest
+
+from yolo_tpu.nn.tasks import DetectionModel
+
+
+def test_model_info_and_flops():
+    from yolo_tpu.utils.profilers import model_info
+
+    m = DetectionModel("yolov8n.yaml")
+    params = m.init(0)
+    info = model_info(m, params, imgsz=64, verbose=False)
+    assert info["layers"] == 23
+    assert info["parameters"] > 2.5e6
+    # yolov8n ≈ 8.7 GFLOPs @640 → ≈ 0.087 @64; sanity band only
+    assert 0.01 < info["GFLOPs"] < 1.0 or info["GFLOPs"] == 0.0  # 0.0 if backend lacks cost analysis
+
+
+def test_trace_writes_files(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_tpu.utils.profilers import trace
+
+    with trace(tmp_path / "prof"):
+        jax.block_until_ready(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
+    assert any((tmp_path / "prof").rglob("*"))
+
+
+def test_trainer_resume(tmp_path):
+    """Train 2 epochs, resume for 2 more — epochs continue, params carry over."""
+    import cv2
+
+    root = tmp_path / "ds"
+    (root / "images/train").mkdir(parents=True)
+    (root / "labels/train").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        img = rng.normal(30, 5, (96, 96, 3)).clip(0, 255).astype(np.uint8)
+        cv2.circle(img, (48, 48), 6, (250,) * 3, -1)
+        cv2.imwrite(str(root / f"images/train/{i}.png"), img)
+        (root / f"labels/train/{i}.txt").write_text("0 0.5 0.5 0.15 0.15\n")
+    (root / "dataset.yaml").write_text(f"path: {root}\ntrain: images/train\nval: images/train\nnames: {{0: t}}\n")
+
+    from yolo_tpu.engine.trainer import DetectionTrainer
+
+    common = dict(
+        data=str(root / "dataset.yaml"), imgsz=96, batch=4, workers=1, mosaic=0.0,
+        optimizer="AdamW", lr0=0.002, amp=False, val=False, project=str(tmp_path / "runs"), name="exp", exist_ok=True,
+    )
+    t1 = DetectionTrainer(overrides={**common, "epochs": 2})
+    t1.train()
+    last = tmp_path / "runs" / "exp" / "weights" / "last.npz"
+    assert last.exists()
+
+    t2 = DetectionTrainer(overrides={**common, "epochs": 4, "resume": str(last)})
+    assert t2.start_epoch == 2
+    t2.train()
+    import csv
+
+    rows = list(csv.DictReader(open(tmp_path / "runs" / "exp" / "results.csv")))
+    assert int(rows[0]["epoch"]) >= 2  # resumed run starts past the old epochs

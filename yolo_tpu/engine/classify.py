@@ -1,0 +1,187 @@
+"""Classification task: dataset, trainer, validator, predict.
+
+Reference counterparts: models/yolo/classify/{train,val,predict}.py +
+data/dataset.py ClassificationDataset:714. Compact single-file task: folder-per-
+class datasets, cross-entropy training on the shared optimizer stack, top1/top5
+validation.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import numpy as np
+
+from yolo_tpu.cfg import DEFAULT_CFG_DICT, get_cfg, get_save_dir
+from yolo_tpu.nn.tasks import ClassificationModel
+from yolo_tpu.utils import LOGGER, yaml_save
+
+IMG_EXTS = {".bmp", ".jpg", ".jpeg", ".png", ".tif", ".tiff", ".webp"}
+
+
+class ClassificationDataset:
+    """root/<class_name>/*.jpg layout (torchvision ImageFolder convention)."""
+
+    def __init__(self, root, imgsz: int = 224, augment: bool = False, fliplr: float = 0.5):
+        root = Path(root)
+        classes = sorted(d.name for d in root.iterdir() if d.is_dir())
+        if not classes:
+            raise FileNotFoundError(f"no class folders under {root}")
+        self.names = dict(enumerate(classes))
+        self.samples = []
+        for ci, c in enumerate(classes):
+            for f in sorted((root / c).rglob("*")):
+                if f.suffix.lower() in IMG_EXTS:
+                    self.samples.append((str(f), ci))
+        self.imgsz = imgsz
+        self.augment = augment
+        self.fliplr = fliplr
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, i):
+        import cv2
+
+        path, cls = self.samples[i]
+        img = cv2.imread(path)
+        img = cv2.resize(img, (self.imgsz, self.imgsz), interpolation=cv2.INTER_LINEAR)
+        if self.augment and np.random.random() < self.fliplr:
+            img = np.fliplr(img)
+        return np.ascontiguousarray(img), cls
+
+    def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0, epoch: int = 0):
+        idx = np.arange(len(self))
+        if shuffle:
+            np.random.default_rng(seed + epoch).shuffle(idx)
+        for s in range(0, len(idx) - batch_size + 1, batch_size):
+            sel = idx[s : s + batch_size]
+            imgs = np.stack([self[i][0] for i in sel])
+            labels = np.array([self.samples[i][1] for i in sel], np.int32)
+            yield imgs, labels
+
+
+class ClassificationTrainer:
+    """Cross-entropy training of a ClassificationModel."""
+
+    def __init__(self, overrides: dict | None = None, model=None, params=None):
+        overrides = {k: v for k, v in (overrides or {}).items() if k in DEFAULT_CFG_DICT}
+        self.args = get_cfg(overrides=overrides)
+        self.save_dir = get_save_dir(self.args)
+        self.model = model
+        self.params = params
+        self.metrics = None
+        self.best_params = None
+
+    def train(self):
+        import jax
+        import jax.numpy as jnp
+
+        from yolo_tpu.nn.modules import Ctx
+        from yolo_tpu.utils.optim import AdamW
+
+        args = self.args
+        root = Path(args.data)
+        train_ds = ClassificationDataset(root / "train" if (root / "train").exists() else root, imgsz=args.imgsz, augment=True, fliplr=args.fliplr)
+        val_dir = root / "val" if (root / "val").exists() else (root / "train" if (root / "train").exists() else root)
+        val_ds = ClassificationDataset(val_dir, imgsz=args.imgsz)
+        nc = len(train_ds.names)
+        if self.model is None:
+            self.model = ClassificationModel(args.model or "yolov8n-cls.yaml", nc=nc)
+            self.params = self.model.init(args.seed)
+        self.model.names = train_ds.names
+        model = self.model
+
+        opt = AdamW(weight_decay=args.weight_decay)
+        opt_state = opt.init(self.params)
+        dtype = jnp.bfloat16 if args.amp else jnp.float32
+
+        def loss_fn(p, imgs, labels):
+            ctx = Ctx(train=True, dtype=dtype)
+            x = imgs[..., ::-1].astype(dtype) / 255.0
+            logits = model.forward_features(p, x, ctx)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1).mean()
+            return nll, ctx.stats
+
+        bn_momentum = 0.03
+
+        def apply_stats(p, stats):
+            def walk(tree, prefix):
+                out = {}
+                for k, v in tree.items():
+                    pth = f"{prefix}/{k}" if prefix else str(k)
+                    if isinstance(v, dict):
+                        if pth in stats and "running_mean" in v:
+                            m, var, n = stats[pth]
+                            ub = var * (n / max(n - 1, 1))
+                            out[k] = {
+                                **v,
+                                "running_mean": (1 - bn_momentum) * v["running_mean"] + bn_momentum * m,
+                                "running_var": (1 - bn_momentum) * v["running_var"] + bn_momentum * ub,
+                            }
+                        else:
+                            out[k] = walk(v, pth)
+                    else:
+                        out[k] = v
+                return out
+
+            return walk(p, "")
+
+        @jax.jit
+        def step(p, opt_state, imgs, labels, lr):
+            (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(p, imgs, labels)
+            p, opt_state = opt.update(grads, opt_state, p, lr, 0.9)
+            p = apply_stats(p, stats)
+            return p, opt_state, loss
+
+        params = self.params
+        best_top1 = -1.0
+        self.save_dir.mkdir(parents=True, exist_ok=True)
+        yaml_save(self.save_dir / "args.yaml", vars(args))
+        t0 = time.time()
+        for epoch in range(args.epochs):
+            lr = args.lr0 * ((1 - epoch / args.epochs) * (1 - args.lrf) + args.lrf)
+            losses = []
+            for imgs, labels in train_ds.batches(min(args.batch, len(train_ds)), seed=args.seed, epoch=epoch):
+                params, opt_state, loss = step(params, opt_state, imgs, labels, lr)
+                losses.append(float(loss))
+            self.metrics = self.validate(params, val_ds)
+            LOGGER.info(
+                f"epoch {epoch + 1}/{args.epochs} loss {np.mean(losses):.4f} "
+                f"top1 {self.metrics['top1']:.3f} top5 {self.metrics['top5']:.3f}"
+            )
+            if self.metrics["top1"] > best_top1:
+                best_top1 = self.metrics["top1"]
+                self.best_params = jax.device_get(params)
+        self.params = jax.device_get(params)
+        if self.best_params is None:
+            self.best_params = self.params
+        if args.save:
+            from yolo_tpu.engine.exporter import save_npz
+
+            (self.save_dir / "weights").mkdir(exist_ok=True)
+            save_npz(self.model, self.best_params, self.save_dir / "weights" / "best.npz")
+        LOGGER.info(f"classify training done in {time.time() - t0:.1f}s; best top1 {best_top1:.3f}")
+        self.metrics["fitness"] = best_top1
+        return self.metrics
+
+    def validate(self, params, dataset) -> dict:
+        import jax
+        import jax.numpy as jnp
+
+        model = self.model
+
+        @jax.jit
+        def infer(p, imgs):
+            return model.predict(p, imgs[..., ::-1].astype(jnp.float32) / 255.0)
+
+        top1 = top5 = n = 0
+        for imgs, labels in dataset.batches(min(self.args.batch, len(dataset)), shuffle=False):
+            probs = np.asarray(infer(params, imgs))
+            order = np.argsort(-probs, axis=-1)
+            top1 += (order[:, 0] == labels).sum()
+            top5 += np.any(order[:, :5] == labels[:, None], axis=-1).sum()
+            n += len(labels)
+        return {"top1": top1 / max(n, 1), "top5": top5 / max(n, 1)}

@@ -23,20 +23,25 @@ class YOLO:
     """User-facing model handle."""
 
     def __init__(self, model="yolov8n.yaml", task: str | None = None, verbose: bool = False):
-        self.task = task or "detect"
+        model = str(model)
+        self.task = task or ("classify" if "-cls" in model else "detect")
         self.overrides: dict = {}
         self.predictor = None
         self.trainer = None
         self.metrics = None
         self.ckpt_path = None
-        model = str(model)
         if model.endswith((".yaml", ".yml")):
             self._new(model, verbose=verbose)
         else:
             self._load(model)
 
     def _new(self, cfg: str, verbose: bool = False):
-        self.model = DetectionModel(cfg, verbose=verbose)
+        if self.task == "classify":
+            from yolo_tpu.nn.tasks import ClassificationModel
+
+            self.model = ClassificationModel(cfg, verbose=verbose)
+        else:
+            self.model = DetectionModel(cfg, verbose=verbose)
         self.params = self.model.init(0)
         self.overrides["model"] = cfg
         self.overrides["task"] = self.task
@@ -111,11 +116,14 @@ class YOLO:
 
     def train(self, trainer=None, **kwargs):
         """Train the model (ref: engine/model.py train:738)."""
-        from yolo_tpu.engine.trainer import DetectionTrainer
-
         overrides = {**self.overrides, **kwargs, "mode": "train"}
         overrides.setdefault("model", self.overrides.get("model"))
-        self.trainer = (trainer or DetectionTrainer)(overrides=overrides, model=self.model, params=self.params)
+        if trainer is None:
+            if self.task == "classify":
+                from yolo_tpu.engine.classify import ClassificationTrainer as trainer
+            else:
+                from yolo_tpu.engine.trainer import DetectionTrainer as trainer
+        self.trainer = trainer(overrides=overrides, model=self.model, params=self.params)
         self.trainer.train()
         self.model = self.trainer.model  # trainer may rebuild for the dataset's nc
         self.params = self.trainer.best_params if self.trainer.best_params is not None else self.trainer.params

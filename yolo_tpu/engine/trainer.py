@@ -84,6 +84,29 @@ class DetectionTrainer:
 
         self.loss_fn = v8DetectionLoss(self.model, self.args)
         self.stopper = EarlyStopping(self.args.patience)
+        self.start_epoch = 0
+        self._check_resume()
+
+    def _check_resume(self):
+        """Resume params/epoch from last.npz (ref: trainer.py check_resume:762).
+
+        Optimizer/EMA state restart fresh — on TPU the cost of re-warming Adam
+        moments is negligible next to re-running epochs; params + epoch counter
+        are what matter for continuing a run.
+        """
+        resume = self.args.resume
+        if not resume:
+            return
+        from yolo_tpu.engine.exporter import load_npz
+
+        ckpt = resume if isinstance(resume, str) and resume not in ("True", "true") else self.wdir / "last.npz"
+        ckpt = Path(ckpt)
+        if not ckpt.exists():
+            raise FileNotFoundError(f"resume checkpoint not found: {ckpt}")
+        self.model, self.params, meta = load_npz(ckpt)
+        self.loss_fn = v8DetectionLoss(self.model, self.args)
+        self.start_epoch = int(meta.get("epoch", -1)) + 1
+        LOGGER.info(f"resuming from {ckpt} at epoch {self.start_epoch}")
 
     # --- optimizer ----------------------------------------------------------------
 
@@ -230,9 +253,9 @@ class DetectionTrainer:
         run_callbacks(self.callbacks, "on_train_start", self)
         csv_rows = []
         t_train = time.time()
-        ni = 0
+        ni = self.start_epoch * nb
         last_comps = np.zeros(3)
-        for epoch in range(args.epochs):
+        for epoch in range(self.start_epoch, args.epochs):
             run_callbacks(self.callbacks, "on_train_epoch_start", self)
             self.epoch = epoch
             if epoch == max(args.epochs - args.close_mosaic, 0) and args.close_mosaic:

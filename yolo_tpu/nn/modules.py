@@ -527,3 +527,32 @@ class C2PSA:
         for i, m in enumerate(self.m):
             b = m(p["m"][str(i)], b, ctx, f"{path}/m/{i}")
         return self.cv2(p["cv2"], jnp.concatenate([a, b], axis=-1), ctx, f"{path}/cv2")
+
+
+class Classify:
+    """Classification head: Conv → global-avg-pool → linear (ref: head.py Classify:427).
+
+    Returns logits in train mode; the caller applies softmax at inference.
+    """
+
+    def __init__(self, c1: int, c2: int, k: int = 1, s: int = 1, p=None, g: int = 1):
+        c_ = 1280  # efficientnet_b0 width, same as reference
+        self.conv = ConvBNAct(c1, c_, k, s, p, g)
+        self.c_ = c_
+        self.c2 = c2
+
+    def init(self, rng):
+        bound = math.sqrt(1.0 / self.c_)
+        return {
+            "conv": self.conv.init(rng),
+            "linear": {
+                "weight": rng.uniform(-bound, bound, (self.c_, self.c2)).astype(np.float32),
+                "bias": rng.uniform(-bound, bound, (self.c2,)).astype(np.float32),
+            },
+        }
+
+    def __call__(self, p, x, ctx, path=""):
+        y = self.conv(p["conv"], x, ctx, f"{path}/conv")  # (B, H, W, c_)
+        pooled = y.mean(axis=(1, 2))  # global average pool
+        logits = pooled.astype(jnp.float32) @ p["linear"]["weight"].astype(jnp.float32) + p["linear"]["bias"]
+        return logits

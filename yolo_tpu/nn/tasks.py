@@ -45,6 +45,7 @@ MODULE_MAP = {
     "SCDown": M.SCDown,
     "C2PSA": M.C2PSA,
     "PSABlock": M.PSABlock,
+    "Classify": M.Classify,
 }
 
 HEAD_TYPES = (M.Detect,)
@@ -119,7 +120,7 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
         ]
         n = max(round(n * depth), 1) if n > 1 else n
 
-        if mcls in (M.ConvBNAct, M.DWConv, M.C2f, M.SPPF, M.Bottleneck, M.C3, M.C3k, M.C3k2, M.SCDown, M.C2PSA):
+        if mcls in (M.ConvBNAct, M.DWConv, M.C2f, M.SPPF, M.Bottleneck, M.C3, M.C3k, M.C3k2, M.SCDown, M.C2PSA, M.Classify):
             c1, c2 = ch[f], args[0]
             if c2 != nc:
                 c2 = make_divisible(min(c2, max_channels) * width, 8)
@@ -289,3 +290,31 @@ def _fuse_module(m, p):
             }
         return out
     return p
+
+
+class ClassificationModel(BaseModel):
+    """YOLO classification model (ref: nn/tasks.py ClassificationModel:613)."""
+
+    task = "classify"
+
+    def __init__(self, cfg="yolov8n-cls.yaml", ch: int = 3, nc: int | None = None, verbose: bool = False):
+        super().__init__()
+        self.yaml = cfg if isinstance(cfg, dict) else yaml_model_load(cfg)
+        if nc and nc != self.yaml.get("nc"):
+            LOGGER.info(f"overriding model.yaml nc={self.yaml.get('nc')} with nc={nc}")
+            self.yaml["nc"] = nc
+        self.nc = self.yaml["nc"]
+        self.names = {i: f"{i}" for i in range(self.nc)}
+        self.layers, self.save = parse_model(self.yaml, ch=ch, verbose=verbose)
+        self.stride = [1]  # no multi-scale head
+
+    def predict(self, params, x, dtype=jnp.float32):
+        """Class probabilities (B, nc) — softmax over head logits."""
+        ctx = M.Ctx(train=False, dtype=dtype)
+        logits = self.forward_features(params, x, ctx)
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+    def raw_forward(self, params, x, train: bool = False, dtype=jnp.float32):
+        ctx = M.Ctx(train=train, dtype=dtype)
+        logits = self.forward_features(params, x, ctx)
+        return logits, ctx.stats

@@ -1,0 +1,97 @@
+"""Tracing/profiling hooks (SURVEY §5: jax.profiler traces + per-stage timers).
+
+Replaces the reference's CUDA-synchronized Profile + thop FLOPs counters
+(ref: utils/ops.py Profile:18, torch_utils.py get_flops:412, profile_ops:819)
+with XLA-native equivalents: TensorBoard-consumable device traces and
+cost-analysis-based FLOPs.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+from pathlib import Path
+
+from yolo_tpu.utils import LOGGER
+
+
+@contextmanager
+def trace(log_dir="runs/profile"):
+    """Capture a device trace viewable in TensorBoard / Perfetto."""
+    import jax
+
+    Path(log_dir).mkdir(parents=True, exist_ok=True)
+    jax.profiler.start_trace(str(log_dir))
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+        LOGGER.info(f"trace written to {log_dir}")
+
+
+def start_profiler_server(port: int = 9999):
+    """Expose the live profiler (connect with TensorBoard's capture button)."""
+    import jax
+
+    jax.profiler.start_server(port)
+    LOGGER.info(f"profiler server on :{port}")
+
+
+def get_flops(model, params, imgsz=640, batch: int = 1) -> float:
+    """Analytical FLOPs of the fused predict program (ref: get_flops:412).
+
+    Uses XLA's cost analysis on the lowered computation — exact for the compiled
+    graph, no thop-style module hooks needed.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    h, w = (imgsz, imgsz) if isinstance(imgsz, int) else imgsz
+    lowered = jax.jit(model.predict).lower(params, jnp.zeros((batch, h, w, 3), jnp.float32))
+    try:
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception as e:
+        LOGGER.warning(f"cost analysis unavailable: {e}")
+        return 0.0
+
+
+def model_info(model, params, imgsz=640, verbose: bool = True) -> dict:
+    """Layer/param/FLOPs summary (ref: torch_utils.py model_info:323)."""
+    n_params = model.param_count(params)
+    flops = get_flops(model, params, imgsz)
+    info = {
+        "layers": len(model.layers),
+        "parameters": int(n_params),
+        "GFLOPs": round(flops / 1e9, 2),
+        "stride": getattr(model, "stride", None),
+    }
+    if verbose:
+        LOGGER.info(f"model: {info['layers']} layers, {info['parameters']:,} params, {info['GFLOPs']} GFLOPs @ {imgsz}")
+    return info
+
+
+def autobatch(model, params, imgsz: int = 640, start: int = 8, max_batch: int = 512) -> int:
+    """Largest power-of-two batch that compiles+runs (ref: autobatch.py:46).
+
+    TPU analog of the 60%-VRAM binary search: double until the device refuses
+    (RESOURCE_EXHAUSTED), return the last good batch.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    good = 0
+    b = start
+    while b <= max_batch:
+        try:
+            fn = jax.jit(model.predict)
+            out = fn(params, jnp.zeros((b, imgsz, imgsz, 3), jnp.float32))
+            jax.block_until_ready(out)
+            good = b
+            b *= 2
+        except Exception as e:
+            LOGGER.info(f"autobatch: batch {b} failed ({type(e).__name__}); using {good}")
+            break
+    LOGGER.info(f"autobatch: selected batch {good}")
+    return good or start
