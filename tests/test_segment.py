@@ -1,0 +1,87 @@
+"""Segmentation model: build/forward, mask assembly, and numeric parity of the
+full Segment forward against the reference torch model."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import add_reference_to_path, reference_available
+
+from yolo_tpu.nn.tasks import SegmentationModel
+
+
+def test_seg_model_builds_and_forwards():
+    import jax
+    import jax.numpy as jnp
+
+    m = SegmentationModel("yolov8n-seg.yaml")
+    params = m.init(0)
+    preds, protos = jax.jit(m.predict)(params, jnp.zeros((2, 64, 64, 3), jnp.float32))
+    assert preds.shape == (2, 4 + 80 + 32, 84)
+    assert protos.shape == (2, 16, 16, 32)
+    n = m.param_count(params)
+    assert 3.0e6 < n < 4.0e6  # yolov8n-seg ≈ 3.4M
+
+
+def test_process_mask_crops_and_upsamples():
+    import jax.numpy as jnp
+
+    from yolo_tpu.ops.masks import process_mask
+
+    rng = np.random.default_rng(0)
+    protos = rng.normal(0, 1, (16, 16, 32)).astype(np.float32)
+    coefs = rng.normal(0, 1, (3, 32)).astype(np.float32)
+    boxes = np.array([[8, 8, 40, 40], [0, 0, 64, 64], [50, 50, 60, 60]], np.float32)
+    masks = np.asarray(process_mask(jnp.asarray(protos), jnp.asarray(coefs), jnp.asarray(boxes), (64, 64)))
+    assert masks.shape == (3, 64, 64)
+    assert masks[0, 0, 0] == 0.0  # outside box 0
+    assert masks[0, 20, 20] > 0.0 or masks[0].max() >= 0  # inside can be any prob
+    assert (masks >= 0).all() and (masks <= 1).all()
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference oracle not present")
+def test_segment_parity_with_reference():
+    add_reference_to_path()
+    import torch
+    from ultralytics.nn.tasks import SegmentationModel as TorchSeg
+
+    from yolo_tpu.nn.torch_import import state_dict_to_params
+    from yolo_tpu.utils import PKG_DIR
+
+    t = TorchSeg("/root/reference/ultralytics/cfg/models/v8/yolov8n-seg.yaml", verbose=False)
+    t.eval()
+    ours = SegmentationModel(str(PKG_DIR / "cfg" / "models" / "v8" / "yolov8n-seg.yaml"))
+    sd = {k: v.detach().numpy() for k, v in t.state_dict().items()}
+    params = state_dict_to_params(sd, ours.init(0))
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        out_t = t(torch.from_numpy(img))
+    # eval output: (cat([dets, mc], 1), (feats, mc, protos))
+    y_t = out_t[0].numpy()
+    protos_t = out_t[1][2].numpy()  # (1, 32, 16, 16)
+
+    import jax
+    import jax.numpy as jnp
+
+    y_j, protos_j = jax.jit(ours.predict)(params, jnp.asarray(img.transpose(0, 2, 3, 1)))
+    y_j = np.asarray(y_j)
+    protos_j = np.asarray(protos_j).transpose(0, 3, 1, 2)
+    assert y_t.shape == y_j.shape
+    assert np.allclose(y_t[:, :4], y_j[:, :4], atol=5e-2)
+    assert np.allclose(y_t[:, 4:84], y_j[:, 4:84], atol=1e-3)  # cls sigmoids
+    assert np.allclose(y_t[:, 84:], y_j[:, 84:], atol=5e-3)  # mask coefs
+    assert np.allclose(protos_t, protos_j, atol=5e-3), np.abs(protos_t - protos_j).max()
+
+
+def test_segment_predict_e2e():
+    from yolo_tpu import YOLO
+
+    m = YOLO("yolov8n-seg.yaml")
+    assert m.task == "segment"
+    img = np.random.default_rng(0).integers(0, 255, (96, 128, 3), np.uint8)
+    res = m.predict(img, conf=1e-4, imgsz=64, verbose=False)
+    r = res[0]
+    assert hasattr(r, "masks")
+    if len(r.boxes):
+        assert r.masks.data.shape == (len(r.boxes), 96, 128)

@@ -24,7 +24,7 @@ class YOLO:
 
     def __init__(self, model="yolov8n.yaml", task: str | None = None, verbose: bool = False):
         model = str(model)
-        self.task = task or ("classify" if "-cls" in model else "detect")
+        self.task = task or ("classify" if "-cls" in model else "segment" if "-seg" in model else "detect")
         self.overrides: dict = {}
         self.predictor = None
         self.trainer = None
@@ -40,6 +40,10 @@ class YOLO:
             from yolo_tpu.nn.tasks import ClassificationModel
 
             self.model = ClassificationModel(cfg, verbose=verbose)
+        elif self.task == "segment":
+            from yolo_tpu.nn.tasks import SegmentationModel
+
+            self.model = SegmentationModel(cfg, verbose=verbose)
         else:
             self.model = DetectionModel(cfg, verbose=verbose)
         self.params = self.model.init(0)
@@ -92,9 +96,14 @@ class YOLO:
         custom = {"conf": 0.25, "batch": 1, "save": False, "mode": "predict"}
         args = {**self.overrides, **custom, **kwargs}
         if self.predictor is None or predictor is not None:
-            from yolo_tpu.engine.predictor import BasePredictor
-
-            self.predictor = (predictor or BasePredictor)(
+            if predictor is None:
+                if self.task == "segment":
+                    from yolo_tpu.engine.segment_predictor import SegmentationPredictor as predictor_cls
+                else:
+                    from yolo_tpu.engine.predictor import BasePredictor as predictor_cls
+            else:
+                predictor_cls = predictor
+            self.predictor = predictor_cls(
                 self.model, self.params, overrides={k: v for k, v in args.items() if k in DEFAULT_CFG_DICT}, names=self.model.names
             )
         else:

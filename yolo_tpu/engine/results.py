@@ -158,3 +158,40 @@ class Results:
         import json
 
         return json.dumps(self.summary(normalize=normalize), indent=2)
+
+
+class Masks:
+    """Instance masks container (ref: engine/results.py Masks:1074)."""
+
+    def __init__(self, masks: np.ndarray, orig_shape):
+        # masks: (N, H, W) float/bool in original-image resolution
+        self.data = np.asarray(masks)
+        self.orig_shape = orig_shape
+
+    def __len__(self):
+        return len(self.data)
+
+    def __getitem__(self, idx):
+        return Masks(self.data[idx], self.orig_shape)
+
+    @property
+    def xy(self):
+        """Mask contours as pixel-coordinate polygons (list of (K, 2) arrays)."""
+        import cv2
+
+        polys = []
+        for m in self.data:
+            cnts, _ = cv2.findContours((m > 0.5).astype(np.uint8), cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)
+            polys.append(max(cnts, key=cv2.contourArea).reshape(-1, 2).astype(np.float32) if cnts else np.zeros((0, 2), np.float32))
+        return polys
+
+    @property
+    def xyn(self):
+        h, w = self.orig_shape
+        return [p / np.array([w, h], np.float32) for p in self.xy]
+
+    def cpu(self):
+        return self
+
+    def numpy(self):
+        return self

@@ -556,3 +556,237 @@ class Classify:
         pooled = y.mean(axis=(1, 2))  # global average pool
         logits = pooled.astype(jnp.float32) @ p["linear"]["weight"].astype(jnp.float32) + p["linear"]["bias"]
         return logits
+
+
+# ---------------------------------------------------------------------------
+# Segmentation (ref: conv.py ConvTranspose:232, block.py Proto:85, head.py Segment:236)
+# ---------------------------------------------------------------------------
+
+
+class ConvTranspose:
+    """ConvTranspose2d + optional BN + act (ref: conv.py ConvTranspose:232)."""
+
+    def __init__(self, c1, c2, k=2, s=2, p=0, bn=True, act=True):
+        self.c1, self.c2, self.k, self.s, self.p = c1, c2, k, s, p
+        self.bn = bn
+        self.act = act
+
+    def init(self, rng):
+        fan_in = self.c1 * self.k * self.k
+        bound = math.sqrt(1.0 / fan_in) * math.sqrt(3.0)
+        w = rng.uniform(-bound, bound, (self.k, self.k, self.c2, self.c1)).astype(np.float32)
+        if self.bn:  # wrapper module: torch children conv_transpose/bn
+            return {
+                "conv_transpose": {"weight": w},
+                "bn": {
+                    "weight": np.ones((self.c2,), np.float32),
+                    "bias": np.zeros((self.c2,), np.float32),
+                    "running_mean": np.zeros((self.c2,), np.float32),
+                    "running_var": np.ones((self.c2,), np.float32),
+                },
+            }
+        # raw nn.ConvTranspose2d stand-in: params at top level (torch names)
+        bb = math.sqrt(1.0 / fan_in)
+        return {"weight": w, "bias": rng.uniform(-bb, bb, (self.c2,)).astype(np.float32)}
+
+    def __call__(self, p, x, ctx: Ctx, path: str = ""):
+        # torch ConvTranspose2d weight is (c1, c2, kh, kw) → ours (kh, kw, c2, c1)
+        # lax.conv_transpose with NHWC/HWIO expects kernel (kh, kw, c_in, c_out);
+        # use transpose_kernel=True to match torch's gradient-of-conv semantics.
+        w = (p["conv_transpose"]["weight"] if "conv_transpose" in p else p["weight"]).astype(ctx.dtype)  # (kh, kw, c2, c1)
+        pad = self.k - 1 - self.p  # torch ConvTranspose2d padding → lax padding
+        y = jax.lax.conv_transpose(
+            x.astype(ctx.dtype),
+            w,
+            strides=(self.s, self.s),
+            padding=[(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            transpose_kernel=True,
+        ).astype(jnp.float32)
+        if "bn" in p:
+            bn = p["bn"]
+            if ctx.train:
+                mean = jnp.mean(y, (0, 1, 2))
+                var = jnp.var(y, (0, 1, 2))
+                n = y.shape[0] * y.shape[1] * y.shape[2]
+                ctx.stats[f"{path}/bn"] = (jax.lax.stop_gradient(mean), jax.lax.stop_gradient(var), n)
+            else:
+                mean, var = bn["running_mean"], bn["running_var"]
+            y = (y - mean) * (bn["weight"] * jax.lax.rsqrt(var + BN_EPS)) + bn["bias"]
+        elif "bias" in p:
+            y = y + p["bias"]
+        if self.act:
+            y = silu(y)
+        return y.astype(ctx.dtype)
+
+
+class Proto:
+    """Mask prototype generator (ref: block.py Proto:85)."""
+
+    def __init__(self, c1, c_=256, c2=32):
+        self.cv1 = ConvBNAct(c1, c_, 3)
+        self.upsample = ConvTranspose(c_, c_, 2, 2, 0, bn=False, act=False)
+        self.cv2 = ConvBNAct(c_, c_, 3)
+        self.cv3 = ConvBNAct(c_, c2)
+
+    def init(self, rng):
+        return {
+            "cv1": self.cv1.init(rng),
+            "upsample": self.upsample.init(rng),
+            "cv2": self.cv2.init(rng),
+            "cv3": self.cv3.init(rng),
+        }
+
+    def __call__(self, p, x, ctx, path=""):
+        y = self.cv1(p["cv1"], x, ctx, f"{path}/cv1")
+        y = self.upsample(p["upsample"], y, ctx, f"{path}/upsample")
+        y = self.cv2(p["cv2"], y, ctx, f"{path}/cv2")
+        return self.cv3(p["cv3"], y, ctx, f"{path}/cv3")
+
+
+class Segment(Detect):
+    """Detect + mask coefficients + prototype masks (ref: head.py Segment:236)."""
+
+    def __init__(self, nc=80, nm=32, npr=256, ch=(), legacy=True):
+        super().__init__(nc, ch, legacy)
+        self.nm = nm
+        self.npr = npr
+        self.proto = Proto(ch[0], npr, nm)
+        c4 = max(ch[0] // 4, nm)
+        self.cv4 = [[ConvBNAct(x, c4, 3), ConvBNAct(c4, c4, 3), Conv2d(c4, nm, 1)] for x in ch]
+
+    def init(self, rng):
+        p = super().init(rng)
+        p["proto"] = self.proto.init(rng)
+        p["cv4"] = {}
+        for l in range(self.nl):
+            p["cv4"][str(l)] = {str(j): self.cv4[l][j].init(rng) for j in range(3)}
+        return p
+
+    def __call__(self, p, xs, ctx, path=""):
+        """Returns (det_outs list, mask_coefs list, protos)."""
+        protos = self.proto(p["proto"], xs[0], ctx, f"{path}/proto")
+        mcs = []
+        for l, x in enumerate(xs):
+            m = x
+            for j in range(3):
+                m = self.cv4[l][j](p["cv4"][str(l)][str(j)], m, ctx, f"{path}/cv4/{l}/{j}")
+            mcs.append(m)  # (B, H, W, nm)
+        det_outs = super().__call__(p, xs, ctx, path)
+        return det_outs, mcs, protos
+
+    def decode_with_masks(self, p, outs):
+        """(B, 4+nc+nm, A) predictions + (B, h, w, nm) protos."""
+        det_outs, mcs, protos = outs
+        dets = self.decode(p, det_outs)  # (B, 4+nc, A)
+        B = dets.shape[0]
+        mc = jnp.concatenate([m.reshape(B, -1, self.nm) for m in mcs], axis=1)  # (B, A, nm)
+        return jnp.concatenate([dets, jnp.swapaxes(mc, 1, 2)], axis=1), protos
+
+
+# ---------------------------------------------------------------------------
+# Pose & OBB heads (ref: head.py Pose:344, OBB:288; utils/tal.py dist2rbox:400)
+# ---------------------------------------------------------------------------
+
+
+class Pose(Detect):
+    """Detect + keypoint regression (ref: head.py Pose:344)."""
+
+    def __init__(self, nc=80, kpt_shape=(17, 3), ch=(), legacy=True):
+        super().__init__(nc, ch, legacy)
+        self.kpt_shape = tuple(kpt_shape)
+        self.nk = kpt_shape[0] * kpt_shape[1]
+        c4 = max(ch[0] // 4, self.nk)
+        self.cv4 = [[ConvBNAct(x, c4, 3), ConvBNAct(c4, c4, 3), Conv2d(c4, self.nk, 1)] for x in ch]
+
+    def init(self, rng):
+        p = super().init(rng)
+        p["cv4"] = {str(l): {str(j): self.cv4[l][j].init(rng) for j in range(3)} for l in range(self.nl)}
+        return p
+
+    def __call__(self, p, xs, ctx, path=""):
+        kpts = []
+        for l, x in enumerate(xs):
+            k = x
+            for j in range(3):
+                k = self.cv4[l][j](p["cv4"][str(l)][str(j)], k, ctx, f"{path}/cv4/{l}/{j}")
+            kpts.append(k)  # (B, H, W, nk)
+        det_outs = super().__call__(p, xs, ctx, path)
+        return det_outs, kpts
+
+    def decode_with_kpts(self, p, outs):
+        """(B, 4+nc+nk, A): boxes+cls then decoded keypoints in pixels."""
+        from yolo_tpu.ops.anchors import make_anchors
+
+        det_outs, kpt_outs = outs
+        dets = self.decode(p, det_outs)  # (B, 4+nc, A)
+        B = dets.shape[0]
+        kpt = jnp.concatenate([k.reshape(B, -1, self.nk) for k in kpt_outs], axis=1)  # (B, A, nk)
+        feat_shapes = [(o.shape[1], o.shape[2]) for o in det_outs]
+        anchors, strides = make_anchors(feat_shapes, self.stride, 0.5)
+        anchors = jnp.asarray(anchors)  # (A, 2)
+        strides = jnp.asarray(strides)  # (A, 1)
+        ndim = self.kpt_shape[1]
+        y = kpt.reshape(B, -1, self.kpt_shape[0], ndim).astype(jnp.float32)  # (B, A, nkpt, ndim)
+        xk = (y[..., 0] * 2.0 + (anchors[None, :, None, 0] - 0.5)) * strides[None, :, None, 0]
+        yk = (y[..., 1] * 2.0 + (anchors[None, :, None, 1] - 0.5)) * strides[None, :, None, 0]
+        parts = [xk[..., None], yk[..., None]]
+        if ndim == 3:
+            parts.append(jax.nn.sigmoid(y[..., 2])[..., None])
+        decoded = jnp.concatenate(parts, -1).reshape(B, -1, self.nk)  # (B, A, nk)
+        return jnp.concatenate([dets, jnp.swapaxes(decoded, 1, 2)], axis=1)
+
+
+class OBB(Detect):
+    """Detect with oriented boxes: extra angle branch, rbox decode (ref: head.py OBB:288)."""
+
+    def __init__(self, nc=80, ne=1, ch=(), legacy=True):
+        super().__init__(nc, ch, legacy)
+        self.ne = ne
+        c4 = max(ch[0] // 4, ne)
+        self.cv4 = [[ConvBNAct(x, c4, 3), ConvBNAct(c4, c4, 3), Conv2d(c4, ne, 1)] for x in ch]
+
+    def init(self, rng):
+        p = super().init(rng)
+        p["cv4"] = {str(l): {str(j): self.cv4[l][j].init(rng) for j in range(3)} for l in range(self.nl)}
+        return p
+
+    def __call__(self, p, xs, ctx, path=""):
+        angles = []
+        for l, x in enumerate(xs):
+            a = x
+            for j in range(3):
+                a = self.cv4[l][j](p["cv4"][str(l)][str(j)], a, ctx, f"{path}/cv4/{l}/{j}")
+            angles.append(a)
+        det_outs = super().__call__(p, xs, ctx, path)
+        return det_outs, angles
+
+    def decode_with_angle(self, p, outs):
+        """(B, 4+nc+1, A): rotated (cx, cy, w, h) + cls + angle [-π/4, 3π/4]."""
+        from yolo_tpu.ops.anchors import make_anchors
+
+        det_outs, angle_outs = outs
+        B = det_outs[0].shape[0]
+        angle = jnp.concatenate([a.reshape(B, -1, self.ne) for a in angle_outs], axis=1).astype(jnp.float32)
+        angle = (jax.nn.sigmoid(angle) - 0.25) * math.pi  # (B, A, 1)
+
+        feat_shapes = [(o.shape[1], o.shape[2]) for o in det_outs]
+        anchors, strides = make_anchors(feat_shapes, self.stride, 0.5)
+        anchors = jnp.asarray(anchors)
+        strides = jnp.asarray(strides)
+
+        flat = jnp.concatenate([o.reshape(B, -1, self.no) for o in det_outs], axis=1)
+        box, cls = flat[..., : self.reg_max * 4], flat[..., self.reg_max * 4 :]
+        proj = p["dfl"]["conv"]["weight"].reshape(self.reg_max)
+        dist = jax.nn.softmax(box.reshape(B, -1, 4, self.reg_max).astype(jnp.float32), axis=-1) @ proj
+        # dist2rbox: rotate the (rb−lt)/2 offset by the angle (ref: tal.py dist2rbox:400)
+        lt, rb = dist[..., :2], dist[..., 2:]
+        c, s = jnp.cos(angle), jnp.sin(angle)
+        xf = ((rb - lt) / 2)[..., 0:1]
+        yf = ((rb - lt) / 2)[..., 1:2]
+        x = xf * c - yf * s
+        y = xf * s + yf * c
+        xy = jnp.concatenate([x, y], -1) + anchors[None]
+        rbox = jnp.concatenate([xy, lt + rb], -1) * strides[None]
+        out = jnp.concatenate([rbox, jax.nn.sigmoid(cls.astype(jnp.float32)), angle], axis=-1)
+        return jnp.swapaxes(out, 1, 2)  # (B, 4+nc+1, A)

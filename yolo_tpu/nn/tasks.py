@@ -46,6 +46,9 @@ MODULE_MAP = {
     "C2PSA": M.C2PSA,
     "PSABlock": M.PSABlock,
     "Classify": M.Classify,
+    "Segment": M.Segment,
+    "Pose": M.Pose,
+    "OBB": M.OBB,
 }
 
 HEAD_TYPES = (M.Detect,)
@@ -132,7 +135,11 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
                 args[3] = True  # deeper scales use C3k inner blocks (ref :1643)
         elif mcls is M.Concat:
             c2 = sum(ch[x] for x in f)
-        elif mcls is M.Detect:
+        elif mcls in (M.Detect, M.Segment, M.Pose, M.OBB):
+            if mcls is M.Segment:  # npr width-scales (ref parse_model Segment branch)
+                args[2] = make_divisible(min(args[2], max_channels) * width, 8)
+            if mcls is M.Pose and d.get("kpt_shape"):
+                args = [args[0], tuple(d["kpt_shape"]), *args[2:]]
             args.append([ch[x] for x in f])
             args.append(legacy)
             c2 = None
@@ -167,7 +174,7 @@ def _compute_strides(layers):
             s = src // spec.module.scale
         elif isinstance(spec.module, M.MaxPool2d):
             s = src * spec.module.s
-        elif isinstance(spec.module, M.Detect):
+        elif isinstance(spec.module, M.Detect):  # Segment subclasses Detect
             spec.module.stride = [stride[x] for x in f]
             s = None
         else:
@@ -318,3 +325,47 @@ class ClassificationModel(BaseModel):
         ctx = M.Ctx(train=train, dtype=dtype)
         logits = self.forward_features(params, x, ctx)
         return logits, ctx.stats
+
+
+class SegmentationModel(DetectionModel):
+    """YOLO segmentation model (ref: nn/tasks.py SegmentationModel:536)."""
+
+    task = "segment"
+
+    def __init__(self, cfg="yolov8n-seg.yaml", ch: int = 3, nc: int | None = None, verbose: bool = False):
+        super().__init__(cfg, ch=ch, nc=nc, verbose=verbose)
+
+    def predict(self, params, x, dtype=jnp.float32):
+        """(preds (B, 4+nc+nm, A), protos (B, h, w, nm))."""
+        ctx = M.Ctx(train=False, dtype=dtype)
+        outs = self.forward_features(params, x, ctx)
+        head_params = params["model"][str(self.layers[-1].i)]
+        return self.head.decode_with_masks(head_params, outs)
+
+
+class PoseModel(DetectionModel):
+    """YOLO pose model (ref: nn/tasks.py PoseModel:570)."""
+
+    task = "pose"
+
+    def __init__(self, cfg="yolov8n-pose.yaml", ch: int = 3, nc: int | None = None, verbose: bool = False):
+        super().__init__(cfg, ch=ch, nc=nc, verbose=verbose)
+
+    def predict(self, params, x, dtype=jnp.float32):
+        ctx = M.Ctx(train=False, dtype=dtype)
+        outs = self.forward_features(params, x, ctx)
+        return self.head.decode_with_kpts(params["model"][str(self.layers[-1].i)], outs)
+
+
+class OBBModel(DetectionModel):
+    """YOLO oriented-bounding-box model (ref: nn/tasks.py OBBModel:502)."""
+
+    task = "obb"
+
+    def __init__(self, cfg="yolov8n-obb.yaml", ch: int = 3, nc: int | None = None, verbose: bool = False):
+        super().__init__(cfg, ch=ch, nc=nc, verbose=verbose)
+
+    def predict(self, params, x, dtype=jnp.float32):
+        ctx = M.Ctx(train=False, dtype=dtype)
+        outs = self.forward_features(params, x, ctx)
+        return self.head.decode_with_angle(params["model"][str(self.layers[-1].i)], outs)

@@ -96,6 +96,7 @@ def non_max_suppression(
     from yolo_tpu.ops.boxes import xywh2xyxy
 
     nc = nc or (prediction.shape[1] - 4)
+    n_extra = prediction.shape[1] - 4 - nc  # e.g. mask coefficients (segment)
     K = min(max_nms, prediction.shape[2])
 
     def single(pred):
@@ -110,17 +111,18 @@ def non_max_suppression(
         top_conf, top_idx = jax.lax.top_k(conf, K)
         b = xywh2xyxy(boxes_xywh[top_idx])
         c = cls_id[top_idx]
+        extra = pred[4 + nc :].T[top_idx] if n_extra else jnp.zeros((K, 0), pred.dtype)
         offset = jnp.where(agnostic, 0.0, c.astype(b.dtype) * MAX_WH)
-        return b, c, top_conf, offset
+        return b, c, top_conf, offset, extra
 
-    b, c, top_conf, offset = jax.vmap(single)(prediction)
+    b, c, top_conf, offset, extra = jax.vmap(single)(prediction)
 
     if USE_PALLAS_NMS and jax.default_backend() == "tpu":
         from yolo_tpu.ops.pallas_nms import pallas_nms_keep
 
         keep_mask = pallas_nms_keep(b + offset[..., None], top_conf, iou_thres)
 
-        def select(bb, cc, ss, keep):
+        def select(bb, cc, ss, ee, keep):
             ranked = jnp.where(keep, ss, -1.0)
             sel = jnp.argsort(-ranked)[:max_det]
             keep_valid = ranked[sel] > 0
@@ -128,23 +130,28 @@ def non_max_suppression(
                 jnp.where(keep_valid[:, None], bb[sel], 0.0),
                 jnp.where(keep_valid, ss[sel], 0.0),
                 jnp.where(keep_valid, cc[sel], -1),
+                jnp.where(keep_valid[:, None], ee[sel], 0.0),
                 keep_valid,
             )
 
-        boxes, scores, cls, valid = jax.vmap(select)(b, c, top_conf, keep_mask)
+        boxes, scores, cls, extras, valid = jax.vmap(select)(b, c, top_conf, extra, keep_mask)
     else:
 
-        def suppress(bb, cc, ss, off):
+        def suppress(bb, cc, ss, ee, off):
             keep_idx, keep_valid = nms_fixed(bb + off[:, None], ss, iou_thres, max_det)
             return (
                 jnp.where(keep_valid[:, None], bb[keep_idx], 0.0),
                 jnp.where(keep_valid, ss[keep_idx], 0.0),
                 jnp.where(keep_valid, cc[keep_idx], -1),
+                jnp.where(keep_valid[:, None], ee[keep_idx], 0.0),
                 keep_valid,
             )
 
-        boxes, scores, cls, valid = jax.vmap(suppress)(b, c, top_conf, offset)
-    return {"boxes": boxes, "scores": scores, "cls": cls, "valid": valid}
+        boxes, scores, cls, extras, valid = jax.vmap(suppress)(b, c, top_conf, extra, offset)
+    out = {"boxes": boxes, "scores": scores, "cls": cls, "valid": valid}
+    if n_extra:
+        out["extra"] = extras
+    return out
 
 
 # Host/golden oracle ------------------------------------------------------------
