@@ -1,0 +1,69 @@
+"""Engine-object tests: drive trainer/validator/predictor classes directly,
+bypassing the YOLO facade (the reference's tests/test_engine.py pattern)."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def ds(tmp_path_factory):
+    import cv2
+
+    root = tmp_path_factory.mktemp("engds")
+    (root / "images/train").mkdir(parents=True)
+    (root / "labels/train").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        img = rng.normal(30, 5, (96, 96, 3)).clip(0, 255).astype(np.uint8)
+        cv2.circle(img, (48, 48), 7, (250,) * 3, -1)
+        cv2.imwrite(str(root / f"images/train/{i}.png"), img)
+        (root / f"labels/train/{i}.txt").write_text("0 0.5 0.5 0.16 0.16\n")
+    (root / "dataset.yaml").write_text(f"path: {root}\ntrain: images/train\nval: images/train\nnames: {{0: t}}\n")
+    return root
+
+
+def test_detection_validator_direct(ds, tmp_path):
+    from yolo_tpu.engine.validator import DetectionValidator
+    from yolo_tpu.nn.tasks import DetectionModel
+
+    model = DetectionModel("yolov8n.yaml", nc=1)
+    params = model.init(0)
+    v = DetectionValidator(
+        args={"data": str(ds / "dataset.yaml"), "imgsz": 96, "batch": 4, "workers": 1,
+              "save_json": True, "plots": True, "project": str(tmp_path), "name": "val", "exist_ok": True}
+    )
+    results = v(model=model, params=params)
+    assert set(results) >= {"precision", "recall", "mAP50", "mAP50-95", "fitness"}
+    assert (tmp_path / "val" / "confusion_matrix.png").exists()
+
+
+def test_predictor_save_outputs(ds, tmp_path):
+    from yolo_tpu.engine.predictor import BasePredictor
+    from yolo_tpu.nn.tasks import DetectionModel
+
+    model = DetectionModel("yolov8n.yaml")
+    params = model.fuse(model.init(0))
+    p = BasePredictor(
+        model, params,
+        overrides={"conf": 0.001, "imgsz": 96, "save": True, "save_txt": True, "save_conf": True,
+                   "project": str(tmp_path), "name": "pred", "exist_ok": True, "verbose": False},
+        names=model.names,
+    )
+    results = p(str(ds / "images/train/0.png"))
+    assert len(results) == 1
+    assert (tmp_path / "pred" / "0.jpg").exists()
+    if len(results[0]):
+        assert (tmp_path / "pred" / "labels" / "0.txt").exists()
+
+
+def test_trainer_direct_smoke(ds, tmp_path):
+    from yolo_tpu.engine.trainer import DetectionTrainer
+
+    t = DetectionTrainer(
+        overrides={"data": str(ds / "dataset.yaml"), "epochs": 1, "imgsz": 96, "batch": 4, "workers": 1,
+                   "mosaic": 0.0, "optimizer": "SGD", "lr0": 0.01, "amp": False, "val": False,
+                   "project": str(tmp_path), "name": "tr", "exist_ok": True}
+    )
+    t.train()
+    assert (tmp_path / "tr" / "weights" / "last.npz").exists()
+    assert (tmp_path / "tr" / "results.csv").exists()

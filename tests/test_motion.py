@@ -94,3 +94,33 @@ def test_reset_tracker_golden_parity():
         a, b = ours.get_track_info(), ref.get_track_info()
         assert np.allclose(a["bbox"], b["bbox"], atol=1e-6)
         assert a["reset_count"] == b["reset_count"]
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference oracle not present")
+def test_global_motion_detector_golden_parity():
+    """Deterministic cv2 pipelines → identical (is_motion, magnitude, reset) decisions."""
+    add_reference_to_path()
+    import cv2
+    from camera_motion_compensation.global_motion_detector import GlobalMotionDetector as RefDetector
+
+    from yolo_tpu.motion import GlobalMotionDetector
+
+    rng = np.random.default_rng(0)
+    base = np.full((240, 320), 30, np.uint8)
+    for _ in range(80):
+        x, y = int(rng.uniform(10, 310)), int(rng.uniform(10, 230))
+        cv2.circle(base, (x, y), int(rng.uniform(2, 7)), int(rng.uniform(80, 220)), -1)
+    frames = [cv2.cvtColor(base, cv2.COLOR_GRAY2BGR)]
+    for k in (5, 12, 40, 42, 45, 0, 0):  # mixed small/large pans
+        M = np.float32([[1, 0, -k], [0, 1, 0]])
+        frames.append(cv2.cvtColor(cv2.warpAffine(base, M, (320, 240)), cv2.COLOR_GRAY2BGR))
+
+    ours = GlobalMotionDetector("optical_flow")
+    ref = RefDetector("optical_flow")
+    for f in frames:
+        a = ours.detect_motion(f.copy())
+        b = ref.detect_motion(f.copy())
+        assert a[0] == b[0] and a[3] == b[3], (a, b)
+        assert a[1] == pytest.approx(b[1], abs=1e-4)
+    assert ours.stats["motion_events"] == ref.stats["motion_events"]
+    assert ours.stats["reset_triggers"] == ref.stats["reset_triggers"]

@@ -14,7 +14,7 @@ from pathlib import Path
 
 import numpy as np
 
-from yolo_tpu.cfg import DEFAULT_CFG_DICT, get_cfg
+from yolo_tpu.cfg import DEFAULT_CFG_DICT
 from yolo_tpu.nn.tasks import DetectionModel
 from yolo_tpu.utils import LOGGER
 

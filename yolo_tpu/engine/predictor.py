@@ -110,17 +110,17 @@ class BasePredictor:
         frames = _iter_source(source, vid_stride=self.args.vid_stride)
         batch_imgs, batch_meta = [], []
         max_b = max(1, int(self.args.batch)) if self.args.batch and self.args.batch > 0 else 16
-        pending = []
-        for img, path, frame_info in frames:
-            batch_imgs.append(img)
-            batch_meta.append((path, frame_info))
-            if len(batch_imgs) >= max_b:
-                pending.append((batch_imgs, batch_meta))
-                batch_imgs, batch_meta = [], []
-            while pending:
-                yield from self._run_batch(*pending.pop(0))
-        if batch_imgs:
-            yield from self._run_batch(batch_imgs, batch_meta)
+        try:
+            for img, path, frame_info in frames:
+                batch_imgs.append(img)
+                batch_meta.append((path, frame_info))
+                if len(batch_imgs) >= max_b:
+                    yield from self._run_batch(batch_imgs, batch_meta)
+                    batch_imgs, batch_meta = [], []
+            if batch_imgs:
+                yield from self._run_batch(batch_imgs, batch_meta)
+        finally:
+            self.close()
 
     def _run_batch(self, imgs: list[np.ndarray], metas: list):
         import jax
@@ -164,7 +164,40 @@ class BasePredictor:
         if self.args.verbose:
             for r, (path, _) in zip(results, metas):
                 LOGGER.info(f"{path}: {len(r)} dets {r.speed['inference']:.1f}ms")
+        if self.args.save or self.args.save_txt:
+            self._write_results(results, metas)
         return results
+
+    def _write_results(self, results, metas):
+        """Persist annotated media / txt labels (ref: predictor write_results:368)."""
+        import cv2
+
+        from yolo_tpu.cfg import get_save_dir
+
+        if getattr(self, "save_dir", None) is None:
+            self.save_dir = get_save_dir(self.args)
+            self.save_dir.mkdir(parents=True, exist_ok=True)
+            self._vid_writers = {}
+        for r, (path, frame_idx) in zip(results, metas):
+            stem = Path(str(path)).stem or "image"
+            if self.args.save_txt:
+                r.save_txt(self.save_dir / "labels" / f"{stem}.txt", save_conf=self.args.save_conf)
+            if self.args.save:
+                annotated = r.plot(line_width=self.args.line_width, labels=self.args.show_labels)
+                suffix = Path(str(path)).suffix.lower().lstrip(".")
+                if suffix in VID_FORMATS:  # accumulate into a video writer per source
+                    if path not in self._vid_writers:
+                        h, w = annotated.shape[:2]
+                        out_path = str(self.save_dir / f"{stem}.mp4")
+                        self._vid_writers[path] = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"), 30, (w, h))
+                    self._vid_writers[path].write(annotated)
+                else:
+                    cv2.imwrite(str(self.save_dir / f"{stem}.jpg"), annotated)
+
+    def close(self):
+        for w in getattr(self, "_vid_writers", {}).values():
+            w.release()
+        self._vid_writers = {}
 
 
 def _iter_source(source, vid_stride: int = 1):

@@ -56,6 +56,7 @@ class DetectionValidator:
 
         metrics = DetMetrics(names=getattr(model, "names", {}))
         cm = ConfusionMatrix(nc=model.nc)
+        self._json_dets = []  # COCO-style rows when save_json (ref: detect/val.py pred_to_json)
         n_img = 0
         t0 = time.time()
         last_shape = None
@@ -85,6 +86,18 @@ class DetectionValidator:
                 tp = match_predictions(pboxes, pcls, gt_boxes, gt_cls, self.iou_thresholds)
                 metrics.update(tp, pconf, pcls, gt_cls)
                 cm.process_batch(pboxes, pconf, pcls, gt_boxes, gt_cls)
+                if self.args.save_json:
+                    from yolo_tpu.ops.boxes import xyxy2xywh
+
+                    for b, s, c in zip(np.asarray(xyxy2xywh(pboxes)), pconf, pcls):
+                        self._json_dets.append(
+                            {
+                                "image_id": meta.get("im_file") or n_img,
+                                "category_id": int(c),
+                                "bbox": [round(float(v), 3) for v in [b[0] - b[2] / 2, b[1] - b[3] / 2, b[2], b[3]]],
+                                "score": round(float(s), 5),
+                            }
+                        )
                 n_img += 1
         results = metrics.process()
         dt = time.time() - t0
@@ -94,4 +107,23 @@ class DetectionValidator:
         )
         self.confusion_matrix = cm
         self.metrics = metrics
+        if self.args.save_json and self._json_dets:
+            import json
+
+            from yolo_tpu.cfg import get_save_dir
+
+            save_dir = get_save_dir(self.args, name="val")
+            save_dir.mkdir(parents=True, exist_ok=True)
+            (save_dir / "predictions.json").write_text(json.dumps(self._json_dets))
+            LOGGER.info(f"saved {save_dir / 'predictions.json'}")
+        if self.args.plots:
+            try:
+                from yolo_tpu.cfg import get_save_dir
+                from yolo_tpu.utils.plotting import plot_confusion_matrix
+
+                save_dir = get_save_dir(self.args, name="val")
+                save_dir.mkdir(parents=True, exist_ok=True)
+                plot_confusion_matrix(cm.matrix, names=getattr(model, "names", {}), save_path=save_dir / "confusion_matrix.png")
+            except Exception as e:
+                LOGGER.warning(f"plotting failed: {e}")
         return results

@@ -21,8 +21,6 @@ def center_max_value(roi):
 
 def center_mean_window(roi, win: int = 5):
     """Method 2: center of the win×win window with max mean gray."""
-    from yolo_tpu.grayscale.scoring import gradient_window_scores
-
     w = np.lib.stride_tricks.sliding_window_view(roi.astype(np.float32), (win, win))
     means = w.mean(axis=(-2, -1))
     iy, ix = np.unravel_index(int(np.argmax(means)), means.shape)

@@ -10,7 +10,6 @@ torch_safe_load:1404, attempt_load_one_weight) — ours targets a JAX pytree.
 
 from __future__ import annotations
 
-from pathlib import Path
 
 import jax
 import jax.numpy as jnp

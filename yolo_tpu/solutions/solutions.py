@@ -4,7 +4,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from yolo_tpu.utils import LOGGER
 
 
 class BaseSolution:
