@@ -45,11 +45,19 @@ def make_clip(n_frames: int, h: int = 512, w: int = 640, seed: int = 0):
 
 
 def main():
+    # persistent compile cache (helps repeat runs when the backend honors it)
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", os.getenv("JAX_CACHE_DIR", "/tmp/jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
     from yolo_tpu.nn.tasks import DetectionModel
     from yolo_tpu.pipeline import FusedDetectTrack
 
     n_frames = int(os.getenv("BENCH_FRAMES", "3612"))
-    chunk = int(os.getenv("BENCH_CHUNK", "128"))
+    chunk = int(os.getenv("BENCH_CHUNK", "256"))
     h, w = 512, 640
 
     model = DetectionModel("yolov8-small.yaml")

@@ -124,3 +124,30 @@ def test_global_motion_detector_golden_parity():
         assert a[1] == pytest.approx(b[1], abs=1e-4)
     assert ours.stats["motion_events"] == ref.stats["motion_events"]
     assert ours.stats["reset_triggers"] == ref.stats["reset_triggers"]
+
+
+def test_motion_method_comparison_harness(tmp_path):
+    import cv2
+
+    from yolo_tpu.motion.compare import compare_motion_methods
+
+    vid = tmp_path / "clip.mp4"
+    vw = cv2.VideoWriter(str(vid), cv2.VideoWriter_fourcc(*"mp4v"), 30, (320, 240))
+    rng = np.random.default_rng(0)
+    base = np.full((240, 320), 30, np.uint8)
+    for _ in range(60):
+        x, y = int(rng.uniform(10, 310)), int(rng.uniform(10, 230))
+        cv2.circle(base, (x, y), int(rng.uniform(3, 8)), int(rng.uniform(90, 210)), -1)
+    for f in range(20):
+        M = np.float32([[1, 0, -2 * f], [0, 1, 0]])
+        vw.write(cv2.cvtColor(cv2.warpAffine(base, M, (320, 240)), cv2.COLOR_GRAY2BGR))
+    vw.release()
+
+    def det(frame):
+        return [[100, 100, 120, 115, 0.9]]
+
+    out = compare_motion_methods(vid, det, max_frames=20, report_path=tmp_path / "report.txt")
+    assert set(out["results"]) == {"optical_flow", "feature_matching", "hybrid"}
+    assert out["recommended"] in out["results"]
+    text = (tmp_path / "report.txt").read_text()
+    assert "Recommended method" in text and "FPS" in text

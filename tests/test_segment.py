@@ -85,3 +85,40 @@ def test_segment_predict_e2e():
     assert hasattr(r, "masks")
     if len(r.boxes):
         assert r.masks.data.shape == (len(r.boxes), 96, 128)
+
+
+def test_segment_training_step(tmp_path):
+    """Segment trainer: polygons → overlap maps → seg loss; short run stays finite."""
+    import cv2
+
+    root = tmp_path / "segds"
+    (root / "images/train").mkdir(parents=True)
+    (root / "labels/train").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        img = rng.normal(40, 6, (96, 96, 3)).clip(0, 255).astype(np.uint8)
+        cx, cy, r = rng.uniform(0.3, 0.7), rng.uniform(0.3, 0.7), 0.12
+        cv2.circle(img, (int(cx * 96), int(cy * 96)), int(r * 96), (250,) * 3, -1)
+        # polygon approximating the circle (normalized)
+        ang = np.linspace(0, 2 * np.pi, 12, endpoint=False)
+        poly = np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)], -1).clip(0, 1)
+        cv2.imwrite(str(root / f"images/train/{i}.png"), img)
+        (root / f"labels/train/{i}.txt").write_text("0 " + " ".join(f"{v:.4f}" for v in poly.flatten()) + "\n")
+    (root / "dataset.yaml").write_text(f"path: {root}\ntrain: images/train\nval: images/train\nnames: {{0: t}}\n")
+
+    from yolo_tpu import YOLO
+
+    m = YOLO("yolov8n-seg.yaml")
+    metrics = m.train(
+        data=str(root / "dataset.yaml"), epochs=2, imgsz=96, batch=4, workers=1, mosaic=0.0,
+        optimizer="AdamW", lr0=0.002, amp=False, val=True,
+        project=str(tmp_path / "runs"), name="seg", exist_ok=True,
+    )
+    import csv
+
+    rows = list(csv.DictReader(open(tmp_path / "runs" / "seg" / "results.csv")))
+    assert len(rows) == 2
+    for r in rows:
+        for k in ("train/box_loss", "train/seg_loss", "train/cls_loss", "train/dfl_loss"):
+            assert np.isfinite(float(r[k])), (k, r[k])
+    assert m.model.task == "segment" and m.model.nc == 1

@@ -284,4 +284,10 @@ class ValTransforms:
         if len(b):
             b[:, [0, 2]] += pad[0]
             b[:, [1, 3]] += pad[1]
-        return {**labels, "img": img, "bboxes": b, "ratio_pad": (ratio, pad)}
+        out = {**labels, "img": img, "bboxes": b, "ratio_pad": (ratio, pad)}
+        if labels.get("segments"):
+            out["segments"] = [
+                sg * ratio[0] + np.array([pad[0], pad[1]], np.float32) if sg is not None else None
+                for sg in labels["segments"]
+            ]
+        return out

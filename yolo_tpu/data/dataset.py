@@ -95,7 +95,13 @@ class YOLODataset:
             try:
                 raw = json.loads(cache_path.read_text())
                 return [
-                    {"cls": np.array(r["cls"], np.float32), "bboxes": np.array(r["bboxes"], np.float32).reshape(-1, 4)}
+                    {
+                        "cls": np.array(r["cls"], np.float32),
+                        "bboxes": np.array(r["bboxes"], np.float32).reshape(-1, 4),
+                        "segments": [np.array(sg, np.float32).reshape(-1, 2) if sg is not None else None for sg in r["segments"]]
+                        if r.get("segments")
+                        else None,
+                    }
                     for r in raw
                 ]
             except Exception:
@@ -103,22 +109,45 @@ class YOLODataset:
         labels = []
         n_missing = 0
         for lf in label_files:
-            cls, boxes = [], []
+            cls, boxes, segments = [], [], []
             if Path(lf).exists():
                 for line in Path(lf).read_text().splitlines():
                     parts = line.split()
-                    if len(parts) >= 5:
+                    if len(parts) >= 9 and len(parts) % 2 == 1:  # segment row: cls + polygon
+                        cls.append(0.0 if self.single_cls else float(parts[0]))
+                        poly = np.array([float(x) for x in parts[1:]], np.float32).reshape(-1, 2)
+                        segments.append(poly)
+                        x1, y1 = poly.min(0)
+                        x2, y2 = poly.max(0)
+                        boxes.append([(x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1])
+                    elif len(parts) >= 5:
                         cls.append(0.0 if self.single_cls else float(parts[0]))
                         boxes.append([float(x) for x in parts[1:5]])
+                        segments.append(None)
             else:
                 n_missing += 1
-            labels.append({"cls": np.array(cls, np.float32), "bboxes": np.array(boxes, np.float32).reshape(-1, 4)})
+            labels.append({
+                "cls": np.array(cls, np.float32),
+                "bboxes": np.array(boxes, np.float32).reshape(-1, 4),
+                "segments": segments if any(sg is not None for sg in segments) else None,
+            })
         if n_missing:
             LOGGER.warning(f"{n_missing}/{len(label_files)} label files missing (treated as background)")
         if cache:
             try:
                 cache_path.write_text(
-                    json.dumps([{"cls": l["cls"].tolist(), "bboxes": l["bboxes"].tolist()} for l in labels])
+                    json.dumps(
+                        [
+                            {
+                                "cls": l["cls"].tolist(),
+                                "bboxes": l["bboxes"].tolist(),
+                                "segments": [sg.tolist() if sg is not None else None for sg in l["segments"]]
+                                if l.get("segments")
+                                else None,
+                            }
+                            for l in labels
+                        ]
+                    )
                 )
             except OSError:
                 pass
@@ -139,7 +168,10 @@ class YOLODataset:
         from yolo_tpu.ops.boxes import xywhn2xyxy
 
         bboxes = xywhn2xyxy(lb["bboxes"], w=w, h=h) if len(lb["bboxes"]) else np.zeros((0, 4), np.float32)
-        return {"img": img, "cls": lb["cls"].copy(), "bboxes": np.asarray(bboxes, np.float32), "shape": (h, w), "im_file": self.im_files[i]}
+        out = {"img": img, "cls": lb["cls"].copy(), "bboxes": np.asarray(bboxes, np.float32), "shape": (h, w), "im_file": self.im_files[i]}
+        if lb.get("segments"):
+            out["segments"] = [sg * np.array([w, h], np.float32) if sg is not None else None for sg in lb["segments"]]
+        return out
 
     def __getitem__(self, i: int) -> dict:
         return self.transforms(self.load_raw(i))
@@ -174,4 +206,20 @@ def collate_batch(samples: list[dict], max_boxes: int = 64):
             bboxes[i, :n] = np.asarray(xyxy2xywhn(s["bboxes"][:n], w=W, h=H), np.float32)
             mask[i, :n] = 1.0
         meta.append({"im_file": s.get("im_file"), "shape": s.get("shape"), "ratio_pad": s.get("ratio_pad")})
-    return {"img": imgs, "cls": cls, "bboxes": bboxes, "mask_gt": mask, "meta": meta}
+    batch = {"img": imgs, "cls": cls, "bboxes": bboxes, "mask_gt": mask, "meta": meta}
+    if any(s.get("segments") for s in samples):
+        # overlap-index instance map at proto (stride-4) resolution; instance
+        # value = padded label row + 1 (the loss gathers gt masks by that index)
+        import cv2
+
+        mh, mw = H // 4, W // 4
+        maps = np.zeros((B, mh, mw), np.float32)
+        for i, s in enumerate(samples):
+            segs = s.get("segments") or []
+            for j, sg in enumerate(segs[:max_boxes]):
+                if sg is None or len(sg) < 3:
+                    continue
+                pts = np.round(sg / 4.0).astype(np.int32)
+                cv2.fillPoly(maps[i], [pts], float(j + 1))
+        batch["masks"] = maps
+    return batch

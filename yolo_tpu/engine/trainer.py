@@ -77,12 +77,12 @@ class DetectionTrainer:
             self.model = DetectionModel(self.args.model or "yolov8n.yaml", nc=nc)
             self.params = self.model.init(self.args.seed)
         if self.data and self.model.nc != self.data["nc"]:
-            self.model = DetectionModel(self.model.yaml, nc=self.data["nc"])
+            self.model = type(self.model)(self.model.yaml, nc=self.data["nc"])  # keep task subclass
             self.params = self.model.init(self.args.seed)
         if self.data:
             self.model.names = self.data["names"]
 
-        self.loss_fn = v8DetectionLoss(self.model, self.args)
+        self.loss_fn = self._make_loss()
         self.stopper = EarlyStopping(self.args.patience)
         self.start_epoch = 0
         self._check_resume()
@@ -104,9 +104,16 @@ class DetectionTrainer:
         if not ckpt.exists():
             raise FileNotFoundError(f"resume checkpoint not found: {ckpt}")
         self.model, self.params, meta = load_npz(ckpt)
-        self.loss_fn = v8DetectionLoss(self.model, self.args)
+        self.loss_fn = self._make_loss()
         self.start_epoch = int(meta.get("epoch", -1)) + 1
         LOGGER.info(f"resuming from {ckpt} at epoch {self.start_epoch}")
+
+    def _make_loss(self):
+        if getattr(self.model, "task", "detect") == "segment":
+            from yolo_tpu.utils.loss import v8SegmentationLoss
+
+            return v8SegmentationLoss(self.model, self.args)
+        return v8DetectionLoss(self.model, self.args)
 
     # --- optimizer ----------------------------------------------------------------
 
@@ -254,7 +261,9 @@ class DetectionTrainer:
         csv_rows = []
         t_train = time.time()
         ni = self.start_epoch * nb
-        last_comps = np.zeros(3)
+        n_comp = 4 if getattr(self.model, "task", "detect") == "segment" else 3
+        comp_names = ["box", "seg", "cls", "dfl"] if n_comp == 4 else ["box", "cls", "dfl"]
+        last_comps = np.zeros(n_comp)
         for epoch in range(self.start_epoch, args.epochs):
             run_callbacks(self.callbacks, "on_train_epoch_start", self)
             self.epoch = epoch
@@ -296,17 +305,15 @@ class DetectionTrainer:
                     self.best_fitness = fitness
                     self.best_params = jax.device_get(ema_params)
                     self.save_checkpoint(self.wdir / "best.npz", ema_params)
+            comp_str = " ".join(f"{nme} {v:.4f}" for nme, v in zip(comp_names, last_comps))
             LOGGER.info(
-                f"epoch {epoch + 1}/{args.epochs} box {last_comps[0]:.4f} cls {last_comps[1]:.4f} "
-                f"dfl {last_comps[2]:.4f} lr {lr_epoch:.5f} {self.epoch_time:.1f}s"
+                f"epoch {epoch + 1}/{args.epochs} {comp_str} lr {lr_epoch:.5f} {self.epoch_time:.1f}s"
                 + (f" fitness {fitness:.4f}" if fitness is not None else "")
             )
             row = {
                 "epoch": epoch,
                 "time": time.time() - t_train,
-                "train/box_loss": float(last_comps[0]),
-                "train/cls_loss": float(last_comps[1]),
-                "train/dfl_loss": float(last_comps[2]),
+                **{f"train/{nme}_loss": float(v) for nme, v in zip(comp_names, last_comps)},
                 "lr": lr_epoch,
                 **{f"metrics/{k}": v for k, v in (self.metrics or {}).items()},
             }
@@ -329,6 +336,27 @@ class DetectionTrainer:
         return self.metrics
 
     def validate(self, params):
+        if getattr(self.model, "task", "detect") == "segment":
+            # box-mAP validation of the segment model's detection outputs
+            from yolo_tpu.engine.validator import DetectionValidator
+
+            class _DetView:
+                """Detection view of a segmentation model (drop protos)."""
+
+                def __init__(self, seg):
+                    self._seg = seg
+                    self.nc = seg.nc
+                    self.stride = seg.stride
+                    self.names = seg.names
+
+                def predict(self, params, x, dtype=None):
+                    import jax.numpy as jnp
+
+                    preds, _ = self._seg.predict(params, x, dtype=dtype or jnp.float32)
+                    return preds[:, : 4 + self.nc]
+
+            v = DetectionValidator(args={**vars(self.args), "mode": "val"}, data=self.data)
+            return v(model=_DetView(self.model), params=params)
         from yolo_tpu.engine.validator import DetectionValidator
 
         v = DetectionValidator(args={**vars(self.args), "mode": "val"}, data=self.data)

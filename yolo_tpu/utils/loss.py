@@ -108,3 +108,108 @@ class v8DetectionLoss:
             [loss_iou * self.hyp.box, loss_cls * self.hyp.cls, loss_dfl * self.hyp.dfl]
         )
         return loss.sum() * B, jax.lax.stop_gradient(loss)
+
+
+class v8SegmentationLoss(v8DetectionLoss):
+    """Detection loss + prototype-mask BCE (ref: utils/loss.py v8SegmentationLoss:302).
+
+    TPU adaptation: the reference computes mask BCE only on the (dynamic) set of
+    foreground anchors; here the top `max_fg` foreground anchors per image (by
+    target score) are gathered into a fixed slot tensor and masked — same math,
+    static shapes. gt masks arrive as an overlap-index map (B, h, w) where pixel
+    value k>0 marks instance k-1 (the reference's overlap_mask=True encoding).
+    """
+
+    def __init__(self, model, hyp, tal_topk: int = 10, max_fg: int = 64):
+        super().__init__(model, hyp, tal_topk)
+        self.nm = model.head.nm
+        self.max_fg = max_fg
+
+    def __call__(self, preds, batch):
+        import jax
+        import jax.numpy as jnp
+
+        det_outs, mask_outs, protos = preds
+        B = det_outs[0].shape[0]
+        flat = jnp.concatenate([f.reshape(B, -1, self.no) for f in det_outs], axis=1).astype(jnp.float32)
+        pred_distri, pred_scores = flat[..., : self.reg_max * 4], flat[..., self.reg_max * 4 :]
+        pred_masks = jnp.concatenate([m.reshape(B, -1, self.nm) for m in mask_outs], axis=1).astype(jnp.float32)
+
+        feat_shapes = [(f.shape[1], f.shape[2]) for f in det_outs]
+        anchor_points, stride_tensor = make_anchors(feat_shapes, self.stride, 0.5)
+        anchor_points = jnp.asarray(anchor_points)
+        stride_tensor = jnp.asarray(stride_tensor)
+        imgsz = jnp.array([feat_shapes[0][0] * self.stride[0], feat_shapes[0][1] * self.stride[0]], jnp.float32)
+
+        gt_labels = batch["cls"][..., None].astype(jnp.int32)
+        scale = jnp.array([imgsz[1], imgsz[0], imgsz[1], imgsz[0]], jnp.float32)
+        gt_bboxes = xywh2xyxy(batch["bboxes"] * scale)
+        mask_gt = batch["mask_gt"][..., None].astype(jnp.float32)
+        gt_bboxes = gt_bboxes * mask_gt
+
+        b, a, _ = pred_distri.shape
+        dist = jax.nn.softmax(pred_distri.reshape(b, a, 4, self.reg_max), axis=-1) @ self.proj
+        pred_bboxes = dist2bbox(dist, anchor_points[None], xywh=False, axis=-1)
+
+        _, target_bboxes, target_scores, fg_mask, target_gt_idx = self.assigner(
+            jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
+            jax.lax.stop_gradient(pred_bboxes) * stride_tensor[None],
+            anchor_points * stride_tensor,
+            gt_labels,
+            gt_bboxes,
+            mask_gt,
+        )
+        target_scores_sum = jnp.maximum(target_scores.sum(), 1.0)
+
+        bce = jnp.clip(pred_scores, 0, None) - pred_scores * target_scores + jnp.log1p(jnp.exp(-jnp.abs(pred_scores)))
+        loss_cls = bce.sum() / target_scores_sum
+
+        fg = fg_mask.astype(jnp.float32)
+        weight = target_scores.sum(-1) * fg
+        target_bboxes_g = target_bboxes / stride_tensor[None]
+        iou = bbox_iou(pred_bboxes, target_bboxes_g, xywh=False, CIoU=True)
+        loss_iou = (((1.0 - iou) * weight) * fg).sum() / target_scores_sum
+        target_ltrb = bbox2dist(anchor_points[None], target_bboxes_g, self.reg_max - 1)
+        dfl = _df_loss(pred_distri.reshape(b, a, 4, self.reg_max), target_ltrb)
+        loss_dfl = ((dfl * weight) * fg).sum() / target_scores_sum
+
+        # --- mask loss over the top-max_fg foreground slots ------------------------
+        gt_masks = batch["masks"].astype(jnp.float32)  # (B, mh, mw) overlap-index map
+        mh, mw = protos.shape[1], protos.shape[2]
+        if gt_masks.shape[1:] != (mh, mw):  # nearest downsample to proto resolution
+            sy = gt_masks.shape[1] // mh
+            sx = gt_masks.shape[2] // mw
+            gt_masks = gt_masks[:, ::sy, ::sx][:, :mh, :mw]
+
+        score_for_rank = jnp.where(fg_mask, target_scores.sum(-1), -1.0)
+        _, slot_idx = jax.lax.top_k(score_for_rank, self.max_fg)  # (B, max_fg)
+        slot_valid = jnp.take_along_axis(fg_mask, slot_idx, axis=1)  # (B, max_fg)
+
+        coefs = jnp.take_along_axis(pred_masks, slot_idx[..., None], axis=1)  # (B, M, nm)
+        tb = jnp.take_along_axis(target_bboxes, slot_idx[..., None], axis=1)  # (B, M, 4) px
+        tgi = jnp.take_along_axis(target_gt_idx, slot_idx, axis=1)  # (B, M)
+
+        # per-slot gt mask from the overlap map
+        inst = (tgi + 1).astype(jnp.float32)  # overlap encoding is 1-based
+        gt_m = (gt_masks[:, None] == inst[..., None, None]).astype(jnp.float32)  # (B, M, mh, mw)
+
+        proto_flat = protos.reshape(B, mh * mw, self.nm)  # NHWC → (B, hw, nm)
+        pred_m = jnp.einsum("bmn,bhn->bmh", coefs, proto_flat).reshape(B, self.max_fg, mh, mw)
+
+        mask_bce = jnp.clip(pred_m, 0, None) - pred_m * gt_m + jnp.log1p(jnp.exp(-jnp.abs(pred_m)))
+        # crop to target box in mask coords
+        bx = tb * jnp.array([mw, mh, mw, mh], jnp.float32) / jnp.array([imgsz[1], imgsz[0], imgsz[1], imgsz[0]])
+        ys = jnp.arange(mh, dtype=jnp.float32)[None, None, :, None]
+        xs = jnp.arange(mw, dtype=jnp.float32)[None, None, None, :]
+        inside = (xs >= bx[..., 0:1, None]) & (xs < bx[..., 2:3, None]) & (ys >= bx[..., 1:2, None]) & (ys < bx[..., 3:4, None])
+        # normalized box area (like reference: xyxyn area * mask area denominator)
+        wn = (tb[..., 2] - tb[..., 0]) / imgsz[1]
+        hn = (tb[..., 3] - tb[..., 1]) / imgsz[0]
+        area = jnp.maximum(wn * hn * mh * mw, 1.0)
+        per_slot = (mask_bce * inside).mean((-2, -1)) * (mh * mw) / area  # crop-mean / area
+        loss_seg = (per_slot * slot_valid).sum() / jnp.maximum(fg.sum(), 1.0)
+
+        loss = jnp.stack(
+            [loss_iou * self.hyp.box, loss_seg * self.hyp.box, loss_cls * self.hyp.cls, loss_dfl * self.hyp.dfl]
+        )
+        return loss.sum() * B, jax.lax.stop_gradient(loss)
