@@ -195,3 +195,117 @@ class Masks:
 
     def numpy(self):
         return self
+
+
+class Keypoints:
+    """Keypoints container (ref: engine/results.py Keypoints:1172).
+
+    data: (N, nkpt, 2|3) — x, y [, visibility] in original-image pixels.
+    """
+
+    def __init__(self, keypoints: np.ndarray, orig_shape):
+        self.data = np.asarray(keypoints, np.float32)
+        self.orig_shape = orig_shape
+
+    def __len__(self):
+        return len(self.data)
+
+    def __getitem__(self, idx):
+        return Keypoints(self.data[idx], self.orig_shape)
+
+    @property
+    def xy(self):
+        return self.data[..., :2]
+
+    @property
+    def xyn(self):
+        h, w = self.orig_shape
+        return self.xy / np.array([w, h], np.float32)
+
+    @property
+    def conf(self):
+        return self.data[..., 2] if self.data.shape[-1] == 3 else None
+
+    def cpu(self):
+        return self
+
+    def numpy(self):
+        return self
+
+
+class Probs:
+    """Classification probabilities (ref: engine/results.py Probs:1293)."""
+
+    def __init__(self, probs: np.ndarray):
+        self.data = np.asarray(probs, np.float32)
+
+    @property
+    def top1(self) -> int:
+        return int(np.argmax(self.data))
+
+    @property
+    def top5(self):
+        return np.argsort(-self.data)[:5].tolist()
+
+    @property
+    def top1conf(self) -> float:
+        return float(self.data[self.top1])
+
+    @property
+    def top5conf(self):
+        return self.data[self.top5]
+
+    def cpu(self):
+        return self
+
+    def numpy(self):
+        return self
+
+
+class OBBoxes:
+    """Oriented boxes container (ref: engine/results.py OBB:1434).
+
+    data: (N, 7) [cx, cy, w, h, angle, conf, cls] — angle in radians.
+    """
+
+    def __init__(self, data: np.ndarray, orig_shape):
+        self.data = np.asarray(data, np.float32).reshape(-1, 7)
+        self.orig_shape = orig_shape
+
+    def __len__(self):
+        return len(self.data)
+
+    @property
+    def xywhr(self):
+        return self.data[:, :5]
+
+    @property
+    def conf(self):
+        return self.data[:, 5]
+
+    @property
+    def cls(self):
+        return self.data[:, 6]
+
+    @property
+    def xyxyxyxy(self):
+        """Corner representation (N, 4, 2)."""
+        cx, cy, w, h, a = (self.data[:, i] for i in range(5))
+        cos, sin = np.cos(a), np.sin(a)
+        dx = np.stack([w / 2, w / 2, -w / 2, -w / 2], -1)
+        dy = np.stack([h / 2, -h / 2, -h / 2, h / 2], -1)
+        x = cx[:, None] + dx * cos[:, None] - dy * sin[:, None]
+        y = cy[:, None] + dx * sin[:, None] + dy * cos[:, None]
+        return np.stack([x, y], -1)
+
+    @property
+    def xyxy(self):
+        """Axis-aligned envelope of the rotated box."""
+        c = self.xyxyxyxy
+        return np.concatenate([c.min(1), c.max(1)], -1)
+
+    def cpu(self):
+        return self
+
+    def numpy(self):
+        return self

@@ -80,6 +80,9 @@ class ConvBNAct:
 
     def __call__(self, p, x, ctx: Ctx, path: str = ""):
         w = p["conv"]["weight"].astype(ctx.dtype)
+        # same-dtype in/out (a mixed preferred_element_type breaks the conv
+        # transpose rule under grad); the MXU still accumulates bf16 in f32,
+        # and BN/bias math below runs in f32 explicitly
         y = jax.lax.conv_general_dilated(
             x.astype(ctx.dtype),
             w,
@@ -88,8 +91,7 @@ class ConvBNAct:
             rhs_dilation=(self.d, self.d),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=self.g,
-            preferred_element_type=jnp.float32,
-        )
+        ).astype(jnp.float32)
         if "bn" in p:
             bn = p["bn"]
             if ctx.train:
@@ -151,8 +153,7 @@ class Conv2d:
             window_strides=(self.s, self.s),
             padding=[(self.p, self.p), (self.p, self.p)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-        )
+        ).astype(jnp.float32)
         return (y + p["bias"]).astype(ctx.dtype)
 
 
