@@ -50,3 +50,26 @@ def test_speed_estimator_reports_positive_speed():
         out = se.process(f)
     speeds = list(out["speeds"].values())
     assert speeds and speeds[0] > 100  # 24 px/frame * 30fps = 720 px/s
+
+
+def test_queue_manager_counts_inside_region():
+    from yolo_tpu.solutions import QueueManager
+
+    qm = QueueManager(model=StubModel(), region=[(250, 0), (400, 0), (400, 480), (250, 480)])
+    out = None
+    for f in frames(6):
+        out = qm.process(f)
+    assert out["queue_count"] == 1  # target at x≈300-340 stays inside
+    assert out["max_queue"] >= 1
+
+
+def test_region_counter_multiple_regions():
+    from yolo_tpu.solutions import RegionCounter
+
+    rc = RegionCounter(
+        model=StubModel(),
+        regions={"left": [(0, 0), (200, 0), (200, 480), (0, 480)], "right": [(200, 0), (640, 0), (640, 480), (200, 480)]},
+    )
+    out = rc.process(frames(1)[0])
+    assert out["region_counts"]["right"] == 1
+    assert out["region_counts"]["left"] == 0

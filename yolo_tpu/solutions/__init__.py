@@ -9,5 +9,6 @@ from yolo_tpu.solutions.solutions import BaseSolution
 from yolo_tpu.solutions.object_counter import ObjectCounter
 from yolo_tpu.solutions.heatmap import Heatmap
 from yolo_tpu.solutions.speed_estimator import SpeedEstimator
+from yolo_tpu.solutions.queue_manager import QueueManager, RegionCounter
 
-__all__ = ["BaseSolution", "ObjectCounter", "Heatmap", "SpeedEstimator"]
+__all__ = ["BaseSolution", "ObjectCounter", "Heatmap", "SpeedEstimator", "QueueManager", "RegionCounter"]
