@@ -360,7 +360,7 @@ class Detect:
             outs.append(jnp.concatenate([b, c], axis=-1))
         return outs
 
-    def decode(self, p, outs, img_hw=None):
+    def decode(self, p, outs, img_hw=None, xywh: bool = True):
         """Fused DFL decode → (B, 4+nc, A) xywh-in-pixels + sigmoid cls.
 
         Equivalent of Detect._inference (ref: head.py:152) but with anchors as
@@ -379,7 +379,7 @@ class Detect:
         b, a, _ = box.shape
         proj = p["dfl"]["conv"]["weight"].reshape(self.reg_max)
         dist = jax.nn.softmax(box.reshape(b, a, 4, self.reg_max).astype(jnp.float32), axis=-1) @ proj  # (B, A, 4)
-        dbox = dist2bbox(dist, anchors[None], xywh=True, axis=-1) * strides[None]
+        dbox = dist2bbox(dist, anchors[None], xywh=xywh, axis=-1) * strides[None]
         out = jnp.concatenate([dbox, jax.nn.sigmoid(cls.astype(jnp.float32))], axis=-1)  # (B, A, 4+nc)
         return jnp.swapaxes(out, 1, 2)  # (B, 4+nc, A) — reference output layout
 
@@ -791,3 +791,359 @@ class OBB(Detect):
         rbox = jnp.concatenate([xy, lt + rb], -1) * strides[None]
         out = jnp.concatenate([rbox, jax.nn.sigmoid(cls.astype(jnp.float32)), angle], axis=-1)
         return jnp.swapaxes(out, 1, 2)  # (B, 4+nc+1, A)
+
+
+# ---------------------------------------------------------------------------
+# YOLOv9 blocks (ref: conv.py RepConv:376; block.py RepBottleneck/RepCSP,
+# RepNCSPELAN4:897, ELAN1, AConv, ADown:972, SPPELAN:998)
+# ---------------------------------------------------------------------------
+
+
+class RepConv:
+    """Re-parameterizable conv: 3x3 + 1x1 (+ identity BN) branches summed, SiLU.
+
+    Train-time structure matches torch (conv1/conv2 children); fuse() collapses
+    to a single conv like the reference's fuse_convs.
+    """
+
+    def __init__(self, c1, c2, k=3, s=1, p=1, g=1, d=1, act=True, bn=False):
+        assert k == 3 and p == 1
+        self.c1, self.c2, self.k, self.s, self.g = c1, c2, k, s, g
+        self.act = act
+        self.has_id_bn = bn and c2 == c1 and s == 1
+        self.conv1 = ConvBNAct(c1, c2, k, s, p=p, g=g, act=False)
+        self.conv2 = ConvBNAct(c1, c2, 1, s, p=(p - k // 2), g=g, act=False)
+
+    def init(self, rng):
+        p = {"conv1": self.conv1.init(rng), "conv2": self.conv2.init(rng)}
+        if self.has_id_bn:
+            p["bn"] = {
+                "weight": np.ones((self.c1,), np.float32),
+                "bias": np.zeros((self.c1,), np.float32),
+                "running_mean": np.zeros((self.c1,), np.float32),
+                "running_var": np.ones((self.c1,), np.float32),
+            }
+        return p
+
+    def __call__(self, p, x, ctx, path=""):
+        if "conv" in p:  # fused
+            y = jax.lax.conv_general_dilated(
+                x.astype(ctx.dtype), p["conv"]["weight"].astype(ctx.dtype), (self.s, self.s),
+                [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=self.g,
+            ).astype(jnp.float32) + p["conv"]["bias"]
+        else:
+            y = self.conv1(p["conv1"], x, ctx, f"{path}/conv1").astype(jnp.float32)
+            y = y + self.conv2(p["conv2"], x, ctx, f"{path}/conv2").astype(jnp.float32)
+            if self.has_id_bn and "bn" in p:
+                bn = p["bn"]
+                if ctx.train:
+                    mean = jnp.mean(x.astype(jnp.float32), (0, 1, 2))
+                    var = jnp.var(x.astype(jnp.float32), (0, 1, 2))
+                    n = x.shape[0] * x.shape[1] * x.shape[2]
+                    ctx.stats[f"{path}/bn"] = (jax.lax.stop_gradient(mean), jax.lax.stop_gradient(var), n)
+                else:
+                    mean, var = bn["running_mean"], bn["running_var"]
+                y = y + (x.astype(jnp.float32) - mean) * (bn["weight"] * jax.lax.rsqrt(var + BN_EPS)) + bn["bias"]
+        if self.act:
+            y = silu(y)
+        return y.astype(ctx.dtype)
+
+    def fuse(self, p):
+        """Collapse branches into one 3x3 conv (pad the 1x1 kernel to 3x3)."""
+        if "conv" in p:
+            return p
+        f1 = self.conv1.fuse(p["conv1"])["conv"]
+        f2 = self.conv2.fuse(p["conv2"])["conv"]
+        xp = np if isinstance(f1["weight"], np.ndarray) else jnp
+        w2 = xp.pad(f2["weight"], ((1, 1), (1, 1), (0, 0), (0, 0)))
+        w = f1["weight"] + w2
+        b = f1["bias"] + f2["bias"]
+        return {"conv": {"weight": w, "bias": b}}
+
+
+class RepBottleneck(Bottleneck):
+    """Bottleneck whose first conv is a RepConv (ref: block.py RepBottleneck)."""
+
+    def __init__(self, c1, c2, shortcut=True, g=1, k=(3, 3), e=0.5):
+        super().__init__(c1, c2, shortcut, g, k, e)
+        c_ = int(c2 * e)
+        self.cv1 = RepConv(c1, c_, 3, 1)
+
+
+class RepCSP(C3):
+    """C3 with RepBottleneck inner blocks (ref: block.py RepCSP)."""
+
+    def __init__(self, c1, c2, n=1, shortcut=True, g=1, e=0.5):
+        super().__init__(c1, c2, n, shortcut, g, e)
+        c_ = int(c2 * e)
+        self.m = [RepBottleneck(c_, c_, shortcut, g, e=1.0) for _ in range(n)]
+
+
+class _SeqN:
+    """n-submodule sequential with torch child names 0..n-1."""
+
+    def __init__(self, *mods):
+        self.mods = list(mods)
+
+    def init(self, rng):
+        return {str(i): m.init(rng) for i, m in enumerate(self.mods)}
+
+    def __call__(self, p, x, ctx, path=""):
+        for i, m in enumerate(self.mods):
+            x = m(p[str(i)], x, ctx, f"{path}/{i}")
+        return x
+
+
+class RepNCSPELAN4:
+    """GELAN block (ref: block.py RepNCSPELAN4:897)."""
+
+    def __init__(self, c1, c2, c3, c4, n=1):
+        self.c = c3 // 2
+        self.cv1 = ConvBNAct(c1, c3, 1, 1)
+        self.cv2 = _SeqN(RepCSP(c3 // 2, c4, n), ConvBNAct(c4, c4, 3, 1))
+        self.cv3 = _SeqN(RepCSP(c4, c4, n), ConvBNAct(c4, c4, 3, 1))
+        self.cv4 = ConvBNAct(c3 + 2 * c4, c2, 1, 1)
+
+    def init(self, rng):
+        return {"cv1": self.cv1.init(rng), "cv2": self.cv2.init(rng), "cv3": self.cv3.init(rng), "cv4": self.cv4.init(rng)}
+
+    def __call__(self, p, x, ctx, path=""):
+        y = self.cv1(p["cv1"], x, ctx, f"{path}/cv1")
+        parts = [y[..., : self.c], y[..., self.c :]]
+        parts.append(self.cv2(p["cv2"], parts[-1], ctx, f"{path}/cv2"))
+        parts.append(self.cv3(p["cv3"], parts[-1], ctx, f"{path}/cv3"))
+        return self.cv4(p["cv4"], jnp.concatenate(parts, -1), ctx, f"{path}/cv4")
+
+
+class ELAN1(RepNCSPELAN4):
+    """Light ELAN (ref: block.py ELAN1)."""
+
+    def __init__(self, c1, c2, c3, c4):
+        self.c = c3 // 2
+        self.cv1 = ConvBNAct(c1, c3, 1, 1)
+        self.cv2 = ConvBNAct(c3 // 2, c4, 3, 1)
+        self.cv3 = ConvBNAct(c4, c4, 3, 1)
+        self.cv4 = ConvBNAct(c3 + 2 * c4, c2, 1, 1)
+
+
+class AConv:
+    """AvgPool2 + stride-2 conv downsample (ref: block.py AConv)."""
+
+    def __init__(self, c1, c2):
+        self.cv1 = ConvBNAct(c1, c2, 3, 2, 1)
+
+    def init(self, rng):
+        return {"cv1": self.cv1.init(rng)}
+
+    @staticmethod
+    def _avgpool2(x):
+        # torch avg_pool2d(2, 1, 0, ceil_mode=False, count_include_pad=True)
+        return jax.lax.reduce_window(x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 1, 1, 1), "VALID") / 4.0
+
+    def __call__(self, p, x, ctx, path=""):
+        return self.cv1(p["cv1"], self._avgpool2(x.astype(jnp.float32)).astype(ctx.dtype), ctx, f"{path}/cv1")
+
+
+class ADown:
+    """Split downsample: avg+conv branch ∥ max+1x1 branch (ref: block.py ADown:972)."""
+
+    def __init__(self, c1, c2):
+        self.c = c2 // 2
+        self.cv1 = ConvBNAct(c1 // 2, self.c, 3, 2, 1)
+        self.cv2 = ConvBNAct(c1 // 2, self.c, 1, 1, 0)
+
+    def init(self, rng):
+        return {"cv1": self.cv1.init(rng), "cv2": self.cv2.init(rng)}
+
+    def __call__(self, p, x, ctx, path=""):
+        x = AConv._avgpool2(x.astype(jnp.float32)).astype(ctx.dtype)
+        half = x.shape[-1] // 2
+        x1, x2 = x[..., :half], x[..., half:]
+        x1 = self.cv1(p["cv1"], x1, ctx, f"{path}/cv1")
+        pad = 1
+        x2 = jax.lax.reduce_window(
+            x2, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), [(0, 0), (pad, pad), (pad, pad), (0, 0)]
+        )
+        x2 = self.cv2(p["cv2"], x2, ctx, f"{path}/cv2")
+        return jnp.concatenate([x1, x2], -1)
+
+
+class SPPELAN:
+    """SPP-ELAN (ref: block.py SPPELAN:998)."""
+
+    def __init__(self, c1, c2, c3, k=5):
+        self.c = c3
+        self.k = k
+        self.cv1 = ConvBNAct(c1, c3, 1, 1)
+        self.cv5 = ConvBNAct(4 * c3, c2, 1, 1)
+
+    def init(self, rng):
+        return {"cv1": self.cv1.init(rng), "cv5": self.cv5.init(rng)}
+
+    def _pool(self, x):
+        pad = self.k // 2
+        return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, self.k, self.k, 1), (1, 1, 1, 1), [(0, 0), (pad, pad), (pad, pad), (0, 0)])
+
+    def __call__(self, p, x, ctx, path=""):
+        y = [self.cv1(p["cv1"], x, ctx, f"{path}/cv1")]
+        for _ in range(3):
+            y.append(self._pool(y[-1]))
+        return self.cv5(p["cv5"], jnp.concatenate(y, -1), ctx, f"{path}/cv5")
+
+
+# ---------------------------------------------------------------------------
+# YOLOv10 blocks (ref: block.py CIB:1220, C2fCIB:1268, PSA:1417; head.py v10Detect:1183)
+# ---------------------------------------------------------------------------
+
+
+class CIB:
+    """Compact inverted block (ref: block.py CIB:1220). lk (RepVGGDW) variant of
+    v10l/x is not implemented yet — n/s/m/b use the plain depthwise middle."""
+
+    def __init__(self, c1, c2, shortcut=True, e=0.5, lk=False):
+        c_ = int(c2 * e)
+        self.seq = _SeqN(
+            ConvBNAct(c1, c1, 3, g=c1),
+            ConvBNAct(c1, 2 * c_, 1),
+            RepVGGDW(2 * c_) if lk else ConvBNAct(2 * c_, 2 * c_, 3, g=2 * c_),
+            ConvBNAct(2 * c_, c2, 1),
+            ConvBNAct(c2, c2, 3, g=c2),
+        )
+        self.add = shortcut and c1 == c2
+
+    def init(self, rng):
+        return {"cv1": self.seq.init(rng)}
+
+    def __call__(self, p, x, ctx, path=""):
+        y = self.seq(p["cv1"], x, ctx, f"{path}/cv1")
+        return x + y if self.add else y
+
+
+class C2fCIB(C2f):
+    """C2f with CIB inner blocks (ref: block.py C2fCIB:1268)."""
+
+    def __init__(self, c1, c2, n=1, shortcut=False, lk=False, g=1, e=0.5):
+        super().__init__(c1, c2, n, shortcut, g, e)
+        self.m = [CIB(self.c, self.c, shortcut, e=1.0, lk=lk) for _ in range(n)]
+
+
+class PSA:
+    """Position-sensitive attention block (ref: block.py PSA:1417) — single
+    attention+FFN over half the channels (C2PSA generalizes to n blocks)."""
+
+    def __init__(self, c1, c2, e=0.5):
+        assert c1 == c2
+        self.c = int(c1 * e)
+        self.cv1 = ConvBNAct(c1, 2 * self.c, 1, 1)
+        self.cv2 = ConvBNAct(2 * self.c, c1, 1)
+        self.attn = Attention(self.c, attn_ratio=0.5, num_heads=max(self.c // 64, 1))
+        self.ffn1 = ConvBNAct(self.c, self.c * 2, 1)
+        self.ffn2 = ConvBNAct(self.c * 2, self.c, 1, act=False)
+
+    def init(self, rng):
+        return {
+            "cv1": self.cv1.init(rng),
+            "cv2": self.cv2.init(rng),
+            "attn": self.attn.init(rng),
+            "ffn": {"0": self.ffn1.init(rng), "1": self.ffn2.init(rng)},
+        }
+
+    def __call__(self, p, x, ctx, path=""):
+        y = self.cv1(p["cv1"], x, ctx, f"{path}/cv1")
+        a, b = y[..., : self.c], y[..., self.c :]
+        b = b + self.attn(p["attn"], b, ctx, f"{path}/attn")
+        b = b + self.ffn2(p["ffn"]["1"], self.ffn1(p["ffn"]["0"], b, ctx, f"{path}/ffn/0"), ctx, f"{path}/ffn/1")
+        return self.cv2(p["cv2"], jnp.concatenate([a, b], -1), ctx, f"{path}/cv2")
+
+
+class v10Detect(Detect):
+    """End-to-end (NMS-free) detect head (ref: head.py v10Detect:1183).
+
+    Dual one2many/one2one branches at train time; inference decodes the one2one
+    branch and selects top-max_det by score — no NMS program needed.
+    """
+
+    def __init__(self, nc=80, ch=(), legacy=False, max_det=300):
+        super().__init__(nc, ch, legacy=True)  # build cv2 first
+        self.max_det = max_det
+        c3 = max(ch[0], min(nc, 100))
+        self.cv3 = [
+            [
+                _Seq(ConvBNAct(x, x, 3, g=x), ConvBNAct(x, c3, 1)),
+                _Seq(ConvBNAct(c3, c3, 3, g=c3), ConvBNAct(c3, c3, 1)),
+                Conv2d(c3, self.nc, 1),
+            ]
+            for x in ch
+        ]
+        import copy as _copy
+
+        self.one2one_cv2 = [_copy.deepcopy(b) for b in self.cv2]
+        self.one2one_cv3 = [_copy.deepcopy(b) for b in self.cv3]
+
+    def init(self, rng):
+        p = super().init(rng)
+        p["one2one_cv2"] = {}
+        p["one2one_cv3"] = {}
+        for l in range(self.nl):
+            p["one2one_cv2"][str(l)] = {str(j): self.one2one_cv2[l][j].init(rng) for j in range(3)}
+            p["one2one_cv3"][str(l)] = {str(j): self.one2one_cv3[l][j].init(rng) for j in range(3)}
+        # bias priors on the one2one branch too
+        for l, s in enumerate(self.stride):
+            p["one2one_cv2"][str(l)]["2"]["bias"] = np.ones_like(np.asarray(p["one2one_cv2"][str(l)]["2"]["bias"]))
+            cls_bias = math.log(5 / self.nc / (640 / s) ** 2)
+            p["one2one_cv3"][str(l)]["2"]["bias"] = np.full_like(np.asarray(p["one2one_cv3"][str(l)]["2"]["bias"]), cls_bias)
+        return p
+
+    def __call__(self, p, xs, ctx, path=""):
+        """Train: (one2many outs, one2one outs); eval: decoded (B, max_det, 6)."""
+        if ctx.train:
+            return super().__call__(p, xs, ctx, path), self.one2one_forward(p, xs, ctx, path)
+        return self.decode_end2end(p, xs, ctx)
+
+    def one2one_forward(self, p, xs, ctx, path=""):
+        outs = []
+        for l, x in enumerate(xs):
+            b = x
+            for j in range(3):
+                b = self.one2one_cv2[l][j](p["one2one_cv2"][str(l)][str(j)], b, ctx, f"{path}/o2o_cv2/{l}/{j}")
+            c = x
+            for j in range(3):
+                c = self.one2one_cv3[l][j](p["one2one_cv3"][str(l)][str(j)], c, ctx, f"{path}/o2o_cv3/{l}/{j}")
+            outs.append(jnp.concatenate([b, c], -1))
+        return outs
+
+    def decode_end2end(self, p, xs, ctx):
+        """(B, max_det, 6) [x, y, w, h, score, cls] from the one2one branch
+        (ref: Detect.postprocess:217)."""
+        outs = self.one2one_forward(p, xs, ctx)
+        preds = self.decode(p, outs, xywh=False)  # (B, 4+nc, A) — end2end boxes are xyxy (ref decode_bboxes)
+        preds = jnp.swapaxes(preds, 1, 2)  # (B, A, 4+nc)
+        boxes, scores = preds[..., :4], preds[..., 4:]
+        k = min(self.max_det, preds.shape[1])
+        # two-stage (anchor, class) top-k exactly like the reference postprocess
+        _, top_idx = jax.lax.top_k(scores.max(-1), k)
+        b_sel = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)  # (B, k, 4)
+        s_sel = jnp.take_along_axis(scores, top_idx[..., None], axis=1)  # (B, k, nc)
+        flat_scores, flat_idx = jax.lax.top_k(s_sel.reshape(s_sel.shape[0], -1), k)  # over k*nc pairs
+        anchor_of = flat_idx // self.nc
+        cls = (flat_idx % self.nc).astype(jnp.float32)
+        b_final = jnp.take_along_axis(b_sel, anchor_of[..., None], axis=1)
+        # (B, k, 6): xyxy boxes + conf + cls, like the reference v10 output
+        return jnp.concatenate([b_final, flat_scores[..., None], cls[..., None]], -1)
+
+
+class RepVGGDW:
+    """Re-parameterizable depthwise block: dw7x7 + dw3x3 summed, SiLU
+    (ref: block.py RepVGGDW)."""
+
+    def __init__(self, ed: int):
+        self.conv = ConvBNAct(ed, ed, 7, 1, 3, g=ed, act=False)
+        self.conv1 = ConvBNAct(ed, ed, 3, 1, 1, g=ed, act=False)
+
+    def init(self, rng):
+        return {"conv": self.conv.init(rng), "conv1": self.conv1.init(rng)}
+
+    def __call__(self, p, x, ctx, path=""):
+        y = self.conv(p["conv"], x, ctx, f"{path}/conv").astype(jnp.float32)
+        y = y + self.conv1(p["conv1"], x, ctx, f"{path}/conv1").astype(jnp.float32)
+        return silu(y).astype(ctx.dtype)

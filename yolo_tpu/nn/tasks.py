@@ -46,6 +46,18 @@ MODULE_MAP = {
     "C2PSA": M.C2PSA,
     "PSABlock": M.PSABlock,
     "Classify": M.Classify,
+    # YOLOv9/v10
+    "RepConv": M.RepConv,
+    "RepCSP": M.RepCSP,
+    "RepNCSPELAN4": M.RepNCSPELAN4,
+    "ELAN1": M.ELAN1,
+    "AConv": M.AConv,
+    "ADown": M.ADown,
+    "SPPELAN": M.SPPELAN,
+    "CIB": M.CIB,
+    "C2fCIB": M.C2fCIB,
+    "PSA": M.PSA,
+    "v10Detect": M.v10Detect,
     "Segment": M.Segment,
     "Pose": M.Pose,
     "OBB": M.OBB,
@@ -123,19 +135,19 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
         ]
         n = max(round(n * depth), 1) if n > 1 else n
 
-        if mcls in (M.ConvBNAct, M.DWConv, M.C2f, M.SPPF, M.Bottleneck, M.C3, M.C3k, M.C3k2, M.SCDown, M.C2PSA, M.Classify):
+        if mcls in (M.ConvBNAct, M.DWConv, M.C2f, M.SPPF, M.Bottleneck, M.C3, M.C3k, M.C3k2, M.SCDown, M.C2PSA, M.Classify, M.RepConv, M.RepCSP, M.RepNCSPELAN4, M.ELAN1, M.AConv, M.ADown, M.SPPELAN, M.CIB, M.C2fCIB, M.PSA):
             c1, c2 = ch[f], args[0]
             if c2 != nc:
                 c2 = make_divisible(min(c2, max_channels) * width, 8)
             args = [c1, c2, *args[1:]]
-            if mcls in (M.C2f, M.C3, M.C3k, M.C3k2, M.C2PSA):
+            if mcls in (M.C2f, M.C3, M.C3k, M.C3k2, M.C2PSA, M.RepCSP, M.C2fCIB):
                 args.insert(2, n)
                 n = 1
             if mcls is M.C3k2 and d.get("scale") in ("m", "l", "x"):
                 args[3] = True  # deeper scales use C3k inner blocks (ref :1643)
         elif mcls is M.Concat:
             c2 = sum(ch[x] for x in f)
-        elif mcls in (M.Detect, M.Segment, M.Pose, M.OBB):
+        elif mcls in (M.Detect, M.Segment, M.Pose, M.OBB, M.v10Detect):
             if mcls is M.Segment:  # npr width-scales (ref parse_model Segment branch)
                 args[2] = make_divisible(min(args[2], max_channels) * width, 8)
             if mcls is M.Pose and d.get("kpt_shape"):
@@ -170,6 +182,8 @@ def _compute_strides(layers):
         src = stride.get(src_idx, 1) if not isinstance(spec.module, M.Detect) else None
         if isinstance(spec.module, M.ConvBNAct):
             s = src * spec.module.s
+        elif isinstance(spec.module, (M.AConv, M.ADown, M.SCDown)):
+            s = src * 2
         elif isinstance(spec.module, M.Upsample):
             s = src // spec.module.scale
         elif isinstance(spec.module, M.MaxPool2d):
@@ -258,9 +272,12 @@ class DetectionModel(BaseModel):
         return outs, ctx.stats
 
     def predict(self, params, x, dtype=jnp.float32):
-        """Decoded predictions (B, 4+nc, A) — equivalent of Detect._inference output."""
+        """Decoded predictions — (B, 4+nc, A) for NMS heads; v10Detect (end2end)
+        returns final (B, max_det, 6) [x, y, w, h, conf, cls] with no NMS."""
         ctx = M.Ctx(train=False, dtype=dtype)
         outs = self.forward_features(params, x, ctx)
+        if isinstance(self.head, M.v10Detect):
+            return outs  # decoded inside the head (eval path)
         return self.head.decode(params["model"][str(self.layers[-1].i)], outs)
 
     def fuse(self, params):

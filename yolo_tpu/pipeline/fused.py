@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from yolo_tpu.kalman.batched import STATUS_DETECTED, STATUS_PREDICTED, init_state, make_step
+from yolo_tpu.kalman.batched import STATUS_DETECTED, STATUS_NONE, STATUS_PREDICTED, init_state, make_step
 
 
 class FusedDetectTrack:
@@ -96,28 +96,30 @@ class FusedDetectTrack:
         T = self.chunk
         n_chunks = len(clip) // T
         stats = {"frames": 0, "detection_frames": 0, "prediction_frames": 0, "state_changes": 0}
-        last_states: dict = {}
         all_out = []
+        prev_status = None  # (N,) last frame of previous chunk
+        prev_nums = None
         for ci in range(n_chunks):
             outs = self.process_chunk(clip[ci * T : (ci + 1) * T])
             all_out.append(outs)
             if not collect_stats:
                 continue
-            emit = outs["emit"]  # (T, N)
-            status = outs["status"]
+            # vectorized contract-stats: slots are stable per track, so per-id
+            # state transitions == per-slot status changes under the same id
+            emit = outs["emit"]
+            status = np.where(emit, outs["status"], STATUS_NONE)  # (T, N)
             nums = outs["track_num"]
-            for f in range(T):
-                stats["frames"] += 1
-                current = {}
-                for slot in np.nonzero(emit[f])[0]:
-                    tid = int(nums[f, slot])
-                    st = "detected" if status[f, slot] == STATUS_DETECTED else "predicted"
-                    current[tid] = st
-                    if st == "detected":
-                        stats["detection_frames"] += 1
-                    elif st == "predicted":
-                        stats["prediction_frames"] += 1
-                    if tid in last_states and last_states[tid] != st:
-                        stats["state_changes"] += 1
-                last_states = current
+            stats["frames"] += T
+            stats["detection_frames"] += int((status == STATUS_DETECTED).sum())
+            stats["prediction_frames"] += int((status == STATUS_PREDICTED).sum())
+            full_status = status if prev_status is None else np.concatenate([prev_status[None], status])
+            full_nums = nums if prev_nums is None else np.concatenate([prev_nums[None], nums])
+            changed = (
+                (full_status[1:] != full_status[:-1])
+                & (full_status[1:] != STATUS_NONE)
+                & (full_status[:-1] != STATUS_NONE)
+                & (full_nums[1:] == full_nums[:-1])
+            )
+            stats["state_changes"] += int(changed.sum())
+            prev_status, prev_nums = status[-1], nums[-1]
         return all_out, stats
