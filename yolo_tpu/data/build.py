@@ -28,6 +28,8 @@ def build_yolo_dataset(cfg, img_path, batch: int, data: dict, mode: str = "train
         single_cls=cfg.single_cls,
         fraction=cfg.fraction if mode == "train" else 1.0,
         names=data.get("names"),
+        kpt_shape=data.get("kpt_shape"),
+        flip_idx=data.get("flip_idx"),
     )
 
 

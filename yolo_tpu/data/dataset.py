@@ -53,7 +53,7 @@ def img2label_path(img_path: str) -> str:
 class YOLODataset:
     """Detection dataset over a directory (or list file) of images."""
 
-    def __init__(self, img_path, imgsz: int = 640, augment: bool = False, hyp=None, stride: int = 32, single_cls: bool = False, fraction: float = 1.0, names=None, cache: bool = True):
+    def __init__(self, img_path, imgsz: int = 640, augment: bool = False, hyp=None, stride: int = 32, single_cls: bool = False, fraction: float = 1.0, names=None, cache: bool = True, kpt_shape=None, flip_idx=None):
         self.img_path = img_path
         self.imgsz = imgsz
         self.augment = augment
@@ -61,6 +61,8 @@ class YOLODataset:
         self.stride = stride
         self.single_cls = single_cls
         self.names = names or {}
+        self.kpt_shape = tuple(kpt_shape) if kpt_shape else None
+        self.flip_idx = list(flip_idx) if flip_idx else None
         self.im_files = self._list_images(img_path, fraction)
         if not self.im_files:
             raise FileNotFoundError(f"no images found in {img_path}")
@@ -89,7 +91,7 @@ class YOLODataset:
     def _load_labels(self, cache: bool = True) -> list[dict]:
         """Parse label txts once; cache as json keyed by a file-list hash."""
         label_files = [img2label_path(f) for f in self.im_files]
-        key = hashlib.sha1(("".join(self.im_files + label_files)).encode()).hexdigest()[:16]
+        key = hashlib.sha1(("".join(self.im_files + label_files) + str(self.kpt_shape)).encode()).hexdigest()[:16]
         cache_path = Path(self.im_files[0]).parent / f".labels_{key}.cache.json"
         if cache and cache_path.exists():
             try:
@@ -101,6 +103,9 @@ class YOLODataset:
                         "segments": [np.array(sg, np.float32).reshape(-1, 2) if sg is not None else None for sg in r["segments"]]
                         if r.get("segments")
                         else None,
+                        "keypoints": np.array(r["keypoints"], np.float32).reshape(-1, *self.kpt_shape)
+                        if r.get("keypoints") is not None and self.kpt_shape
+                        else None,
                     }
                     for r in raw
                 ]
@@ -108,28 +113,40 @@ class YOLODataset:
                 pass
         labels = []
         n_missing = 0
+        nk = self.kpt_shape[0] * self.kpt_shape[1] if self.kpt_shape else 0
         for lf in label_files:
-            cls, boxes, segments = [], [], []
+            cls, boxes, segments, kpts = [], [], [], []
             if Path(lf).exists():
                 for line in Path(lf).read_text().splitlines():
                     parts = line.split()
-                    if len(parts) >= 9 and len(parts) % 2 == 1:  # segment row: cls + polygon
+                    if nk and len(parts) == 5 + nk:  # pose row: cls cx cy w h kpt1x kpt1y [v1] ...
+                        cls.append(0.0 if self.single_cls else float(parts[0]))
+                        boxes.append([float(x) for x in parts[1:5]])
+                        kpts.append(np.array([float(x) for x in parts[5:]], np.float32).reshape(self.kpt_shape))
+                        segments.append(None)
+                    elif len(parts) >= 9 and len(parts) % 2 == 1:  # segment row: cls + polygon
                         cls.append(0.0 if self.single_cls else float(parts[0]))
                         poly = np.array([float(x) for x in parts[1:]], np.float32).reshape(-1, 2)
                         segments.append(poly)
                         x1, y1 = poly.min(0)
                         x2, y2 = poly.max(0)
                         boxes.append([(x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1])
+                        kpts.append(None)
                     elif len(parts) >= 5:
                         cls.append(0.0 if self.single_cls else float(parts[0]))
                         boxes.append([float(x) for x in parts[1:5]])
                         segments.append(None)
+                        kpts.append(None)
             else:
                 n_missing += 1
+            kp = None
+            if self.kpt_shape and any(k is not None for k in kpts):
+                kp = np.stack([k if k is not None else np.zeros(self.kpt_shape, np.float32) for k in kpts])
             labels.append({
                 "cls": np.array(cls, np.float32),
                 "bboxes": np.array(boxes, np.float32).reshape(-1, 4),
                 "segments": segments if any(sg is not None for sg in segments) else None,
+                "keypoints": kp,
             })
         if n_missing:
             LOGGER.warning(f"{n_missing}/{len(label_files)} label files missing (treated as background)")
@@ -144,6 +161,7 @@ class YOLODataset:
                                 "segments": [sg.tolist() if sg is not None else None for sg in l["segments"]]
                                 if l.get("segments")
                                 else None,
+                                "keypoints": l["keypoints"].tolist() if l.get("keypoints") is not None else None,
                             }
                             for l in labels
                         ]
@@ -171,6 +189,11 @@ class YOLODataset:
         out = {"img": img, "cls": lb["cls"].copy(), "bboxes": np.asarray(bboxes, np.float32), "shape": (h, w), "im_file": self.im_files[i]}
         if lb.get("segments"):
             out["segments"] = [sg * np.array([w, h], np.float32) if sg is not None else None for sg in lb["segments"]]
+        if lb.get("keypoints") is not None:
+            kp = lb["keypoints"].copy()  # (n, nkpt, ndim) normalized → pixels
+            kp[..., 0] *= w
+            kp[..., 1] *= h
+            out["keypoints"] = kp
         return out
 
     def __getitem__(self, i: int) -> dict:
@@ -207,6 +230,19 @@ def collate_batch(samples: list[dict], max_boxes: int = 64):
             mask[i, :n] = 1.0
         meta.append({"im_file": s.get("im_file"), "shape": s.get("shape"), "ratio_pad": s.get("ratio_pad")})
     batch = {"img": imgs, "cls": cls, "bboxes": bboxes, "mask_gt": mask, "meta": meta}
+    if any(s.get("keypoints") is not None for s in samples):
+        ks = next(s["keypoints"].shape[1:] for s in samples if s.get("keypoints") is not None)
+        kpts = np.zeros((B, max_boxes, *ks), np.float32)
+        for i, s in enumerate(samples):
+            kp = s.get("keypoints")
+            if kp is None or not len(kp):
+                continue
+            n = min(len(kp), max_boxes)
+            k = kp[:n].copy()  # pixels → normalized, matching batch['bboxes']
+            k[..., 0] /= W
+            k[..., 1] /= H
+            kpts[i, :n] = k
+        batch["keypoints"] = kpts
     if any(s.get("segments") for s in samples):
         # overlap-index instance map at proto (stride-4) resolution; instance
         # value = padded label row + 1 (the loss gathers gt masks by that index)

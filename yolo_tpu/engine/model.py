@@ -24,7 +24,17 @@ class YOLO:
 
     def __init__(self, model="yolov8n.yaml", task: str | None = None, verbose: bool = False):
         model = str(model)
-        self.task = task or ("classify" if "-cls" in model else "segment" if "-seg" in model else "detect")
+        self.task = task or (
+            "classify"
+            if "-cls" in model
+            else "segment"
+            if "-seg" in model
+            else "pose"
+            if "-pose" in model
+            else "obb"
+            if "-obb" in model
+            else "detect"
+        )
         self.overrides: dict = {}
         self.predictor = None
         self.trainer = None
@@ -44,6 +54,14 @@ class YOLO:
             from yolo_tpu.nn.tasks import SegmentationModel
 
             self.model = SegmentationModel(cfg, verbose=verbose)
+        elif self.task == "pose":
+            from yolo_tpu.nn.tasks import PoseModel
+
+            self.model = PoseModel(cfg, verbose=verbose)
+        elif self.task == "obb":
+            from yolo_tpu.nn.tasks import OBBModel
+
+            self.model = OBBModel(cfg, verbose=verbose)
         else:
             self.model = DetectionModel(cfg, verbose=verbose)
         self.params = self.model.init(0)

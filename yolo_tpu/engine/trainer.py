@@ -79,6 +79,17 @@ class DetectionTrainer:
         if self.data and self.model.nc != self.data["nc"]:
             self.model = type(self.model)(self.model.yaml, nc=self.data["nc"])  # keep task subclass
             self.params = self.model.init(self.args.seed)
+        if (
+            self.data
+            and self.data.get("kpt_shape")
+            and getattr(getattr(self.model, "head", None), "kpt_shape", None) not in (None, tuple(self.data["kpt_shape"]))
+        ):
+            # dataset kpt_shape overrides the model yaml (ref: pose/train.py get_model)
+            yaml_d = dict(self.model.yaml) if isinstance(self.model.yaml, dict) else self.model.yaml
+            if isinstance(yaml_d, dict):
+                yaml_d["kpt_shape"] = list(self.data["kpt_shape"])
+            self.model = type(self.model)(yaml_d, nc=self.data["nc"])
+            self.params = self.model.init(self.args.seed)
         if self.data:
             self.model.names = self.data["names"]
 
@@ -109,10 +120,15 @@ class DetectionTrainer:
         LOGGER.info(f"resuming from {ckpt} at epoch {self.start_epoch}")
 
     def _make_loss(self):
-        if getattr(self.model, "task", "detect") == "segment":
+        task = getattr(self.model, "task", "detect")
+        if task == "segment":
             from yolo_tpu.utils.loss import v8SegmentationLoss
 
             return v8SegmentationLoss(self.model, self.args)
+        if task == "pose":
+            from yolo_tpu.utils.loss import v8PoseLoss
+
+            return v8PoseLoss(self.model, self.args)
         return v8DetectionLoss(self.model, self.args)
 
     # --- optimizer ----------------------------------------------------------------
@@ -261,8 +277,12 @@ class DetectionTrainer:
         csv_rows = []
         t_train = time.time()
         ni = self.start_epoch * nb
-        n_comp = 4 if getattr(self.model, "task", "detect") == "segment" else 3
-        comp_names = ["box", "seg", "cls", "dfl"] if n_comp == 4 else ["box", "cls", "dfl"]
+        task = getattr(self.model, "task", "detect")
+        comp_names = {
+            "segment": ["box", "seg", "cls", "dfl"],
+            "pose": ["box", "pose", "kobj", "cls", "dfl"],
+        }.get(task, ["box", "cls", "dfl"])
+        n_comp = len(comp_names)
         last_comps = np.zeros(n_comp)
         for epoch in range(self.start_epoch, args.epochs):
             run_callbacks(self.callbacks, "on_train_epoch_start", self)
@@ -357,6 +377,26 @@ class DetectionTrainer:
 
             v = DetectionValidator(args={**vars(self.args), "mode": "val"}, data=self.data)
             return v(model=_DetView(self.model), params=params)
+        if getattr(self.model, "task", "detect") == "pose":
+            from yolo_tpu.engine.validator import DetectionValidator
+
+            class _PoseDetView:
+                """Detection view of a pose model (drop keypoint channels)."""
+
+                def __init__(self, pm):
+                    self._pm = pm
+                    self.nc = pm.nc
+                    self.stride = pm.stride
+                    self.names = pm.names
+
+                def predict(self, params, x, dtype=None):
+                    import jax.numpy as jnp
+
+                    preds = self._pm.predict(params, x, dtype=dtype or jnp.float32)
+                    return preds[:, : 4 + self.nc]
+
+            v = DetectionValidator(args={**vars(self.args), "mode": "val"}, data=self.data)
+            return v(model=_PoseDetView(self.model), params=params)
         from yolo_tpu.engine.validator import DetectionValidator
 
         v = DetectionValidator(args={**vars(self.args), "mode": "val"}, data=self.data)

@@ -187,3 +187,89 @@ def bbox_iou(box1, box2, xywh: bool = True, GIoU: bool = False, DIoU: bool = Fal
         return iou - rho2 / c2
     c_area = cw * ch + eps
     return iou - (c_area - union) / c_area
+
+
+def _covariance_terms(boxes, xp):
+    """Gaussian-box covariance entries (a, b, c) of xywhr boxes
+    (ref: utils/metrics.py _get_covariance_matrix:193)."""
+    a = boxes[..., 2:3] ** 2 / 12
+    b = boxes[..., 3:4] ** 2 / 12
+    r = boxes[..., 4:5]
+    cos, sin = xp.cos(r), xp.sin(r)
+    cos2, sin2 = cos**2, sin**2
+    return a * cos2 + b * sin2, a * sin2 + b * cos2, (a - b) * cos * sin
+
+
+def probiou(obb1, obb2, CIoU: bool = False, eps: float = 1e-7):
+    """Probabilistic IoU of rotated boxes in xywhr (ref: utils/metrics.py
+    probiou:213, arXiv:2106.06072). Broadcasts over leading dims; returns (..., 1)."""
+    xp = _xp(obb1)
+    obb1, obb2 = xp.asarray(obb1), xp.asarray(obb2)
+    x1, y1 = obb1[..., 0:1], obb1[..., 1:2]
+    x2, y2 = obb2[..., 0:1], obb2[..., 1:2]
+    a1, b1, c1 = _covariance_terms(obb1, xp)
+    a2, b2, c2 = _covariance_terms(obb2, xp)
+
+    denom = (a1 + a2) * (b1 + b2) - (c1 + c2) ** 2 + eps
+    t1 = (((a1 + a2) * (y1 - y2) ** 2 + (b1 + b2) * (x1 - x2) ** 2) / denom) * 0.25
+    t2 = (((c1 + c2) * (x2 - x1) * (y1 - y2)) / denom) * 0.5
+    t3 = (
+        xp.log(
+            ((a1 + a2) * (b1 + b2) - (c1 + c2) ** 2)
+            / (4 * xp.sqrt(xp.clip(a1 * b1 - c1**2, 0, None) * xp.clip(a2 * b2 - c2**2, 0, None)) + eps)
+            + eps
+        )
+        * 0.5
+    )
+    bd = xp.clip(t1 + t2 + t3, eps, 100.0)
+    hd = xp.sqrt(1.0 - xp.exp(-bd) + eps)
+    iou = 1 - hd
+    if CIoU:  # aspect-ratio penalty only (matches reference's CIoU flag)
+        w1, h1 = obb1[..., 2:3], obb1[..., 3:4]
+        w2, h2 = obb2[..., 2:3], obb2[..., 3:4]
+        v = (4 / math.pi**2) * (xp.arctan(w2 / h2) - xp.arctan(w1 / h1)) ** 2
+        if xp is np:
+            alpha = v / (v - iou + (1 + eps))
+        else:
+            import jax
+
+            alpha = jax.lax.stop_gradient(v / (v - iou + (1 + eps)))
+        return iou - v * alpha
+    return iou
+
+
+def xywhr2xyxyxyxy(x):
+    """xywhr → 4 corner points (..., 4, 2) (ref: utils/ops.py xywhr2xyxyxyxy:421)."""
+    xp = _xp(x)
+    x = xp.asarray(x)
+    ctr = x[..., :2]
+    w, h, angle = x[..., 2:3], x[..., 3:4], x[..., 4:5]
+    cos, sin = xp.cos(angle), xp.sin(angle)
+    vec1 = xp.concatenate([w / 2 * cos, w / 2 * sin], -1)
+    vec2 = xp.concatenate([-h / 2 * sin, h / 2 * cos], -1)
+    pt1 = ctr + vec1 + vec2
+    pt2 = ctr + vec1 - vec2
+    pt3 = ctr - vec1 - vec2
+    pt4 = ctr - vec1 + vec2
+    return xp.stack([pt1, pt2, pt3, pt4], axis=-2)
+
+
+def xyxyxyxy2xywhr(corners):
+    """4 corner points (n, 8) or (n, 4, 2) → xywhr via minAreaRect, angle in
+    [0, π/2) (ref: utils/ops.py xyxyxyxy2xywhr:451). Host-side numpy/cv2."""
+    import cv2
+
+    pts = np.asarray(corners, np.float32).reshape(-1, 4, 2)
+    out = []
+    for p in pts:
+        (cx, cy), (w, h), ang = cv2.minAreaRect(p)
+        rad = ang * math.pi / 180
+        if w < h:
+            w, h = h, w
+            rad += math.pi / 2
+        rad = rad % math.pi
+        if rad >= math.pi / 2:  # fold into [0, π/2) like the reference regularizer
+            w, h = h, w
+            rad -= math.pi / 2
+        out.append([cx, cy, w, h, rad])
+    return np.array(out, np.float32).reshape(-1, 5)

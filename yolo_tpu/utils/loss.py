@@ -110,6 +110,122 @@ class v8DetectionLoss:
         return loss.sum() * B, jax.lax.stop_gradient(loss)
 
 
+# COCO 17-keypoint OKS sigmas (ref: utils/metrics.py OKS_SIGMA:17)
+OKS_SIGMA = (
+    jnp.array([0.26, 0.25, 0.25, 0.35, 0.35, 0.79, 0.79, 0.72, 0.72, 0.62, 0.62, 1.07, 1.07, 0.87, 0.87, 0.89, 0.89])
+    / 10.0
+)
+
+
+class v8PoseLoss(v8DetectionLoss):
+    """Detection loss + OKS keypoint loss + keypoint-objectness BCE
+    (ref: utils/loss.py v8PoseLoss:485, KeypointLoss:177).
+
+    TPU adaptation: gt keypoints arrive pre-padded as (B, max_boxes, nkpt, ndim)
+    from the collate (the reference re-batches a flat (N, nkpt, ndim) tensor by
+    batch_idx in a Python loop), so the per-anchor gather by target_gt_idx is a
+    single static take_along_axis; the fg-subset means become masked sums over
+    (B, A, nkpt) with fixed shapes.
+    """
+
+    def __init__(self, model, hyp, tal_topk: int = 10):
+        super().__init__(model, hyp, tal_topk)
+        self.kpt_shape = tuple(model.head.kpt_shape)
+        nkpt = self.kpt_shape[0]
+        self.sigmas = OKS_SIGMA if self.kpt_shape == (17, 3) else jnp.ones(nkpt) / nkpt
+
+    def __call__(self, preds, batch):
+        det_outs, kpt_outs = preds
+        B = det_outs[0].shape[0]
+        flat = jnp.concatenate([f.reshape(B, -1, self.no) for f in det_outs], axis=1).astype(jnp.float32)
+        pred_distri, pred_scores = flat[..., : self.reg_max * 4], flat[..., self.reg_max * 4 :]
+        nkpt, ndim = self.kpt_shape
+        pred_kpts = jnp.concatenate([k.reshape(B, -1, nkpt * ndim) for k in kpt_outs], axis=1).astype(jnp.float32)
+        pred_kpts = pred_kpts.reshape(B, -1, nkpt, ndim)
+
+        feat_shapes = [(f.shape[1], f.shape[2]) for f in det_outs]
+        anchor_points, stride_tensor = make_anchors(feat_shapes, self.stride, 0.5)
+        anchor_points = jnp.asarray(anchor_points)
+        stride_tensor = jnp.asarray(stride_tensor)
+        imgsz = jnp.array([feat_shapes[0][0] * self.stride[0], feat_shapes[0][1] * self.stride[0]], jnp.float32)
+
+        gt_labels = batch["cls"][..., None].astype(jnp.int32)
+        scale = jnp.array([imgsz[1], imgsz[0], imgsz[1], imgsz[0]], jnp.float32)
+        gt_bboxes = xywh2xyxy(batch["bboxes"] * scale)
+        mask_gt = (batch["mask_gt"][..., None] if "mask_gt" in batch else (jnp.sum(gt_bboxes, 2, keepdims=True) > 0)).astype(
+            jnp.float32
+        )
+        gt_bboxes = gt_bboxes * mask_gt
+
+        b, a, _ = pred_distri.shape
+        dist = jax.nn.softmax(pred_distri.reshape(b, a, 4, self.reg_max), axis=-1) @ self.proj
+        pred_bboxes = dist2bbox(dist, anchor_points[None], xywh=False, axis=-1)
+        # decode kpts to grid units (ref: v8PoseLoss.kpts_decode:564 — ×2 offset
+        # around anchor−0.5; conf channel stays a raw logit during training)
+        kx = pred_kpts[..., 0] * 2.0 + (anchor_points[None, :, None, 0] - 0.5)
+        ky = pred_kpts[..., 1] * 2.0 + (anchor_points[None, :, None, 1] - 0.5)
+        pred_kpts = jnp.concatenate([kx[..., None], ky[..., None], pred_kpts[..., 2:]], -1)
+
+        _, target_bboxes, target_scores, fg_mask, target_gt_idx = self.assigner(
+            jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
+            jax.lax.stop_gradient(pred_bboxes) * stride_tensor[None],
+            anchor_points * stride_tensor,
+            gt_labels,
+            gt_bboxes,
+            mask_gt,
+        )
+        target_scores_sum = jnp.maximum(target_scores.sum(), 1.0)
+
+        bce = jnp.clip(pred_scores, 0, None) - pred_scores * target_scores + jnp.log1p(jnp.exp(-jnp.abs(pred_scores)))
+        loss_cls = bce.sum() / target_scores_sum
+
+        fg = fg_mask.astype(jnp.float32)
+        weight = target_scores.sum(-1) * fg
+        target_bboxes_g = target_bboxes / stride_tensor[None]
+        iou = bbox_iou(pred_bboxes, target_bboxes_g, xywh=False, CIoU=True)
+        loss_iou = (((1.0 - iou) * weight) * fg).sum() / target_scores_sum
+        target_ltrb = bbox2dist(anchor_points[None], target_bboxes_g, self.reg_max - 1)
+        dfl = _df_loss(pred_distri.reshape(b, a, 4, self.reg_max), target_ltrb)
+        loss_dfl = ((dfl * weight) * fg).sum() / target_scores_sum
+
+        # --- keypoint losses (ref: calculate_keypoints_loss:573) -------------------
+        # gt kpts: normalized → pixels → per-anchor gather → grid units
+        gt_kpts = batch["keypoints"].astype(jnp.float32)  # (B, N, nkpt, ndim)
+        kscale = jnp.concatenate([jnp.array([imgsz[1], imgsz[0]]), jnp.ones(ndim - 2)])
+        gt_kpts = gt_kpts * kscale
+        sel = jnp.take_along_axis(gt_kpts, target_gt_idx[..., None, None].astype(jnp.int32), axis=1)  # (B, A, nkpt, ndim)
+        sel_xy = sel[..., :2] / stride_tensor[None, :, None, :]
+        kpt_mask = (sel[..., 2] != 0).astype(jnp.float32) if ndim == 3 else jnp.ones(sel.shape[:-1], jnp.float32)
+
+        # OKS distance term (ref: KeypointLoss.forward:185 — cocoeval denominator)
+        d = (pred_kpts[..., 0] - sel_xy[..., 0]) ** 2 + (pred_kpts[..., 1] - sel_xy[..., 1]) ** 2
+        area = ((target_bboxes_g[..., 2] - target_bboxes_g[..., 0]) * (target_bboxes_g[..., 3] - target_bboxes_g[..., 1]))[
+            ..., None
+        ]
+        e = d / ((2 * self.sigmas) ** 2 * (area + 1e-9) * 2)
+        kpt_loss_factor = nkpt / (kpt_mask.sum(-1) + 1e-9)  # (B, A)
+        n_fg_elems = jnp.maximum(fg.sum() * nkpt, 1.0)
+        loss_pose = (kpt_loss_factor[..., None] * (1.0 - jnp.exp(-e)) * kpt_mask * fg[..., None]).sum() / n_fg_elems
+
+        if ndim == 3:
+            kl = pred_kpts[..., 2]
+            kobj_bce = jnp.clip(kl, 0, None) - kl * kpt_mask + jnp.log1p(jnp.exp(-jnp.abs(kl)))
+            loss_kobj = (kobj_bce * fg[..., None]).sum() / n_fg_elems
+        else:
+            loss_kobj = jnp.zeros(())
+
+        loss = jnp.stack(
+            [
+                loss_iou * self.hyp.box,
+                loss_pose * self.hyp.pose,
+                loss_kobj * self.hyp.kobj,
+                loss_cls * self.hyp.cls,
+                loss_dfl * self.hyp.dfl,
+            ]
+        )
+        return loss.sum() * B, jax.lax.stop_gradient(loss)
+
+
 class v8SegmentationLoss(v8DetectionLoss):
     """Detection loss + prototype-mask BCE (ref: utils/loss.py v8SegmentationLoss:302).
 
