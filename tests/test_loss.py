@@ -208,3 +208,105 @@ def test_pose_loss_parity_with_reference():
     comps_j = np.asarray(comps_j)
     assert np.allclose(comps_j, comps_r, rtol=2e-3, atol=5e-4), (comps_j, comps_r)
     assert float(total_j) == pytest.approx(float(total_r.sum()), rel=2e-3)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference oracle not present")
+def test_obb_loss_parity_with_reference():
+    add_reference_to_path()
+    import math
+    import torch
+    from types import SimpleNamespace
+
+    from ultralytics.utils.loss import v8OBBLoss as RefLoss
+
+    B, nc, reg_max = 2, 3, 16
+    shapes, strides = ((8, 8), (4, 4), (2, 2)), (8, 16, 32)
+    rng = np.random.default_rng(21)
+    no = nc + reg_max * 4
+    feats = [rng.normal(0, 1, (B, h, w, no)).astype(np.float32) for h, w in shapes]
+    angle_feats = [rng.normal(0, 1, (B, h, w, 1)).astype(np.float32) for h, w in shapes]
+
+    # gt rboxes: normalized xywh + angle in [0, pi/2)
+    N = 3
+    cls = np.zeros((B, N), np.float32)
+    rboxes = np.zeros((B, N, 5), np.float32)
+    mask = np.zeros((B, N), np.float32)
+    flat = []
+    n_gt = (3, 2)
+    for b in range(B):
+        for j in range(n_gt[b]):
+            c = rng.integers(0, nc)
+            cx, cy = rng.uniform(0.25, 0.75, 2)
+            w, h = rng.uniform(0.15, 0.3, 2)
+            r = rng.uniform(0.05, math.pi / 2 - 0.05)
+            cls[b, j] = c
+            rboxes[b, j] = [cx, cy, w, h, r]
+            mask[b, j] = 1
+            flat.append([b, c, cx, cy, w, h, r])
+    flat = np.array(flat, np.float32)
+
+    class FakeOBB(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.stride = torch.tensor([float(s) for s in strides])
+            self.nc = nc
+            self.reg_max = reg_max
+
+    class FakeModel(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.dummy = torch.nn.Parameter(torch.zeros(1))
+            self.model = torch.nn.ModuleList([FakeOBB()])
+            self.args = SimpleNamespace(box=7.5, cls=0.5, dfl=1.5)
+
+    ref_loss = RefLoss(FakeModel())
+    t_feats = [torch.tensor(f.transpose(0, 3, 1, 2)) for f in feats]
+    # reference head hands the loss the transformed angle (sigmoid−0.25)·π, (B, 1, A)
+    t_angle = torch.cat(
+        [(torch.sigmoid(torch.tensor(a.transpose(0, 3, 1, 2))).reshape(B, 1, -1) - 0.25) * math.pi for a in angle_feats],
+        -1,
+    )
+    t_batch = {
+        "batch_idx": torch.tensor(flat[:, 0]),
+        "cls": torch.tensor(flat[:, 1]),
+        "bboxes": torch.tensor(flat[:, 2:7]),
+    }
+    total_r, comps_r = ref_loss((t_feats, t_angle), t_batch)
+
+    import jax.numpy as jnp
+
+    from yolo_tpu.utils.loss import v8OBBLoss
+
+    shim = SimpleNamespace(nc=nc, head=SimpleNamespace(reg_max=reg_max), stride=list(strides))
+    ours = v8OBBLoss(shim, SimpleNamespace(box=7.5, cls=0.5, dfl=1.5))
+    total_j, comps_j = ours(
+        ([jnp.asarray(f) for f in feats], [jnp.asarray(a) for a in angle_feats]),
+        {"cls": jnp.asarray(cls), "bboxes": jnp.asarray(rboxes), "mask_gt": jnp.asarray(mask)},
+    )
+
+    comps_r = comps_r.numpy()
+    comps_j = np.asarray(comps_j)
+    assert np.allclose(comps_j, comps_r, rtol=2e-3, atol=5e-4), (comps_j, comps_r)
+    assert float(total_j) == pytest.approx(float(total_r.sum()), rel=2e-3)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference oracle not present")
+def test_probiou_parity_with_reference():
+    add_reference_to_path()
+    import math
+    import torch
+    from ultralytics.utils.metrics import probiou as ref_probiou
+
+    from yolo_tpu.ops.boxes import probiou
+
+    rng = np.random.default_rng(4)
+    n = 64
+    b1 = np.concatenate(
+        [rng.uniform(10, 100, (n, 2)), rng.uniform(5, 40, (n, 2)), rng.uniform(0, math.pi / 2, (n, 1))], -1
+    ).astype(np.float32)
+    b2 = np.concatenate(
+        [rng.uniform(10, 100, (n, 2)), rng.uniform(5, 40, (n, 2)), rng.uniform(0, math.pi / 2, (n, 1))], -1
+    ).astype(np.float32)
+    ref = ref_probiou(torch.tensor(b1), torch.tensor(b2)).numpy().reshape(-1)
+    ours = np.asarray(probiou(b1, b2))[..., 0]
+    assert np.allclose(ours, ref, atol=1e-5), np.abs(ours - ref).max()

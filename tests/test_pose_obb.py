@@ -164,3 +164,109 @@ def test_pose_training_loss_drops(tiny_pose_dataset, tmp_path):
     assert len(rows) == 3
     for comp in ("box", "pose", "kobj", "cls", "dfl"):
         assert np.isfinite(float(rows[-1][f"train/{comp}_loss"]))
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference oracle not present")
+def test_rotated_nms_parity_with_reference():
+    add_reference_to_path()
+    import math
+    import torch
+    from ultralytics.utils.nms import TorchNMS
+    from ultralytics.utils.metrics import batch_probiou
+
+    from yolo_tpu.ops.nms import nms_rotated_fixed
+
+    rng = np.random.default_rng(8)
+    n = 60
+    rb = np.concatenate(
+        [rng.uniform(20, 100, (n, 2)), rng.uniform(8, 30, (n, 2)), rng.uniform(0, math.pi / 2, (n, 1))], -1
+    ).astype(np.float32)
+    scores = rng.uniform(0.05, 0.95, n).astype(np.float32)
+
+    ref_keep = TorchNMS.fast_nms(torch.tensor(rb), torch.tensor(scores), 0.45, iou_func=batch_probiou).numpy()
+
+    import jax.numpy as jnp
+
+    keep_idx, keep_valid = nms_rotated_fixed(jnp.asarray(rb), jnp.asarray(scores), 0.45, max_det=n)
+    ours = np.asarray(keep_idx)[np.asarray(keep_valid)]
+    assert set(ours.tolist()) == set(ref_keep.tolist()), (sorted(ours.tolist()), sorted(ref_keep.tolist()))
+
+
+@pytest.fixture(scope="module")
+def tiny_obb_dataset(tmp_path_factory):
+    """8 synthetic frames with 1-2 rotated bright rectangles, DOTA-format labels
+    (cls + 4 normalized corner points)."""
+    import cv2
+
+    root = tmp_path_factory.mktemp("obbtiny")
+    img_dir = root / "images" / "train"
+    lbl_dir = root / "labels" / "train"
+    img_dir.mkdir(parents=True)
+    lbl_dir.mkdir(parents=True)
+    rng = np.random.default_rng(9)
+    W, H = 160, 160
+    for i in range(8):
+        img = rng.normal(30, 8, (H, W, 3)).clip(0, 255).astype(np.uint8)
+        lines = []
+        for _ in range(rng.integers(1, 3)):
+            cx, cy = rng.uniform(0.3, 0.7) * W, rng.uniform(0.3, 0.7) * H
+            w, h = rng.uniform(0.15, 0.3) * W, rng.uniform(0.08, 0.15) * H
+            ang = rng.uniform(0, 180)
+            pts = cv2.boxPoints(((cx, cy), (w, h), ang))  # (4, 2) pixel corners
+            cv2.fillPoly(img, [pts.astype(np.int32)], (230, 230, 230))
+            norm = (pts / np.array([W, H])).clip(0, 1).reshape(-1)
+            lines.append("0 " + " ".join(f"{v:.5f}" for v in norm))
+        cv2.imwrite(str(img_dir / f"{i}.png"), img)
+        (lbl_dir / f"{i}.txt").write_text("\n".join(lines) + "\n")
+    yaml = root / "dataset.yaml"
+    yaml.write_text(f"path: {root}\ntrain: images/train\nval: images/train\nnames:\n  0: object\n")
+    return str(yaml)
+
+
+def test_obb_dataset_loads_xywhr(tiny_obb_dataset):
+    from yolo_tpu.cfg import get_cfg
+    from yolo_tpu.data.build import build_dataloader, build_yolo_dataset
+    from yolo_tpu.data.dataset import check_det_dataset
+
+    data = check_det_dataset(tiny_obb_dataset)
+    cfg = get_cfg(overrides={"imgsz": 160, "task": "obb"})
+    ds = build_yolo_dataset(cfg, data["train"], 4, data, mode="val", stride=32)
+    assert ds.task == "obb"
+    loader = build_dataloader(ds, batch=4, workers=1, seed=0)
+    b = next(iter(loader))
+    assert b["bboxes"].shape[-1] == 5  # xywhr
+    m = b["mask_gt"] > 0
+    rb = b["bboxes"][m]
+    assert (rb[:, 2:4] > 0).all()  # positive wh
+    assert (rb[:, 4] >= 0).all() and (rb[:, 4] < np.pi / 2 + 1e-6).all()  # angle folded
+
+
+def test_obb_training_loss_drops(tiny_obb_dataset, tmp_path):
+    from yolo_tpu import YOLO
+
+    m = YOLO("yolov8n-obb.yaml")
+    assert m.task == "obb"
+    m.train(
+        data=tiny_obb_dataset,
+        epochs=3,
+        imgsz=160,
+        batch=4,
+        workers=1,
+        optimizer="AdamW",
+        lr0=0.002,
+        warmup_epochs=0.5,
+        mosaic=0.0,
+        project=str(tmp_path),
+        name="oexp",
+        val=True,
+        plots=False,
+        amp=False,
+    )
+    import csv
+
+    rows = list(csv.DictReader(open(tmp_path / "oexp" / "results.csv")))
+    assert len(rows) == 3
+    for comp in ("box", "cls", "dfl"):
+        assert np.isfinite(float(rows[-1][f"train/{comp}_loss"]))
+    first, last = float(rows[0]["train/cls_loss"]), float(rows[-1]["train/cls_loss"])
+    assert last < first  # learning signal flows through the rotated loss

@@ -69,6 +69,7 @@ def random_flip(labels, lr_p=0.5, ud_p=0.0, rng=None, flip_idx=None):
     h, w = img.shape[:2]
     b = labels["bboxes"]
     kp = labels.get("keypoints")
+    ob = labels.get("obb")
     if ud_p and rng.random() < ud_p:
         img = np.flipud(img)
         b = b.copy()
@@ -77,6 +78,9 @@ def random_flip(labels, lr_p=0.5, ud_p=0.0, rng=None, flip_idx=None):
             kp = kp.copy()
             vis = kp[..., 2:3] != 0 if kp.shape[-1] == 3 else np.ones_like(kp[..., :1], bool)
             kp[..., 1] = np.where(vis[..., 0], h - kp[..., 1], kp[..., 1])
+        if ob is not None and len(ob):
+            ob = ob.copy()
+            ob[..., 1] = h - ob[..., 1]
     if lr_p and rng.random() < lr_p:
         img = np.fliplr(img)
         b = b.copy()
@@ -87,10 +91,15 @@ def random_flip(labels, lr_p=0.5, ud_p=0.0, rng=None, flip_idx=None):
             kp[..., 0] = np.where(vis[..., 0], w - kp[..., 0], kp[..., 0])
             if flip_idx is not None:
                 kp = kp[:, list(flip_idx)]
+        if ob is not None and len(ob):
+            ob = ob.copy()
+            ob[..., 0] = w - ob[..., 0]
     labels["img"] = np.ascontiguousarray(img)
     labels["bboxes"] = b
     if kp is not None:
         labels["keypoints"] = kp
+    if ob is not None:
+        labels["obb"] = ob
     return labels
 
 
@@ -130,6 +139,7 @@ def random_perspective(labels, degrees=0.0, translate=0.1, scale=0.5, shear=0.0,
 
     bboxes, cls = labels["bboxes"], labels["cls"]
     kpts = labels.get("keypoints")
+    obb = labels.get("obb")
     n = len(bboxes)
     if n:
         xy = np.ones((n * 4, 3))
@@ -161,11 +171,21 @@ def random_perspective(labels, degrees=0.0, translate=0.1, scale=0.5, shear=0.0,
             if kpts.shape[-1] == 3:
                 kpts[..., 2] = np.where(out_of, 0.0, kpts[..., 2])
             kpts = kpts[keep]
+        if obb is not None and len(obb):
+            oxy = np.ones((n * 4, 3))
+            oxy[:, :2] = obb.reshape(n * 4, 2)
+            oxy = oxy @ M.T
+            obb = (oxy[:, :2] / oxy[:, 2:3] if perspective else oxy[:, :2]).reshape(n, 4, 2)
+            obb[..., 0] = obb[..., 0].clip(0, width)
+            obb[..., 1] = obb[..., 1].clip(0, height)
+            obb = obb[keep].astype(np.float32)
     labels["img"] = img
     labels["bboxes"] = bboxes
     labels["cls"] = cls
     if kpts is not None:
         labels["keypoints"] = kpts
+    if obb is not None:
+        labels["obb"] = obb
     return labels
 
 
@@ -178,7 +198,8 @@ def mosaic4(items, imgsz: int, rng=None):
     canvas = np.full((s * 2, s * 2, items[0]["img"].shape[-1]), 114, dtype=np.uint8)
     kpt_dims = next((it["keypoints"].shape[1:] for it in items if it.get("keypoints") is not None), None)
     has_kpts = kpt_dims is not None
-    all_boxes, all_cls, all_kpts = [], [], []
+    has_obb = all(it.get("obb") is not None for it in items)
+    all_boxes, all_cls, all_kpts, all_obbs = [], [], [], []
     for i, it in enumerate(items):
         img = it["img"]
         h, w = img.shape[:2]
@@ -210,12 +231,19 @@ def mosaic4(items, imgsz: int, rng=None):
                 kp[..., 0] += padw
                 kp[..., 1] += padh
                 all_kpts.append(kp)
+            if has_obb:
+                ob = it["obb"].copy()
+                ob[..., 0] += padw
+                ob[..., 1] += padh
+                all_obbs.append(ob)
     bboxes = np.concatenate(all_boxes) if all_boxes else np.zeros((0, 4), np.float32)
     cls = np.concatenate(all_cls) if all_cls else np.zeros((0,), np.float32)
     bboxes = _clip_bboxes(bboxes, 2 * s, 2 * s)
     out = {"img": canvas, "bboxes": bboxes, "cls": cls, "shape": (2 * s, 2 * s)}
     if has_kpts and all_kpts:
         out["keypoints"] = np.concatenate(all_kpts)
+    if has_obb and all_obbs:
+        out["obb"] = np.concatenate(all_obbs)
     return out
 
 
@@ -260,6 +288,13 @@ def copy_paste(labels, donor, p=0.5, rng=None):
         # pasted patches carry no keypoint annotations — pad invisible rows
         pad = np.zeros((n_new, *labels["keypoints"].shape[1:]), np.float32)
         labels["keypoints"] = np.concatenate([labels["keypoints"], pad])
+    if labels.get("obb") is not None and n_new:
+        # pasted boxes are axis-aligned: corners from the new xyxy boxes
+        bb = labels["bboxes"][-n_new:]
+        corners = np.stack(
+            [bb[:, [0, 1]], bb[:, [2, 1]], bb[:, [2, 3]], bb[:, [0, 3]]], axis=1
+        ).astype(np.float32)
+        labels["obb"] = np.concatenate([labels["obb"], corners])
     return labels
 
 
@@ -275,6 +310,8 @@ def mixup(labels, other, rng=None):
         if ok is None:
             ok = np.zeros((len(other["bboxes"]), *labels["keypoints"].shape[1:]), np.float32)
         labels["keypoints"] = np.concatenate([labels["keypoints"], ok])
+    if labels.get("obb") is not None and other.get("obb") is not None:
+        labels["obb"] = np.concatenate([labels["obb"], other["obb"]])
     return labels
 
 
@@ -307,6 +344,8 @@ class TrainTransforms:
                 kp = labels["keypoints"].copy()
                 kp[..., :2] = kp[..., :2] * ratio[0] + np.array([pad[0], pad[1]], np.float32)
                 labels["keypoints"] = kp
+            if labels.get("obb") is not None:
+                labels["obb"] = labels["obb"] * ratio[0] + np.array([pad[0], pad[1]], np.float32)
             border = (0, 0)
 
         if h.copy_paste > 0 and rng.random() < 0.5:
@@ -356,4 +395,6 @@ class ValTransforms:
             kp = labels["keypoints"].copy()
             kp[..., :2] = kp[..., :2] * ratio[0] + np.array([pad[0], pad[1]], np.float32)
             out["keypoints"] = kp
+        if labels.get("obb") is not None:
+            out["obb"] = labels["obb"] * ratio[0] + np.array([pad[0], pad[1]], np.float32)
         return out

@@ -30,6 +30,7 @@ def build_yolo_dataset(cfg, img_path, batch: int, data: dict, mode: str = "train
         names=data.get("names"),
         kpt_shape=data.get("kpt_shape"),
         flip_idx=data.get("flip_idx"),
+        task=getattr(cfg, "task", "detect") or "detect",
     )
 
 

@@ -53,7 +53,8 @@ def img2label_path(img_path: str) -> str:
 class YOLODataset:
     """Detection dataset over a directory (or list file) of images."""
 
-    def __init__(self, img_path, imgsz: int = 640, augment: bool = False, hyp=None, stride: int = 32, single_cls: bool = False, fraction: float = 1.0, names=None, cache: bool = True, kpt_shape=None, flip_idx=None):
+    def __init__(self, img_path, imgsz: int = 640, augment: bool = False, hyp=None, stride: int = 32, single_cls: bool = False, fraction: float = 1.0, names=None, cache: bool = True, kpt_shape=None, flip_idx=None, task: str = "detect"):
+        self.task = task
         self.img_path = img_path
         self.imgsz = imgsz
         self.augment = augment
@@ -91,7 +92,9 @@ class YOLODataset:
     def _load_labels(self, cache: bool = True) -> list[dict]:
         """Parse label txts once; cache as json keyed by a file-list hash."""
         label_files = [img2label_path(f) for f in self.im_files]
-        key = hashlib.sha1(("".join(self.im_files + label_files) + str(self.kpt_shape)).encode()).hexdigest()[:16]
+        key = hashlib.sha1(
+            ("".join(self.im_files + label_files) + str(self.kpt_shape) + self.task).encode()
+        ).hexdigest()[:16]
         cache_path = Path(self.im_files[0]).parent / f".labels_{key}.cache.json"
         if cache and cache_path.exists():
             try:
@@ -106,6 +109,7 @@ class YOLODataset:
                         "keypoints": np.array(r["keypoints"], np.float32).reshape(-1, *self.kpt_shape)
                         if r.get("keypoints") is not None and self.kpt_shape
                         else None,
+                        "obb": np.array(r["obb"], np.float32).reshape(-1, 4, 2) if r.get("obb") is not None else None,
                     }
                     for r in raw
                 ]
@@ -115,11 +119,20 @@ class YOLODataset:
         n_missing = 0
         nk = self.kpt_shape[0] * self.kpt_shape[1] if self.kpt_shape else 0
         for lf in label_files:
-            cls, boxes, segments, kpts = [], [], [], []
+            cls, boxes, segments, kpts, obbs = [], [], [], [], []
             if Path(lf).exists():
                 for line in Path(lf).read_text().splitlines():
                     parts = line.split()
-                    if nk and len(parts) == 5 + nk:  # pose row: cls cx cy w h kpt1x kpt1y [v1] ...
+                    if self.task == "obb" and len(parts) == 9:  # DOTA row: cls + 4 corners
+                        cls.append(0.0 if self.single_cls else float(parts[0]))
+                        corners = np.array([float(x) for x in parts[1:]], np.float32).reshape(4, 2)
+                        obbs.append(corners)
+                        x1, y1 = corners.min(0)
+                        x2, y2 = corners.max(0)
+                        boxes.append([(x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1])
+                        segments.append(None)
+                        kpts.append(None)
+                    elif nk and len(parts) == 5 + nk:  # pose row: cls cx cy w h kpt1x kpt1y [v1] ...
                         cls.append(0.0 if self.single_cls else float(parts[0]))
                         boxes.append([float(x) for x in parts[1:5]])
                         kpts.append(np.array([float(x) for x in parts[5:]], np.float32).reshape(self.kpt_shape))
@@ -142,11 +155,15 @@ class YOLODataset:
             kp = None
             if self.kpt_shape and any(k is not None for k in kpts):
                 kp = np.stack([k if k is not None else np.zeros(self.kpt_shape, np.float32) for k in kpts])
+            ob = None
+            if self.task == "obb" and obbs:
+                ob = np.stack(obbs)  # (n, 4, 2) normalized corners
             labels.append({
                 "cls": np.array(cls, np.float32),
                 "bboxes": np.array(boxes, np.float32).reshape(-1, 4),
                 "segments": segments if any(sg is not None for sg in segments) else None,
                 "keypoints": kp,
+                "obb": ob,
             })
         if n_missing:
             LOGGER.warning(f"{n_missing}/{len(label_files)} label files missing (treated as background)")
@@ -162,6 +179,7 @@ class YOLODataset:
                                 if l.get("segments")
                                 else None,
                                 "keypoints": l["keypoints"].tolist() if l.get("keypoints") is not None else None,
+                                "obb": l["obb"].tolist() if l.get("obb") is not None else None,
                             }
                             for l in labels
                         ]
@@ -194,6 +212,8 @@ class YOLODataset:
             kp[..., 0] *= w
             kp[..., 1] *= h
             out["keypoints"] = kp
+        if lb.get("obb") is not None:
+            out["obb"] = lb["obb"] * np.array([w, h], np.float32)  # corners → pixels
         return out
 
     def __getitem__(self, i: int) -> dict:
@@ -215,9 +235,10 @@ def collate_batch(samples: list[dict], max_boxes: int = 64):
 
     B = len(samples)
     H, W = samples[0]["img"].shape[:2]
+    is_obb = any(s.get("obb") is not None for s in samples)
     imgs = np.zeros((B, H, W, 3), np.uint8)
     cls = np.zeros((B, max_boxes), np.float32)
-    bboxes = np.zeros((B, max_boxes, 4), np.float32)
+    bboxes = np.zeros((B, max_boxes, 5 if is_obb else 4), np.float32)
     mask = np.zeros((B, max_boxes), np.float32)
     meta = []
     for i, s in enumerate(samples):
@@ -226,7 +247,15 @@ def collate_batch(samples: list[dict], max_boxes: int = 64):
         n = min(len(s["cls"]), max_boxes)
         if n:
             cls[i, :n] = s["cls"][:n]
-            bboxes[i, :n] = np.asarray(xyxy2xywhn(s["bboxes"][:n], w=W, h=H), np.float32)
+            if is_obb:
+                from yolo_tpu.ops.boxes import xyxyxyxy2xywhr
+
+                xywhr = xyxyxyxy2xywhr(s["obb"][:n])  # pixel corners → xywhr
+                xywhr[:, [0, 2]] /= W
+                xywhr[:, [1, 3]] /= H
+                bboxes[i, :n] = xywhr
+            else:
+                bboxes[i, :n] = np.asarray(xyxy2xywhn(s["bboxes"][:n], w=W, h=H), np.float32)
             mask[i, :n] = 1.0
         meta.append({"im_file": s.get("im_file"), "shape": s.get("shape"), "ratio_pad": s.get("ratio_pad")})
     batch = {"img": imgs, "cls": cls, "bboxes": bboxes, "mask_gt": mask, "meta": meta}

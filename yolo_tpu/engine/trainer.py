@@ -129,6 +129,10 @@ class DetectionTrainer:
             from yolo_tpu.utils.loss import v8PoseLoss
 
             return v8PoseLoss(self.model, self.args)
+        if task == "obb":
+            from yolo_tpu.utils.loss import v8OBBLoss
+
+            return v8OBBLoss(self.model, self.args)
         return v8DetectionLoss(self.model, self.args)
 
     # --- optimizer ----------------------------------------------------------------
@@ -377,6 +381,11 @@ class DetectionTrainer:
 
             v = DetectionValidator(args={**vars(self.args), "mode": "val"}, data=self.data)
             return v(model=_DetView(self.model), params=params)
+        if getattr(self.model, "task", "detect") == "obb":
+            from yolo_tpu.engine.validator import OBBValidator
+
+            v = OBBValidator(args={**vars(self.args), "mode": "val"}, data=self.data)
+            return v(model=self.model, params=params)
         if getattr(self.model, "task", "detect") == "pose":
             from yolo_tpu.engine.validator import DetectionValidator
 

@@ -127,3 +127,64 @@ class DetectionValidator:
             except Exception as e:
                 LOGGER.warning(f"plotting failed: {e}")
         return results
+
+
+class OBBValidator(DetectionValidator):
+    """Rotated-box validation: probiou NMS + probiou TP matching
+    (ref: models/yolo/obb/val.py OBBValidator:18)."""
+
+    def __call__(self, model, params) -> dict:
+        import jax
+        import jax.numpy as jnp
+
+        from yolo_tpu.ops.nms import non_max_suppression_rotated
+
+        data = self.data or check_det_dataset(self.args.data)
+        split = data.get(self.args.split) or data.get("val") or data.get("train")
+        stride = int(max(model.stride))
+        args = get_cfg(overrides={**vars(self.args), "task": "obb"})
+        dataset = build_yolo_dataset(args, split, self.args.batch, data, mode="val", stride=stride)
+        batch_size = min(int(self.args.batch) if self.args.batch and self.args.batch > 0 else 16, len(dataset))
+        loader = build_dataloader(dataset, batch_size, workers=self.args.workers, shuffle=False, drop_last=False)
+
+        conf, iou, max_det = float(self.args.conf), float(self.args.iou), int(self.args.max_det)
+        dtype = jnp.bfloat16 if self.args.half else jnp.float32
+
+        @jax.jit
+        def infer(p, imgs):
+            x = imgs[..., ::-1].astype(dtype) / 255.0
+            preds = model.predict(p, x, dtype=dtype)  # (B, 4+nc+1, A) with angle
+            return non_max_suppression_rotated(preds, conf_thres=conf, iou_thres=iou, max_det=max_det)
+
+        metrics = DetMetrics(names=getattr(model, "names", {}))
+        n_img = 0
+        t0 = time.time()
+        for batch in loader:
+            imgs = batch["img"]
+            if imgs.shape[0] < batch_size:
+                pad = np.zeros((batch_size - imgs.shape[0],) + imgs.shape[1:], imgs.dtype)
+                imgs_in = np.concatenate([imgs, pad])
+            else:
+                imgs_in = imgs
+            out = infer(params, jnp.asarray(imgs_in))
+            out = {k: np.asarray(v) for k, v in out.items()}
+            H, W = imgs.shape[1:3]
+            for i in range(imgs.shape[0]):
+                valid = out["valid"][i]
+                pboxes = out["boxes"][i][valid]  # (n, 5) xywhr px
+                pconf = out["scores"][i][valid]
+                pcls = out["cls"][i][valid]
+                m = batch["mask_gt"][i] > 0
+                gt = batch["bboxes"][i][m]  # (n_gt, 5) normalized xywhr
+                gt_boxes = gt * np.array([W, H, W, H, 1.0], np.float32)
+                gt_cls = batch["cls"][i][m]
+                tp = match_predictions(pboxes, pcls, gt_boxes, gt_cls, self.iou_thresholds)
+                metrics.update(tp, pconf, pcls, gt_cls)
+                n_img += 1
+        results = metrics.process()
+        LOGGER.info(
+            f"val(obb): {n_img} images in {time.time() - t0:.1f}s — P {results['precision']:.4f} "
+            f"R {results['recall']:.4f} mAP50 {results['mAP50']:.4f} mAP50-95 {results['mAP50-95']:.4f}"
+        )
+        self.metrics = metrics
+        return results

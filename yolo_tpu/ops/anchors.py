@@ -59,3 +59,17 @@ def bbox2dist(anchor_points, bbox, reg_max: int):
         xp = jnp
     x1y1, x2y2 = xp.split(bbox, 2, axis=-1)
     return xp.clip(xp.concatenate([anchor_points - x1y1, x2y2 - anchor_points], axis=-1), 0, reg_max - 0.01)
+
+
+def dist2rbox(distance, angle, anchor_points, axis: int = -1):
+    """Decode (lt, rb) distances + angle into rotated xywh around anchors
+    (ref: utils/tal.py dist2rbox:400). angle in radians, shape (..., 1)."""
+    import jax.numpy as jnp
+
+    lt, rb = jnp.split(jnp.asarray(distance), 2, axis=axis)
+    cos, sin = jnp.cos(angle), jnp.sin(angle)
+    xf, yf = jnp.split((rb - lt) / 2, 2, axis=axis)
+    x = xf * cos - yf * sin
+    y = xf * sin + yf * cos
+    xy = jnp.concatenate([x, y], axis) + anchor_points
+    return jnp.concatenate([xy, lt + rb], axis)

@@ -154,6 +154,91 @@ def non_max_suppression(
     return out
 
 
+def nms_rotated_fixed(rboxes, scores, iou_threshold: float, max_det: int):
+    """Rotated NMS over fixed-size inputs via a one-shot probiou matrix.
+
+    Mirrors the reference nms_rotated (ref: utils/nms.py nms_rotated / ops.py):
+    sort by score, suppress any box whose probiou with ANY higher-scored box is
+    >= threshold (not greedy-sequential — matches the reference exactly and is
+    a single batched matmul-ish op on TPU, no loop).
+    """
+    import jax.numpy as jnp
+
+    from yolo_tpu.ops.boxes import probiou
+
+    K = rboxes.shape[0]
+    order = jnp.argsort(-scores)
+    b = rboxes[order]
+    s = scores[order]
+    iou = probiou(b[:, None, :], b[None, :, :])[..., 0]  # (K, K)
+    row = jnp.arange(K)
+    upper = jnp.where((row[:, None] < row[None, :]), iou, 0.0)  # triu(diagonal=1)
+    suppressed = (upper >= iou_threshold).sum(0) > 0
+    keep = jnp.logical_not(suppressed) & (s > 0)
+    ranked = jnp.where(keep, s, -1.0)
+    sel = jnp.argsort(-ranked)[:max_det]
+    return order[sel], ranked[sel] > 0
+
+
+def non_max_suppression_rotated(
+    prediction,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    classes=None,
+    agnostic: bool = False,
+    max_det: int = 300,
+    nc: int = 0,
+    max_nms: int = 1024,
+):
+    """Fixed-shape rotated NMS over decoded OBB predictions.
+
+    Args:
+        prediction: (B, 4+nc+1, A) — xywh boxes, class scores, angle(rad) last
+            (OBB.decode_with_angle layout; ref head.py OBB:288).
+
+    Returns:
+        dict: boxes (B, max_det, 5) xywhr | scores | cls | valid.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    nc = nc or (prediction.shape[1] - 5)
+
+    K = min(max_nms, prediction.shape[2])
+
+    def single(pred):
+        boxes_xywh = pred[:4].T  # (A, 4)
+        cls_scores = pred[4 : 4 + nc].T  # (A, nc)
+        angle = pred[4 + nc :].T  # (A, 1)
+        if classes is not None:
+            allowed = jnp.zeros((nc,), bool).at[jnp.asarray(classes)].set(True)
+            cls_scores = jnp.where(allowed[None, :], cls_scores, 0.0)
+        conf = jnp.max(cls_scores, axis=-1)
+        cls_id = jnp.argmax(cls_scores, axis=-1)
+        conf = jnp.where(conf > conf_thres, conf, -1.0)
+        top_conf, top_idx = jax.lax.top_k(conf, K)
+        rb = jnp.concatenate([boxes_xywh[top_idx], angle[top_idx]], -1)  # (K, 5)
+        c = cls_id[top_idx]
+        # class-aware NMS: offset centers per class (reference shifts xy only)
+        off = jnp.where(agnostic, 0.0, c.astype(rb.dtype) * MAX_WH)
+        return rb, c, top_conf, off
+
+    rb, c, top_conf, off = jax.vmap(single)(prediction)
+
+    def suppress(bb, cc, ss, oo):
+        shifted = jnp.concatenate([bb[:, :2] + oo[:, None], bb[:, 2:]], -1)
+        keep_idx, keep_valid = nms_rotated_fixed(shifted, ss, iou_thres, max_det)
+        return (
+            jnp.where(keep_valid[:, None], bb[keep_idx], 0.0),
+            jnp.where(keep_valid, ss[keep_idx], 0.0),
+            jnp.where(keep_valid, cc[keep_idx], -1),
+            keep_valid,
+        )
+
+    boxes, scores, cls, valid = jax.vmap(suppress)(rb, c, top_conf, off)
+    return {"boxes": boxes, "scores": scores, "cls": cls, "valid": valid}
+
+
 # Host/golden oracle ------------------------------------------------------------
 
 

@@ -226,6 +226,87 @@ class v8PoseLoss(v8DetectionLoss):
         return loss.sum() * B, jax.lax.stop_gradient(loss)
 
 
+class v8OBBLoss(v8DetectionLoss):
+    """Oriented-box criterion: probiou box loss + rotated TAL assignment
+    (ref: utils/loss.py v8OBBLoss:657, RotatedBboxLoss:144).
+
+    batch['bboxes'] is (B, N, 5) normalized xywh + angle(rad); the reference's
+    tiny-rbox filter (w or h < 2px dropped, :706) becomes a mask update so the
+    loss stays static-shape.
+    """
+
+    def __init__(self, model, hyp, tal_topk: int = 10):
+        super().__init__(model, hyp, tal_topk)
+        from yolo_tpu.utils.tal import RotatedTaskAlignedAssigner
+
+        self.assigner = RotatedTaskAlignedAssigner(topk=tal_topk, num_classes=self.nc, alpha=0.5, beta=6.0)
+
+    def __call__(self, preds, batch):
+        import math
+
+        from yolo_tpu.ops.anchors import dist2rbox
+        from yolo_tpu.ops.boxes import probiou
+
+        det_outs, angle_outs = preds
+        B = det_outs[0].shape[0]
+        flat = jnp.concatenate([f.reshape(B, -1, self.no) for f in det_outs], axis=1).astype(jnp.float32)
+        pred_distri, pred_scores = flat[..., : self.reg_max * 4], flat[..., self.reg_max * 4 :]
+        # head emits raw logits at train time; the reference head transforms the
+        # angle to (sigmoid−0.25)·π before the loss (ref: head.py OBB.forward:316)
+        pred_angle = jnp.concatenate([a.reshape(B, -1, 1) for a in angle_outs], axis=1).astype(jnp.float32)
+        pred_angle = (jax.nn.sigmoid(pred_angle) - 0.25) * math.pi
+
+        feat_shapes = [(f.shape[1], f.shape[2]) for f in det_outs]
+        anchor_points, stride_tensor = make_anchors(feat_shapes, self.stride, 0.5)
+        anchor_points = jnp.asarray(anchor_points)
+        stride_tensor = jnp.asarray(stride_tensor)
+        imgsz = jnp.array([feat_shapes[0][0] * self.stride[0], feat_shapes[0][1] * self.stride[0]], jnp.float32)
+
+        gt_labels = batch["cls"][..., None].astype(jnp.int32)
+        raw = batch["bboxes"]  # (B, N, 5) normalized xywhr
+        scale = jnp.array([imgsz[1], imgsz[0], imgsz[1], imgsz[0]], jnp.float32)
+        gt_rboxes = jnp.concatenate([raw[..., :4] * scale, raw[..., 4:5]], -1)
+        mask_gt = batch["mask_gt"].astype(jnp.float32)
+        # reference filters rboxes under 2px on either side (:705-706)
+        big_enough = (raw[..., 2] * imgsz[0] >= 2) & (raw[..., 3] * imgsz[1] >= 2)
+        mask_gt = (mask_gt * big_enough.astype(jnp.float32))[..., None]
+        gt_rboxes = gt_rboxes * mask_gt
+
+        b, a, _ = pred_distri.shape
+        dist = jax.nn.softmax(pred_distri.reshape(b, a, 4, self.reg_max), axis=-1) @ self.proj
+        pred_rboxes = jnp.concatenate(
+            [dist2rbox(dist, pred_angle, anchor_points[None], axis=-1), pred_angle], -1
+        )  # (B, A, 5) grid units
+
+        assigner_boxes = jax.lax.stop_gradient(pred_rboxes)
+        assigner_boxes = jnp.concatenate([assigner_boxes[..., :4] * stride_tensor[None], assigner_boxes[..., 4:]], -1)
+        _, target_rboxes, target_scores, fg_mask, _ = self.assigner(
+            jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
+            assigner_boxes,
+            anchor_points * stride_tensor,
+            gt_labels,
+            gt_rboxes,
+            mask_gt,
+        )
+        target_scores_sum = jnp.maximum(target_scores.sum(), 1.0)
+
+        bce = jnp.clip(pred_scores, 0, None) - pred_scores * target_scores + jnp.log1p(jnp.exp(-jnp.abs(pred_scores)))
+        loss_cls = bce.sum() / target_scores_sum
+
+        fg = fg_mask.astype(jnp.float32)
+        weight = target_scores.sum(-1) * fg
+        target_g = jnp.concatenate([target_rboxes[..., :4] / stride_tensor[None], target_rboxes[..., 4:]], -1)
+        iou = probiou(pred_rboxes, target_g)[..., 0]
+        loss_iou = (((1.0 - iou) * weight) * fg).sum() / target_scores_sum
+
+        target_ltrb = bbox2dist(anchor_points[None], xywh2xyxy(target_g[..., :4]), self.reg_max - 1)
+        dfl = _df_loss(pred_distri.reshape(b, a, 4, self.reg_max), target_ltrb)
+        loss_dfl = ((dfl * weight) * fg).sum() / target_scores_sum
+
+        loss = jnp.stack([loss_iou * self.hyp.box, loss_cls * self.hyp.cls, loss_dfl * self.hyp.dfl])
+        return loss.sum() * B, jax.lax.stop_gradient(loss)
+
+
 class v8SegmentationLoss(v8DetectionLoss):
     """Detection loss + prototype-mask BCE (ref: utils/loss.py v8SegmentationLoss:302).
 

@@ -95,7 +95,12 @@ def match_predictions(pred_boxes, pred_cls, gt_boxes, gt_cls, iou_thresholds=Non
     tp = np.zeros((n_pred, T), dtype=bool)
     if n_pred == 0 or len(gt_boxes) == 0:
         return tp
-    iou = np.asarray(box_iou(gt_boxes, pred_boxes))  # (n_gt, n_pred)
+    if pred_boxes.shape[-1] == 5:  # rotated boxes: probiou matching (ref: obb/val.py)
+        from yolo_tpu.ops.boxes import probiou
+
+        iou = np.asarray(probiou(gt_boxes[:, None, :], pred_boxes[None, :, :]))[..., 0]
+    else:
+        iou = np.asarray(box_iou(gt_boxes, pred_boxes))  # (n_gt, n_pred)
     correct_class = gt_cls[:, None] == pred_cls[None, :]
     iou = iou * correct_class
     for t, thr in enumerate(iou_thresholds):

@@ -117,3 +117,34 @@ class TaskAlignedAssigner:
         fg = jnp.sum(mask_pos, axis=-2)
         target_gt_idx = jnp.argmax(mask_pos, axis=-2)  # (B, A)
         return target_gt_idx, fg, mask_pos
+
+
+class RotatedTaskAlignedAssigner(TaskAlignedAssigner):
+    """TAL for oriented boxes: probiou overlaps + point-in-rotated-rect
+    candidacy (ref: utils/tal.py RotatedTaskAlignedAssigner:332)."""
+
+    def _candidates_in_gts(self, anc_points, gt_bboxes, eps: float = 1e-9):
+        """(B, N, A) bool via projections onto the box edge vectors."""
+        from yolo_tpu.ops.boxes import xywhr2xyxyxyxy
+
+        corners = xywhr2xyxyxyxy(gt_bboxes)  # (B, N, 4, 2)
+        a, b, d = corners[..., 0:1, :], corners[..., 1:2, :], corners[..., 3:4, :]
+        ab = b - a  # (B, N, 1, 2)
+        ad = d - a
+        ap = anc_points[None, None] - a  # (B, N, A, 2)
+        norm_ab = (ab * ab).sum(-1)
+        norm_ad = (ad * ad).sum(-1)
+        ap_ab = (ap * ab).sum(-1)
+        ap_ad = (ap * ad).sum(-1)
+        return (ap_ab >= 0) & (ap_ab <= norm_ab) & (ap_ad >= 0) & (ap_ad <= norm_ad)
+
+    def _box_metrics(self, pd_scores, pd_bboxes, gt_labels, gt_bboxes, mask):
+        """align metric with probiou overlaps (boxes are (.., 5) xywhr)."""
+        from yolo_tpu.ops.boxes import probiou
+
+        scores_t = jnp.swapaxes(pd_scores, 1, 2)
+        bbox_scores = jnp.take_along_axis(scores_t, jnp.clip(gt_labels, 0, None).astype(jnp.int32), axis=1)
+        bbox_scores = jnp.where(mask, bbox_scores, 0.0)
+        overlaps = probiou(gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :])[..., 0]
+        overlaps = jnp.where(mask, jnp.clip(overlaps, 0.0, None), 0.0)
+        return bbox_scores**self.alpha * overlaps**self.beta, overlaps
