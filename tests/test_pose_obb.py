@@ -270,3 +270,23 @@ def test_obb_training_loss_drops(tiny_obb_dataset, tmp_path):
         assert np.isfinite(float(rows[-1][f"train/{comp}_loss"]))
     first, last = float(rows[0]["train/cls_loss"]), float(rows[-1]["train/cls_loss"])
     assert last < first  # learning signal flows through the rotated loss
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference oracle not present")
+def test_kpt_iou_parity_with_reference():
+    add_reference_to_path()
+    import torch
+    from ultralytics.utils.metrics import kpt_iou as ref_kpt_iou, OKS_SIGMA as REF_SIGMA
+
+    from yolo_tpu.utils.metrics import OKS_SIGMA, kpt_iou
+
+    rng = np.random.default_rng(12)
+    N, M, nkpt = 5, 7, 17
+    gt = rng.uniform(0, 200, (N, nkpt, 3)).astype(np.float32)
+    gt[..., 2] = rng.integers(0, 3, (N, nkpt))
+    pred = rng.uniform(0, 200, (M, nkpt, 3)).astype(np.float32)
+    area = rng.uniform(500, 5000, N).astype(np.float32)
+
+    ref = ref_kpt_iou(torch.tensor(gt), torch.tensor(pred), area=torch.tensor(area), sigma=REF_SIGMA).numpy()
+    ours = kpt_iou(gt, pred, area, OKS_SIGMA)
+    assert np.allclose(ours, ref, atol=1e-5), np.abs(ours - ref).max()

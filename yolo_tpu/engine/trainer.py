@@ -387,25 +387,10 @@ class DetectionTrainer:
             v = OBBValidator(args={**vars(self.args), "mode": "val"}, data=self.data)
             return v(model=self.model, params=params)
         if getattr(self.model, "task", "detect") == "pose":
-            from yolo_tpu.engine.validator import DetectionValidator
+            from yolo_tpu.engine.validator import PoseValidator
 
-            class _PoseDetView:
-                """Detection view of a pose model (drop keypoint channels)."""
-
-                def __init__(self, pm):
-                    self._pm = pm
-                    self.nc = pm.nc
-                    self.stride = pm.stride
-                    self.names = pm.names
-
-                def predict(self, params, x, dtype=None):
-                    import jax.numpy as jnp
-
-                    preds = self._pm.predict(params, x, dtype=dtype or jnp.float32)
-                    return preds[:, : 4 + self.nc]
-
-            v = DetectionValidator(args={**vars(self.args), "mode": "val"}, data=self.data)
-            return v(model=_PoseDetView(self.model), params=params)
+            v = PoseValidator(args={**vars(self.args), "mode": "val"}, data=self.data)
+            return v(model=self.model, params=params)
         from yolo_tpu.engine.validator import DetectionValidator
 
         v = DetectionValidator(args={**vars(self.args), "mode": "val"}, data=self.data)

@@ -188,3 +188,80 @@ class OBBValidator(DetectionValidator):
         )
         self.metrics = metrics
         return results
+
+
+class PoseValidator(DetectionValidator):
+    """Box mAP + OKS keypoint mAP (ref: models/yolo/pose/val.py PoseValidator:16).
+
+    Predictions carry decoded keypoints as NMS extra channels; OKS matching uses
+    gt-box area × 0.53 (cocoeval convention, ref :199)."""
+
+    def __call__(self, model, params) -> dict:
+        import jax
+        import jax.numpy as jnp
+
+        from yolo_tpu.ops.nms import non_max_suppression
+        from yolo_tpu.utils.metrics import OKS_SIGMA, kpt_iou, match_predictions_iou
+
+        data = self.data or check_det_dataset(self.args.data)
+        split = data.get(self.args.split) or data.get("val") or data.get("train")
+        stride = int(max(model.stride))
+        args = get_cfg(overrides={**vars(self.args), "task": "pose"})
+        dataset = build_yolo_dataset(args, split, self.args.batch, data, mode="val", stride=stride)
+        batch_size = min(int(self.args.batch) if self.args.batch and self.args.batch > 0 else 16, len(dataset))
+        loader = build_dataloader(dataset, batch_size, workers=self.args.workers, shuffle=False, drop_last=False)
+
+        nkpt, ndim = model.head.kpt_shape
+        sigma = OKS_SIGMA if (nkpt, ndim) == (17, 3) else np.ones(nkpt) / nkpt
+        conf, iou, max_det = float(self.args.conf), float(self.args.iou), int(self.args.max_det)
+        dtype = jnp.bfloat16 if self.args.half else jnp.float32
+
+        @jax.jit
+        def infer(p, imgs):
+            x = imgs[..., ::-1].astype(dtype) / 255.0
+            preds = model.predict(p, x, dtype=dtype)  # (B, 4+nc+nk, A)
+            return non_max_suppression(preds, conf_thres=conf, iou_thres=iou, max_det=max_det, nc=model.nc)
+
+        box_metrics = DetMetrics(names=getattr(model, "names", {}))
+        pose_metrics = DetMetrics(names=getattr(model, "names", {}))
+        n_img = 0
+        t0 = time.time()
+        for batch in loader:
+            imgs = batch["img"]
+            if imgs.shape[0] < batch_size:
+                pad = np.zeros((batch_size - imgs.shape[0],) + imgs.shape[1:], imgs.dtype)
+                imgs_in = np.concatenate([imgs, pad])
+            else:
+                imgs_in = imgs
+            out = infer(params, jnp.asarray(imgs_in))
+            out = {k: np.asarray(v) for k, v in out.items()}
+            H, W = imgs.shape[1:3]
+            for i in range(imgs.shape[0]):
+                valid = out["valid"][i]
+                pboxes = out["boxes"][i][valid]
+                pconf = out["scores"][i][valid]
+                pcls = out["cls"][i][valid]
+                pkpts = out["extra"][i][valid].reshape(-1, nkpt, ndim)
+                m = batch["mask_gt"][i] > 0
+                gt_boxes = np.asarray(xywhn2xyxy(batch["bboxes"][i][m], w=W, h=H))
+                gt_cls = batch["cls"][i][m]
+                gt_kpts = batch["keypoints"][i][m] * np.array([W, H] + [1.0] * (ndim - 2), np.float32)
+                tp = match_predictions(pboxes, pcls, gt_boxes, gt_cls, self.iou_thresholds)
+                box_metrics.update(tp, pconf, pcls, gt_cls)
+                area = (gt_boxes[:, 2] - gt_boxes[:, 0]) * (gt_boxes[:, 3] - gt_boxes[:, 1]) * 0.53
+                oks = kpt_iou(gt_kpts, pkpts, area, sigma)
+                tp_p = match_predictions_iou(pcls, gt_cls, oks, self.iou_thresholds)
+                pose_metrics.update(tp_p, pconf, pcls, gt_cls)
+                n_img += 1
+        rb = box_metrics.process()
+        rp = pose_metrics.process()
+        LOGGER.info(
+            f"val(pose): {n_img} images in {time.time() - t0:.1f}s — box mAP50 {rb['mAP50']:.4f} "
+            f"mAP50-95 {rb['mAP50-95']:.4f} | pose mAP50 {rp['mAP50']:.4f} mAP50-95 {rp['mAP50-95']:.4f}"
+        )
+        results = dict(rb)
+        results.update({f"pose_{k}": v for k, v in rp.items()})
+        # PoseMetrics fitness = box fitness + pose fitness (ref: metrics.py PoseMetrics)
+        results["fitness"] = rb.get("fitness", 0.0) + rp.get("fitness", 0.0)
+        self.metrics = (box_metrics, pose_metrics)
+        return results

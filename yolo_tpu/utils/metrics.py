@@ -12,6 +12,12 @@ import numpy as np
 
 from yolo_tpu.ops.boxes import box_iou
 
+# COCO 17-keypoint OKS sigmas (ref: utils/metrics.py OKS_SIGMA:17)
+OKS_SIGMA = (
+    np.array([0.26, 0.25, 0.25, 0.35, 0.35, 0.79, 0.79, 0.72, 0.72, 0.62, 0.62, 1.07, 1.07, 0.87, 0.87, 0.89, 0.89])
+    / 10.0
+)
+
 
 def smooth(y: np.ndarray, f: float = 0.05) -> np.ndarray:
     """Box-filter smoothing used to pick the F1-max confidence."""
@@ -101,6 +107,20 @@ def match_predictions(pred_boxes, pred_cls, gt_boxes, gt_cls, iou_thresholds=Non
         iou = np.asarray(probiou(gt_boxes[:, None, :], pred_boxes[None, :, :]))[..., 0]
     else:
         iou = np.asarray(box_iou(gt_boxes, pred_boxes))  # (n_gt, n_pred)
+    return match_predictions_iou(pred_cls, gt_cls, iou, iou_thresholds)
+
+
+def match_predictions_iou(pred_cls, gt_cls, iou, iou_thresholds=None):
+    """TP matrix from a precomputed (n_gt, n_pred) similarity matrix — shared by
+    box IoU, probiou (OBB) and OKS (pose) matching (ref: validator match_predictions)."""
+    if iou_thresholds is None:
+        iou_thresholds = np.linspace(0.5, 0.95, 10)
+    n_pred = len(pred_cls)
+    T = len(iou_thresholds)
+    tp = np.zeros((n_pred, T), dtype=bool)
+    if n_pred == 0 or len(gt_cls) == 0:
+        return tp
+    iou = np.asarray(iou)
     correct_class = gt_cls[:, None] == pred_cls[None, :]
     iou = iou * correct_class
     for t, thr in enumerate(iou_thresholds):
@@ -114,6 +134,23 @@ def match_predictions(pred_boxes, pred_cls, gt_boxes, gt_cls, iou_thresholds=Non
             matches = matches[np.unique(matches[:, 0], return_index=True)[1]]
             tp[matches[:, 1], t] = True
     return tp
+
+
+def kpt_iou(gt_kpts, pred_kpts, area, sigma, eps: float = 1e-7):
+    """Object Keypoint Similarity matrix (ref: utils/metrics.py kpt_iou:169).
+
+    gt_kpts: (N, nkpt, 3) pixels; pred_kpts: (M, nkpt, >=2); area: (N,).
+    Returns (N, M).
+    """
+    gt_kpts = np.asarray(gt_kpts, np.float32)
+    pred_kpts = np.asarray(pred_kpts, np.float32)
+    sigma = np.asarray(sigma, np.float32)
+    d = (gt_kpts[:, None, :, 0] - pred_kpts[None, :, :, 0]) ** 2 + (
+        gt_kpts[:, None, :, 1] - pred_kpts[None, :, :, 1]
+    ) ** 2  # (N, M, nkpt)
+    kpt_mask = gt_kpts[..., 2] != 0  # (N, nkpt)
+    e = d / ((2 * sigma) ** 2 * (area[:, None, None] + eps) * 2)  # cocoeval form
+    return (np.exp(-e) * kpt_mask[:, None]).sum(-1) / (kpt_mask.sum(-1)[:, None] + eps)
 
 
 class ConfusionMatrix:
