@@ -122,3 +122,19 @@ def test_segment_training_step(tmp_path):
         for k in ("train/box_loss", "train/seg_loss", "train/cls_loss", "train/dfl_loss"):
             assert np.isfinite(float(r[k])), (k, r[k])
     assert m.model.task == "segment" and m.model.nc == 1
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference oracle not present")
+def test_mask_iou_parity_with_reference():
+    add_reference_to_path()
+    import torch
+    from ultralytics.utils.metrics import mask_iou as ref_mask_iou
+
+    from yolo_tpu.utils.metrics import mask_iou
+
+    rng = np.random.default_rng(6)
+    gm = (rng.uniform(0, 1, (4, 1600)) > 0.6).astype(np.float32)
+    pm = (rng.uniform(0, 1, (6, 1600)) > 0.6).astype(np.float32)
+    ref = ref_mask_iou(torch.tensor(gm), torch.tensor(pm)).numpy()
+    ours = mask_iou(gm, pm)
+    assert np.allclose(ours, ref, atol=1e-6)

@@ -361,26 +361,10 @@ class DetectionTrainer:
 
     def validate(self, params):
         if getattr(self.model, "task", "detect") == "segment":
-            # box-mAP validation of the segment model's detection outputs
-            from yolo_tpu.engine.validator import DetectionValidator
+            from yolo_tpu.engine.validator import SegmentationValidator
 
-            class _DetView:
-                """Detection view of a segmentation model (drop protos)."""
-
-                def __init__(self, seg):
-                    self._seg = seg
-                    self.nc = seg.nc
-                    self.stride = seg.stride
-                    self.names = seg.names
-
-                def predict(self, params, x, dtype=None):
-                    import jax.numpy as jnp
-
-                    preds, _ = self._seg.predict(params, x, dtype=dtype or jnp.float32)
-                    return preds[:, : 4 + self.nc]
-
-            v = DetectionValidator(args={**vars(self.args), "mode": "val"}, data=self.data)
-            return v(model=_DetView(self.model), params=params)
+            v = SegmentationValidator(args={**vars(self.args), "mode": "val"}, data=self.data)
+            return v(model=self.model, params=params)
         if getattr(self.model, "task", "detect") == "obb":
             from yolo_tpu.engine.validator import OBBValidator
 

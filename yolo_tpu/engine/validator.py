@@ -265,3 +265,93 @@ class PoseValidator(DetectionValidator):
         results["fitness"] = rb.get("fitness", 0.0) + rp.get("fitness", 0.0)
         self.metrics = (box_metrics, pose_metrics)
         return results
+
+
+class SegmentationValidator(DetectionValidator):
+    """Box mAP + mask mAP (ref: models/yolo/segment/val.py SegmentationValidator:20).
+
+    Masks compare at prototype (stride-4) resolution — the reference's default
+    (no-upsample) comparison path; gt arrives as the collate's overlap-index map."""
+
+    def __call__(self, model, params) -> dict:
+        import jax
+        import jax.numpy as jnp
+
+        from yolo_tpu.ops.masks import crop_mask_np
+        from yolo_tpu.ops.nms import non_max_suppression
+        from yolo_tpu.utils.metrics import mask_iou, match_predictions_iou
+
+        data = self.data or check_det_dataset(self.args.data)
+        split = data.get(self.args.split) or data.get("val") or data.get("train")
+        stride = int(max(model.stride))
+        dataset = build_yolo_dataset(self.args, split, self.args.batch, data, mode="val", stride=stride)
+        batch_size = min(int(self.args.batch) if self.args.batch and self.args.batch > 0 else 16, len(dataset))
+        loader = build_dataloader(dataset, batch_size, workers=self.args.workers, shuffle=False, drop_last=False)
+
+        conf, iou, max_det = float(self.args.conf), float(self.args.iou), int(self.args.max_det)
+        dtype = jnp.bfloat16 if self.args.half else jnp.float32
+
+        @jax.jit
+        def infer(p, imgs):
+            x = imgs[..., ::-1].astype(dtype) / 255.0
+            preds, protos = model.predict(p, x, dtype=dtype)
+            return (
+                non_max_suppression(preds, conf_thres=conf, iou_thres=iou, max_det=max_det, nc=model.nc),
+                protos,
+            )
+
+        box_metrics = DetMetrics(names=getattr(model, "names", {}))
+        m_metrics = DetMetrics(names=getattr(model, "names", {}))
+        n_img = 0
+        t0 = time.time()
+        for batch in loader:
+            imgs = batch["img"]
+            if imgs.shape[0] < batch_size:
+                pad = np.zeros((batch_size - imgs.shape[0],) + imgs.shape[1:], imgs.dtype)
+                imgs_in = np.concatenate([imgs, pad])
+            else:
+                imgs_in = imgs
+            out, protos = infer(params, jnp.asarray(imgs_in))
+            out = {k: np.asarray(v) for k, v in out.items()}
+            protos = np.asarray(protos, np.float32)
+            H, W = imgs.shape[1:3]
+            mh, mw = protos.shape[1:3]
+            gt_maps = batch.get("masks")
+            for i in range(imgs.shape[0]):
+                valid = out["valid"][i]
+                pboxes = out["boxes"][i][valid]
+                pconf = out["scores"][i][valid]
+                pcls = out["cls"][i][valid]
+                coefs = out["extra"][i][valid]
+                m = batch["mask_gt"][i] > 0
+                gt_boxes = np.asarray(xywhn2xyxy(batch["bboxes"][i][m], w=W, h=H))
+                gt_cls = batch["cls"][i][m]
+                tp = match_predictions(pboxes, pcls, gt_boxes, gt_cls, self.iou_thresholds)
+                box_metrics.update(tp, pconf, pcls, gt_cls)
+
+                # assemble pred masks at proto resolution, crop to boxes
+                pm = 1.0 / (1.0 + np.exp(-(coefs @ protos[i].reshape(-1, protos.shape[-1]).T)))
+                pm = crop_mask_np(pm.reshape(-1, mh, mw), pboxes * (mh / H)) > 0.5
+                if gt_maps is not None:
+                    gmap = gt_maps[i]
+                    if gmap.shape != (mh, mw):
+                        gmap = gmap[:: gmap.shape[0] // mh, :: gmap.shape[1] // mw][:mh, :mw]
+                    idxs = np.nonzero(m)[0]
+                    gm = (gmap[None] == (idxs + 1)[:, None, None])
+                    miou = mask_iou(gm.reshape(len(idxs), -1), pm.reshape(len(pm), -1))
+                    tp_m = match_predictions_iou(pcls, gt_cls, miou, self.iou_thresholds)
+                else:
+                    tp_m = np.zeros((len(pcls), len(self.iou_thresholds)), bool)
+                m_metrics.update(tp_m, pconf, pcls, gt_cls)
+                n_img += 1
+        rb = box_metrics.process()
+        rm = m_metrics.process()
+        LOGGER.info(
+            f"val(seg): {n_img} images in {time.time() - t0:.1f}s — box mAP50 {rb['mAP50']:.4f} "
+            f"mAP50-95 {rb['mAP50-95']:.4f} | mask mAP50 {rm['mAP50']:.4f} mAP50-95 {rm['mAP50-95']:.4f}"
+        )
+        results = dict(rb)
+        results.update({f"mask_{k}": v for k, v in rm.items()})
+        results["fitness"] = rb.get("fitness", 0.0) + rm.get("fitness", 0.0)
+        self.metrics = (box_metrics, m_metrics)
+        return results

@@ -136,6 +136,18 @@ def match_predictions_iou(pred_cls, gt_cls, iou, iou_thresholds=None):
     return tp
 
 
+def mask_iou(mask1, mask2, eps: float = 1e-7):
+    """IoU between flattened binary masks (ref: utils/metrics.py mask_iou:150).
+
+    mask1: (N, n) gt; mask2: (M, n) pred. Returns (N, M).
+    """
+    mask1 = np.asarray(mask1, np.float32)
+    mask2 = np.asarray(mask2, np.float32)
+    intersection = np.clip(mask1 @ mask2.T, 0, None)
+    union = mask1.sum(1)[:, None] + mask2.sum(1)[None] - intersection
+    return intersection / (union + eps)
+
+
 def kpt_iou(gt_kpts, pred_kpts, area, sigma, eps: float = 1e-7):
     """Object Keypoint Similarity matrix (ref: utils/metrics.py kpt_iou:169).
 
