@@ -14,6 +14,6 @@ Public surface mirrors the reference (see SURVEY.md §1-2):
 
 __version__ = "0.1.0"
 
-from yolo_tpu.engine.model import YOLO  # noqa: E402
+from yolo_tpu.engine.model import RTDETR, YOLO  # noqa: E402
 
-__all__ = ["YOLO", "__version__"]
+__all__ = ["YOLO", "RTDETR", "__version__"]

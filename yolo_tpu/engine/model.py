@@ -46,6 +46,14 @@ class YOLO:
             self._load(model)
 
     def _new(self, cfg: str, verbose: bool = False):
+        if "rtdetr" in str(cfg).lower():
+            from yolo_tpu.nn.tasks import RTDETRDetectionModel
+
+            self.model = RTDETRDetectionModel(cfg, verbose=verbose)
+            self.params = self.model.init(0)
+            self.overrides["model"] = cfg
+            self.overrides["task"] = self.task
+            return
         if self.task == "classify":
             from yolo_tpu.nn.tasks import ClassificationModel
 
@@ -194,3 +202,11 @@ class YOLO:
 
     def embed(self, source=None, **kwargs):
         raise NotImplementedError("embedding extraction lands with the classify task")
+
+
+class RTDETR(YOLO):
+    """RT-DETR facade (ref: models/rtdetr/model.py RTDETR:20) — same Model API,
+    NMS-free query-based predictions."""
+
+    def __init__(self, model="rtdetr-l.yaml", verbose: bool = False):
+        super().__init__(model, task="detect", verbose=verbose)

@@ -67,6 +67,36 @@ class BasePredictor:
         classes = self.args.classes
         model, dtype = self.model, self.dtype
 
+        if getattr(model, "is_rtdetr", False):
+            # RT-DETR is NMS-free: threshold + top-k over the query set
+            # (ref: models/rtdetr/predict.py RTDETRPredictor.postprocess)
+            from yolo_tpu.ops.boxes import xywh2xyxy
+
+            @jax.jit
+            def fn(params, imgs):
+                x = imgs[..., ::-1].astype(dtype) / 255.0
+                y = model.predict(params, x, dtype=dtype)  # (B, nq, 4+nc) normalized
+                H, W = imgs.shape[1], imgs.shape[2]
+                boxes = xywh2xyxy(y[..., :4]) * jnp.array([W, H, W, H], jnp.float32)
+                scores = y[..., 4:]
+                if classes is not None:
+                    allowed = jnp.zeros((scores.shape[-1],), bool).at[jnp.asarray(classes)].set(True)
+                    scores = jnp.where(allowed[None, None], scores, 0.0)
+                sc = scores.max(-1)
+                cl = scores.argmax(-1)
+                sc = jnp.where(sc > conf, sc, -1.0)
+                top, idx = jax.lax.top_k(sc, min(max_det, sc.shape[-1]))
+                valid = top > 0
+                return {
+                    "boxes": jnp.where(valid[..., None], jnp.take_along_axis(boxes, idx[..., None], 1), 0.0),
+                    "scores": jnp.where(valid, top, 0.0),
+                    "cls": jnp.where(valid, jnp.take_along_axis(cl, idx, 1), -1),
+                    "valid": valid,
+                }
+
+            self._fn_cache[key] = fn
+            return fn
+
         @jax.jit
         def fn(params, imgs):
             # imgs: uint8 NHWC BGR (cv2 convention) → RGB fp [0,1]

@@ -54,12 +54,20 @@ def silu(x):
 
 
 class ConvBNAct:
-    """Conv2d(bias=False) + BatchNorm + SiLU (ref Conv), fusable for inference."""
+    """Conv2d(bias=False) + BatchNorm + act (ref Conv), fusable for inference.
 
-    def __init__(self, c1: int, c2: int, k: int = 1, s: int = 1, p: int | None = None, g: int = 1, d: int = 1, act: bool = True):
+    act=True uses DEFAULT_ACT (normally "silu"; parse_model temporarily swaps
+    it when a model yaml carries an `activation:` override, like yolov6's ReLU
+    — ref: nn/tasks.py:1552, but restored after the build instead of leaking).
+    An explicit string ("relu", "gelu") pins the act regardless of the default.
+    """
+
+    DEFAULT_ACT = "silu"
+
+    def __init__(self, c1: int, c2: int, k: int = 1, s: int = 1, p: int | None = None, g: int = 1, d: int = 1, act=True):
         self.c1, self.c2, self.k, self.s, self.g, self.d = c1, c2, k, s, g, d
         self.p = autopad(k, p, d)
-        self.act = act
+        self.act = ConvBNAct.DEFAULT_ACT if act is True else act if isinstance(act, str) else None
 
     def init(self, rng):
         # He/kaiming-uniform fan_in init matching torch Conv2d defaults.
@@ -105,8 +113,12 @@ class ConvBNAct:
             y = (y - mean) * (bn["weight"] * jax.lax.rsqrt(var + BN_EPS)) + bn["bias"]
         elif "bias" in p["conv"]:  # fused path
             y = y + p["conv"]["bias"]
-        if self.act:
+        if self.act == "silu":
             y = silu(y)
+        elif self.act == "relu":
+            y = jnp.maximum(y, 0.0)
+        elif self.act == "gelu":
+            y = jax.nn.gelu(y)
         return y.astype(ctx.dtype)
 
     def fuse(self, p):
@@ -264,14 +276,56 @@ class Upsample:
 class MaxPool2d:
     """nn.MaxPool2d equivalent for YAML graphs that use it."""
 
-    def __init__(self, kernel_size=2, stride=2):
-        self.k, self.s = kernel_size, stride
+    def __init__(self, kernel_size=2, stride=2, padding=0):
+        self.k, self.s, self.p = kernel_size, stride, padding
 
     def init(self, rng):
         return {}
 
     def __call__(self, p, x, ctx, path=""):
-        return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, self.k, self.k, 1), (1, self.s, self.s, 1), "SAME")
+        if self.p:
+            pad = [(0, 0), (self.p, self.p), (self.p, self.p), (0, 0)]
+            return jax.lax.reduce_window(
+                x, -jnp.inf, jax.lax.max, (1, self.k, self.k, 1), (1, self.s, self.s, 1), pad
+            )
+        # torch MaxPool2d(p=0) floors the output size — VALID matches exactly
+        return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, self.k, self.k, 1), (1, self.s, self.s, 1), "VALID")
+
+
+class SPP:
+    """Spatial pyramid pooling, parallel kernels (ref: block.py SPP)."""
+
+    def __init__(self, c1, c2, k=(5, 9, 13)):
+        c_ = c1 // 2
+        self.k = tuple(k)
+        self.cv1 = ConvBNAct(c1, c_, 1, 1)
+        self.cv2 = ConvBNAct(c_ * (len(k) + 1), c2, 1, 1)
+
+    def init(self, rng):
+        return {"cv1": self.cv1.init(rng), "cv2": self.cv2.init(rng)}
+
+    def __call__(self, p, x, ctx: Ctx, path=""):
+        x = self.cv1(p["cv1"], x, ctx, f"{path}/cv1")
+        outs = [x]
+        for k in self.k:
+            pad = [(0, 0), (k // 2, k // 2), (k // 2, k // 2), (0, 0)]
+            outs.append(jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, k, k, 1), (1, 1, 1, 1), pad))
+        return self.cv2(p["cv2"], jnp.concatenate(outs, -1), ctx, f"{path}/cv2")
+
+
+class ZeroPad2d:
+    """nn.ZeroPad2d for YAML graphs (v3-tiny pads before its stride-1 maxpool)."""
+
+    def __init__(self, padding):
+        # torch order: (left, right, top, bottom)
+        self.pad = list(padding) if isinstance(padding, (list, tuple)) else [padding] * 4
+
+    def init(self, rng):
+        return {}
+
+    def __call__(self, p, x, ctx, path=""):
+        l, r, t, b = self.pad
+        return jnp.pad(x, ((0, 0), (t, b), (l, r), (0, 0)))
 
 
 # ---------------------------------------------------------------------------
@@ -1147,3 +1201,286 @@ class RepVGGDW:
         y = self.conv(p["conv"], x, ctx, f"{path}/conv").astype(jnp.float32)
         y = y + self.conv1(p["conv1"], x, ctx, f"{path}/conv1").astype(jnp.float32)
         return silu(y).astype(ctx.dtype)
+
+
+# ---------------------------------------------------------------------------
+# YOLOv9-e aux-branch blocks (ref: block.py CBLinear:1026, CBFuse:1050) and
+# YOLO12 area-attention blocks (ref: block.py AAttn:1689, ABlock:1775,
+# A2C2f:1843)
+# ---------------------------------------------------------------------------
+
+
+class Identity:
+    """Pass-through (yaml nn.Identity; v9e uses it to alias the raw input)."""
+
+    def init(self, rng):
+        return {}
+
+    def __call__(self, p, x, ctx, path=""):
+        return x
+
+
+class CBLinear:
+    """Biased conv whose output splits into a list of channel groups
+    (ref: block.py CBLinear:1026)."""
+
+    def __init__(self, c1, c2s, k=1, s=1, p=None, g=1):
+        self.c1, self.c2s, self.k, self.s, self.g = c1, list(c2s), k, s, g
+        self.p = autopad(k, p)
+
+    def init(self, rng):
+        c2 = sum(self.c2s)
+        fan_in = self.c1 // self.g * self.k * self.k
+        bound = math.sqrt(1.0 / fan_in) * math.sqrt(3.0)
+        return {
+            "conv": {
+                "weight": rng.uniform(-bound, bound, (self.k, self.k, self.c1 // self.g, c2)).astype(np.float32),
+                "bias": rng.uniform(-math.sqrt(1.0 / fan_in), math.sqrt(1.0 / fan_in), (c2,)).astype(np.float32),
+            }
+        }
+
+    def __call__(self, p, x, ctx: Ctx, path=""):
+        w = p["conv"]["weight"].astype(ctx.dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(ctx.dtype),
+            w,
+            window_strides=(self.s, self.s),
+            padding=[(self.p, self.p)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.g,
+        )
+        y = y.astype(jnp.float32) + p["conv"]["bias"].astype(jnp.float32)
+        y = y.astype(ctx.dtype)
+        outs = []
+        o = 0
+        for c in self.c2s:
+            outs.append(y[..., o : o + c])
+            o += c
+        return outs
+
+
+class CBFuse:
+    """Sum selected CBLinear splits, nearest-upsampled to the last input's size
+    (ref: block.py CBFuse:1050)."""
+
+    def __init__(self, idx):
+        self.idx = list(idx)
+
+    def init(self, rng):
+        return {}
+
+    def __call__(self, p, xs, ctx: Ctx, path=""):
+        target = xs[-1]
+        th, tw = target.shape[1], target.shape[2]
+        total = target.astype(jnp.float32)
+        for i, x in enumerate(xs[:-1]):
+            t = x[self.idx[i]]  # pick the matching CBLinear split
+            b, h, w, c = t.shape
+            if (h, w) != (th, tw):  # nearest upsample by integer repeat
+                fy, fx = th // h, tw // w
+                t = jnp.repeat(jnp.repeat(t, fy, axis=1), fx, axis=2)
+            total = total + t.astype(jnp.float32)
+        return total.astype(ctx.dtype)
+
+
+class AAttn:
+    """Area attention: windowed MHSA over `area` horizontal strips with a
+    depthwise positional conv on V (ref: block.py AAttn:1689)."""
+
+    def __init__(self, dim, num_heads, area=1):
+        self.dim, self.num_heads, self.area = dim, num_heads, area
+        self.head_dim = dim // num_heads
+        self.qkv = ConvBNAct(dim, dim * 3, 1, act=False)
+        self.proj = ConvBNAct(dim, dim, 1, act=False)
+        self.pe = ConvBNAct(dim, dim, 7, 1, 3, g=dim, act=False)
+
+    def init(self, rng):
+        return {"qkv": self.qkv.init(rng), "proj": self.proj.init(rng), "pe": self.pe.init(rng)}
+
+    def __call__(self, p, x, ctx: Ctx, path=""):
+        B, H, W, C = x.shape
+        N = H * W
+        h, hd = self.num_heads, self.head_dim
+        qkv = self.qkv(p["qkv"], x, ctx, f"{path}/qkv").reshape(B, N, 3 * C)
+        Bn, Nn = B, N
+        if self.area > 1:
+            Bn, Nn = B * self.area, N // self.area
+            qkv = qkv.reshape(Bn, Nn, 3 * C)
+        # channels = (heads, 3·head_dim): each head's q,k,v are contiguous
+        t = qkv.reshape(Bn, Nn, h, 3 * hd).transpose(0, 2, 3, 1).astype(jnp.float32)  # (Bn, h, 3hd, Nn)
+        q, k, v = t[:, :, :hd], t[:, :, hd : 2 * hd], t[:, :, 2 * hd :]
+        attn = jnp.einsum("bhdn,bhdm->bhnm", q, k) * (hd**-0.5)
+        attn = jax.nn.softmax(attn, axis=-1)
+        y = jnp.einsum("bhdm,bhnm->bhdn", v, attn)  # v @ attnᵀ
+        y = y.transpose(0, 3, 1, 2)  # (Bn, Nn, h, hd)
+        vv = v.transpose(0, 3, 1, 2)
+        if self.area > 1:
+            y = y.reshape(B, N, C)
+            vv = vv.reshape(B, N, C)
+        y = y.reshape(B, H, W, C).astype(ctx.dtype)
+        vv = vv.reshape(B, H, W, C).astype(ctx.dtype)
+        y = y + self.pe(p["pe"], vv, ctx, f"{path}/pe")
+        return self.proj(p["proj"], y, ctx, f"{path}/proj")
+
+
+class ABlock:
+    """Area-attention block: AAttn + 1×1-conv MLP, both residual
+    (ref: block.py ABlock:1775)."""
+
+    def __init__(self, dim, num_heads, mlp_ratio=1.2, area=1):
+        self.attn = AAttn(dim, num_heads, area)
+        hidden = int(dim * mlp_ratio)
+        self.mlp = [ConvBNAct(dim, hidden, 1), ConvBNAct(hidden, dim, 1, act=False)]
+
+    def init(self, rng):
+        return {"attn": self.attn.init(rng), "mlp": {"0": self.mlp[0].init(rng), "1": self.mlp[1].init(rng)}}
+
+    def __call__(self, p, x, ctx: Ctx, path=""):
+        x = x + self.attn(p["attn"], x, ctx, f"{path}/attn")
+        y = self.mlp[0](p["mlp"]["0"], x, ctx, f"{path}/mlp/0")
+        y = self.mlp[1](p["mlp"]["1"], y, ctx, f"{path}/mlp/1")
+        return x + y
+
+
+class A2C2f:
+    """Area-attention C2f: stacked ABlock pairs (or C3k), optional learnable
+    residual gamma (ref: block.py A2C2f:1843)."""
+
+    def __init__(self, c1, c2, n=1, a2=True, area=1, residual=False, mlp_ratio=2.0, e=0.5, g=1, shortcut=True):
+        c_ = int(c2 * e)
+        assert c_ % 32 == 0, "A2C2f hidden dim must be a multiple of 32"
+        self.c2, self.n, self.a2, self.residual = c2, n, a2, a2 and residual
+        self.cv1 = ConvBNAct(c1, c_, 1, 1)
+        self.cv2 = ConvBNAct((1 + n) * c_, c2, 1)
+        if a2:
+            self.m = [[ABlock(c_, c_ // 32, mlp_ratio, area) for _ in range(2)] for _ in range(n)]
+        else:
+            self.m = [C3k(c_, c_, 2, shortcut, g) for _ in range(n)]
+
+    def init(self, rng):
+        p = {"cv1": self.cv1.init(rng), "cv2": self.cv2.init(rng)}
+        if self.a2:
+            p["m"] = {str(i): {str(j): blk.init(rng) for j, blk in enumerate(pair)} for i, pair in enumerate(self.m)}
+        else:
+            p["m"] = {str(i): mod.init(rng) for i, mod in enumerate(self.m)}
+        if self.residual:
+            p["gamma"] = np.full((self.c2,), 0.01, np.float32)
+        return p
+
+    def __call__(self, p, x, ctx: Ctx, path=""):
+        ys = [self.cv1(p["cv1"], x, ctx, f"{path}/cv1")]
+        for i, item in enumerate(self.m):
+            z = ys[-1]
+            if self.a2:
+                for j, blk in enumerate(item):
+                    z = blk(p["m"][str(i)][str(j)], z, ctx, f"{path}/m/{i}/{j}")
+            else:
+                z = item(p["m"][str(i)], z, ctx, f"{path}/m/{i}")
+            ys.append(z)
+        y = self.cv2(p["cv2"], jnp.concatenate(ys, -1), ctx, f"{path}/cv2")
+        if self.residual:
+            return x + p["gamma"].astype(jnp.float32) * y.astype(jnp.float32)
+        return y
+
+
+# ---------------------------------------------------------------------------
+# RT-DETR / PPHGNetV2 backbone blocks (ref: block.py HGStem:108, HGBlock:146,
+# RepC3:376; conv.py LightConv:158)
+# ---------------------------------------------------------------------------
+
+
+class LightConv:
+    """1x1 conv (no act) + depthwise k×k conv (ref: conv.py LightConv:158)."""
+
+    def __init__(self, c1, c2, k=1, act="relu"):
+        self.conv1 = ConvBNAct(c1, c2, 1, act=False)
+        self.conv2 = DWConv(c2, c2, k, act=act)
+
+    def init(self, rng):
+        return {"conv1": self.conv1.init(rng), "conv2": self.conv2.init(rng)}
+
+    def __call__(self, p, x, ctx, path=""):
+        return self.conv2(p["conv2"], self.conv1(p["conv1"], x, ctx, f"{path}/conv1"), ctx, f"{path}/conv2")
+
+
+class HGStem:
+    """PPHGNetV2 stem: 5 ReLU convs + stride-1 maxpool branch (ref: block.py HGStem:108)."""
+
+    def __init__(self, c1, cm, c2):
+        self.stem1 = ConvBNAct(c1, cm, 3, 2, act="relu")
+        self.stem2a = ConvBNAct(cm, cm // 2, 2, 1, 0, act="relu")
+        self.stem2b = ConvBNAct(cm // 2, cm, 2, 1, 0, act="relu")
+        self.stem3 = ConvBNAct(cm * 2, cm, 3, 2, act="relu")
+        self.stem4 = ConvBNAct(cm, c2, 1, 1, act="relu")
+
+    def init(self, rng):
+        return {k: getattr(self, k).init(rng) for k in ("stem1", "stem2a", "stem2b", "stem3", "stem4")}
+
+    def __call__(self, p, x, ctx, path=""):
+        x = self.stem1(p["stem1"], x, ctx, f"{path}/stem1")
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))  # F.pad [0,1,0,1]
+        x2 = self.stem2a(p["stem2a"], x, ctx, f"{path}/stem2a")
+        x2 = jnp.pad(x2, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        x2 = self.stem2b(p["stem2b"], x2, ctx, f"{path}/stem2b")
+        # maxpool k2 s1 ceil_mode=True on the padded map == VALID here (size keeps)
+        x1 = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 1, 1, 1), "VALID")
+        x = jnp.concatenate([x1, x2], -1)
+        x = self.stem3(p["stem3"], x, ctx, f"{path}/stem3")
+        return self.stem4(p["stem4"], x, ctx, f"{path}/stem4")
+
+
+class HGBlock:
+    """PPHGNetV2 block: n chained convs, squeeze/excite 1x1s, optional shortcut
+    (ref: block.py HGBlock:146)."""
+
+    def __init__(self, c1, cm, c2, k=3, n=6, lightconv=False, shortcut=False):
+        block = LightConv if lightconv else ConvBNAct
+        if lightconv:
+            self.m = [LightConv(c1 if i == 0 else cm, cm, k=k) for i in range(n)]
+        else:
+            self.m = [ConvBNAct(c1 if i == 0 else cm, cm, k, act="relu") for i in range(n)]
+        self.sc = ConvBNAct(c1 + n * cm, c2 // 2, 1, 1, act="relu")
+        self.ec = ConvBNAct(c2 // 2, c2, 1, 1, act="relu")
+        self.add = shortcut and c1 == c2
+
+    def init(self, rng):
+        return {
+            "m": {str(i): m.init(rng) for i, m in enumerate(self.m)},
+            "sc": self.sc.init(rng),
+            "ec": self.ec.init(rng),
+        }
+
+    def __call__(self, p, x, ctx, path=""):
+        ys = [x]
+        for i, m in enumerate(self.m):
+            ys.append(m(p["m"][str(i)], ys[-1], ctx, f"{path}/m/{i}"))
+        y = self.ec(p["ec"], self.sc(p["sc"], jnp.concatenate(ys, -1), ctx, f"{path}/sc"), ctx, f"{path}/ec")
+        return y + x if self.add else y
+
+
+class RepC3:
+    """CSP block of RepConvs with identity-or-conv cv3 (ref: block.py RepC3:376)."""
+
+    def __init__(self, c1, c2, n=3, e=1.0):
+        c_ = int(c2 * e)
+        self.cv1 = ConvBNAct(c1, c_, 1, 1)
+        self.cv2 = ConvBNAct(c1, c_, 1, 1)
+        self.m = [RepConv(c_, c_) for _ in range(n)]
+        self.cv3 = ConvBNAct(c_, c2, 1, 1) if c_ != c2 else None
+
+    def init(self, rng):
+        p = {
+            "cv1": self.cv1.init(rng),
+            "cv2": self.cv2.init(rng),
+            "m": {str(i): m.init(rng) for i, m in enumerate(self.m)},
+        }
+        if self.cv3 is not None:
+            p["cv3"] = self.cv3.init(rng)
+        return p
+
+    def __call__(self, p, x, ctx, path=""):
+        y = self.cv1(p["cv1"], x, ctx, f"{path}/cv1")
+        for i, m in enumerate(self.m):
+            y = m(p["m"][str(i)], y, ctx, f"{path}/m/{i}")
+        y = y + self.cv2(p["cv2"], x, ctx, f"{path}/cv2")
+        return self.cv3(p["cv3"], y, ctx, f"{path}/cv3") if self.cv3 is not None else y

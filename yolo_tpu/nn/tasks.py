@@ -33,6 +33,7 @@ MODULE_MAP = {
     "DWConv": M.DWConv,
     "C2f": M.C2f,
     "SPPF": M.SPPF,
+    "SPP": M.SPP,
     "Bottleneck": M.Bottleneck,
     "Concat": M.Concat,
     "Detect": M.Detect,
@@ -61,7 +62,33 @@ MODULE_MAP = {
     "Segment": M.Segment,
     "Pose": M.Pose,
     "OBB": M.OBB,
+    # YOLOv9-e aux branch / misc
+    "nn.Identity": M.Identity,
+    "nn.ZeroPad2d": M.ZeroPad2d,
+    "CBLinear": M.CBLinear,
+    "CBFuse": M.CBFuse,
+    "nn.ConvTranspose2d": M.ConvTranspose,
+    "ConvTranspose": M.ConvTranspose,
+    # YOLO12 area attention
+    "A2C2f": M.A2C2f,
+    "ABlock": M.ABlock,
+    "AAttn": M.AAttn,
+    # RT-DETR (HGNetV2 backbone + hybrid encoder + deformable decoder)
+    "HGStem": M.HGStem,
+    "HGBlock": M.HGBlock,
+    "LightConv": M.LightConv,
+    "RepC3": M.RepC3,
 }
+
+
+def _lazy_rtdetr():
+    from yolo_tpu.nn import transformer as T
+
+    MODULE_MAP.setdefault("AIFI", T.AIFI)
+    MODULE_MAP.setdefault("RTDETRDecoder", T.RTDETRDecoder)
+
+
+_lazy_rtdetr()
 
 HEAD_TYPES = (M.Detect,)
 
@@ -74,7 +101,9 @@ def make_divisible(x, divisor: int = 8):
 def yaml_model_load(path) -> dict:
     """Load a model YAML, inferring scale from a trailing n/s/m/l/x letter."""
     path = Path(path)
-    stem = path.stem
+    stem = re.sub(r"(\d+)([nslmx])6(.+)?$", r"\1\2-p6\3", path.stem)  # yolov5n6 → yolov5n-p6 (ref :1715)
+    if stem != path.stem:
+        path = path.with_name(stem + path.suffix)
     m = re.search(r"(\d+)([nslmx])(.*)$", stem)  # scale letter right after version digits
     unified = path
     scale = ""
@@ -84,7 +113,9 @@ def yaml_model_load(path) -> dict:
     if not unified.exists():
         from yolo_tpu.cfg import find_model_yaml
 
-        found = find_model_yaml(str(unified)) or find_model_yaml(str(path))
+        # exact per-scale file wins over the unified one — some families
+        # (yolov10, yolov9) have a distinct graph per scale letter
+        found = find_model_yaml(str(path)) or find_model_yaml(str(unified))
         if found is None:
             raise FileNotFoundError(f"model yaml '{path}' not found")
         unified = found
@@ -121,6 +152,24 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
 
     ch = [ch]
     layers, save = [], []
+    # yaml-level activation override (e.g. yolov6 `activation: torch.nn.ReLU()`,
+    # ref :1552); applied only while constructing THIS model's modules — the
+    # reference mutates Conv.default_act globally and leaks it across builds
+    act = d.get("activation")
+    prev_act = M.ConvBNAct.DEFAULT_ACT
+    if act:
+        name = str(act).lower()
+        M.ConvBNAct.DEFAULT_ACT = (
+            "relu" if "relu" in name else "gelu" if "gelu" in name else "silu"
+        )
+    try:
+        return _parse_rows(d, ch, nc, depth, width, max_channels)
+    finally:
+        M.ConvBNAct.DEFAULT_ACT = prev_act
+
+
+def _parse_rows(d, ch, nc, depth, width, max_channels):
+    layers, save = [], []
     # v10/v11-era modules switch Detect to its depthwise cls branch (ref :1643-1673)
     legacy = not any(row[2] in ("C3k2", "A2C2f", "C2fCIB") for row in d["backbone"] + d["head"])
     for i, (f, n, mname, args) in enumerate(d["backbone"] + d["head"]):
@@ -135,16 +184,37 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
         ]
         n = max(round(n * depth), 1) if n > 1 else n
 
-        if mcls in (M.ConvBNAct, M.DWConv, M.C2f, M.SPPF, M.Bottleneck, M.C3, M.C3k, M.C3k2, M.SCDown, M.C2PSA, M.Classify, M.RepConv, M.RepCSP, M.RepNCSPELAN4, M.ELAN1, M.AConv, M.ADown, M.SPPELAN, M.CIB, M.C2fCIB, M.PSA):
+        if mcls in (M.ConvBNAct, M.DWConv, M.C2f, M.SPPF, M.SPP, M.Bottleneck, M.C3, M.C3k, M.C3k2, M.SCDown, M.C2PSA, M.Classify, M.RepConv, M.RepCSP, M.RepNCSPELAN4, M.ELAN1, M.AConv, M.ADown, M.SPPELAN, M.CIB, M.C2fCIB, M.PSA, M.A2C2f, M.ConvTranspose, M.RepC3):
             c1, c2 = ch[f], args[0]
             if c2 != nc:
                 c2 = make_divisible(min(c2, max_channels) * width, 8)
             args = [c1, c2, *args[1:]]
-            if mcls in (M.C2f, M.C3, M.C3k, M.C3k2, M.C2PSA, M.RepCSP, M.C2fCIB):
+            if mcls in (M.C2f, M.C3, M.C3k, M.C3k2, M.C2PSA, M.RepCSP, M.C2fCIB, M.A2C2f, M.RepC3):
                 args.insert(2, n)
                 n = 1
             if mcls is M.C3k2 and d.get("scale") in ("m", "l", "x"):
                 args[3] = True  # deeper scales use C3k inner blocks (ref :1643)
+            if mcls is M.A2C2f and d.get("scale") in ("l", "x"):
+                args.extend((True, 1.2))  # residual gamma + mlp 1.2 (ref :1646)
+            if mname == "nn.ConvTranspose2d":  # raw torch module: no BN, no act
+                args = args[:5] + [False, False]
+        elif mcls in (M.HGStem, M.HGBlock):
+            c1, cm, c2 = ch[f], args[0], args[1]
+            args = [c1, cm, c2, *args[2:]]
+            if mcls is M.HGBlock:
+                args.insert(4, n)  # repeats
+                n = 1
+        elif mname == "AIFI":
+            c2 = ch[f]
+            args = [ch[f], *args]
+        elif mname == "RTDETRDecoder":
+            args.insert(1, [ch[x] for x in f])
+            c2 = None
+        elif mcls is M.CBLinear:
+            c2 = args[0]  # list of split channel sizes, not width-scaled (ref :1676)
+            args = [ch[f], c2, *args[1:]]
+        elif mcls is M.CBFuse:
+            c2 = ch[f[-1]]
         elif mcls is M.Concat:
             c2 = sum(ch[x] for x in f)
         elif mcls in (M.Detect, M.Segment, M.Pose, M.OBB, M.v10Detect):
@@ -160,7 +230,9 @@ def parse_model(d: dict, ch: int = 3, verbose: bool = False):
         else:
             c2 = ch[f]
 
-        module = mcls(*args)
+        # non-repeat modules with n>1 become a Sequential of n identical copies
+        # (ref: tasks.py :1682 — e.g. yolov3 Bottleneck ×2, yolov6 Conv ×9)
+        module = M._SeqN(*(mcls(*args) for _ in range(n))) if n > 1 else mcls(*args)
         t = mname
         layers.append(LayerSpec(i, f, module, t))
         save.extend(x % i for x in ([f] if isinstance(f, int) else f) if x != -1)
@@ -177,8 +249,8 @@ def _compute_strides(layers):
     for spec in layers:
         f = spec.f
         src_idx = f if isinstance(f, int) else f[0]
-        if src_idx == -1:
-            src_idx = spec.i - 1
+        if src_idx < 0:
+            src_idx = spec.i + src_idx
         src = stride.get(src_idx, 1) if not isinstance(spec.module, M.Detect) else None
         if isinstance(spec.module, M.ConvBNAct):
             s = src * spec.module.s
@@ -188,6 +260,19 @@ def _compute_strides(layers):
             s = src // spec.module.scale
         elif isinstance(spec.module, M.MaxPool2d):
             s = src * spec.module.s
+        elif isinstance(spec.module, M.CBFuse):
+            s = stride[f[-1] if f[-1] >= 0 else spec.i + f[-1]]
+        elif isinstance(spec.module, M.ConvTranspose):
+            s = max(src // spec.module.s, 1)
+        elif isinstance(spec.module, M._SeqN):
+            s = src
+            for sub in spec.module.mods:
+                if isinstance(sub, M.ConvBNAct):
+                    s *= sub.s
+        elif isinstance(spec.module, M.HGStem):  # two stride-2 convs
+            s = src * 4
+        elif type(spec.module).__name__ == "RTDETRDecoder":
+            s = None  # head; its stride list is preset in __init__
         elif isinstance(spec.module, M.Detect):  # Segment subclasses Detect
             spec.module.stride = [stride[x] for x in f]
             s = None
@@ -218,16 +303,20 @@ class BaseModel:
         return {"model": {str(spec.i): spec.module.init(rng) for spec in self.layers}}
 
     def forward_features(self, params, x, ctx: M.Ctx):
-        """Graph walk with skip connections (ref: nn/tasks.py _predict_once:159)."""
+        """Graph walk with skip connections (ref: nn/tasks.py _predict_once:159).
+
+        Negative `from` entries are relative (-1 = previous layer's output held
+        in `x`, -2 and below resolve through the save dict, like the reference)."""
         y = {}
         mp = params["model"]
         out = None
         for spec in self.layers:
             f = spec.f
-            if f != -1:
-                x_in = [x if j == -1 else y[j] for j in f] if isinstance(f, list) else y[f]
-            else:
-                x_in = x
+
+            def src(j):
+                return x if j == -1 else y[j if j >= 0 else spec.i + j]
+
+            x_in = [src(j) for j in f] if isinstance(f, list) else src(f)
             out = spec.module(mp[str(spec.i)], x_in, ctx, f"model/{spec.i}")
             if spec.i in self.save:
                 y[spec.i] = out
@@ -372,6 +461,23 @@ class PoseModel(DetectionModel):
         ctx = M.Ctx(train=False, dtype=dtype)
         outs = self.forward_features(params, x, ctx)
         return self.head.decode_with_kpts(params["model"][str(self.layers[-1].i)], outs)
+
+
+class RTDETRDetectionModel(DetectionModel):
+    """RT-DETR detection model (ref: nn/tasks.py RTDETRDetectionModel:758).
+
+    The head is a query-based deformable decoder — predict returns the decoder's
+    (B, nq, 4+nc) output directly (normalized xywh + sigmoid scores, no NMS)."""
+
+    task = "detect"
+    is_rtdetr = True
+
+    def __init__(self, cfg="rtdetr-l.yaml", ch: int = 3, nc: int | None = None, verbose: bool = False):
+        super().__init__(cfg, ch=ch, nc=nc, verbose=verbose)
+
+    def predict(self, params, x, dtype=jnp.float32):
+        ctx = M.Ctx(train=False, dtype=dtype)
+        return self.forward_features(params, x, ctx)  # (B, nq, 4+nc)
 
 
 class OBBModel(DetectionModel):
