@@ -183,6 +183,7 @@ def test_rtdetr_l_parity():
     import jax
     import jax.numpy as jnp
 
+    torch.manual_seed(0)  # reproducible weights → distinct top scores regardless of test order
     t = TRT(f"{REF}/rt-detr/rtdetr-l.yaml", verbose=False)
     t.eval()
     ours = RTDETRDetectionModel("rtdetr-l.yaml")

@@ -120,6 +120,10 @@ class DetectionTrainer:
         LOGGER.info(f"resuming from {ckpt} at epoch {self.start_epoch}")
 
     def _make_loss(self):
+        if getattr(self.model, "is_rtdetr", False):
+            from yolo_tpu.utils.detr_loss import RTDETRDetectionLoss
+
+            return RTDETRDetectionLoss(self.model, self.args)
         task = getattr(self.model, "task", "detect")
         if task == "segment":
             from yolo_tpu.utils.loss import v8SegmentationLoss
@@ -286,6 +290,8 @@ class DetectionTrainer:
             "segment": ["box", "seg", "cls", "dfl"],
             "pose": ["box", "pose", "kobj", "cls", "dfl"],
         }.get(task, ["box", "cls", "dfl"])
+        if getattr(self.model, "is_rtdetr", False):
+            comp_names = ["giou", "cls", "l1"]
         n_comp = len(comp_names)
         last_comps = np.zeros(n_comp)
         for epoch in range(self.start_epoch, args.epochs):
@@ -364,6 +370,11 @@ class DetectionTrainer:
             from yolo_tpu.engine.validator import SegmentationValidator
 
             v = SegmentationValidator(args={**vars(self.args), "mode": "val"}, data=self.data)
+            return v(model=self.model, params=params)
+        if getattr(self.model, "is_rtdetr", False):
+            from yolo_tpu.engine.validator import RTDETRValidator
+
+            v = RTDETRValidator(args={**vars(self.args), "mode": "val"}, data=self.data)
             return v(model=self.model, params=params)
         if getattr(self.model, "task", "detect") == "obb":
             from yolo_tpu.engine.validator import OBBValidator

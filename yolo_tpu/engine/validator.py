@@ -355,3 +355,65 @@ class SegmentationValidator(DetectionValidator):
         results["fitness"] = rb.get("fitness", 0.0) + rm.get("fitness", 0.0)
         self.metrics = (box_metrics, m_metrics)
         return results
+
+
+class RTDETRValidator(DetectionValidator):
+    """NMS-free validation for RT-DETR: threshold the query set, box mAP
+    (ref: models/rtdetr/val.py RTDETRValidator:121)."""
+
+    def __call__(self, model, params) -> dict:
+        import jax
+        import jax.numpy as jnp
+
+        from yolo_tpu.ops.boxes import xywh2xyxy as _xywh2xyxy
+
+        data = self.data or check_det_dataset(self.args.data)
+        split = data.get(self.args.split) or data.get("val") or data.get("train")
+        stride = int(max(model.stride))
+        dataset = build_yolo_dataset(self.args, split, self.args.batch, data, mode="val", stride=stride)
+        batch_size = min(int(self.args.batch) if self.args.batch and self.args.batch > 0 else 16, len(dataset))
+        loader = build_dataloader(dataset, batch_size, workers=self.args.workers, shuffle=False, drop_last=False)
+
+        conf = float(self.args.conf)
+        dtype = jnp.bfloat16 if self.args.half else jnp.float32
+
+        @jax.jit
+        def infer(p, imgs):
+            x = imgs[..., ::-1].astype(dtype) / 255.0
+            y = model.predict(p, x, dtype=dtype)  # (B, nq, 4+nc) normalized
+            H, W = imgs.shape[1], imgs.shape[2]
+            boxes = _xywh2xyxy(y[..., :4]) * jnp.array([W, H, W, H], jnp.float32)
+            scores = y[..., 4:]
+            return boxes, scores
+
+        metrics = DetMetrics(names=getattr(model, "names", {}))
+        n_img = 0
+        t0 = time.time()
+        for batch in loader:
+            imgs = batch["img"]
+            if imgs.shape[0] < batch_size:
+                pad = np.zeros((batch_size - imgs.shape[0],) + imgs.shape[1:], imgs.dtype)
+                imgs_in = np.concatenate([imgs, pad])
+            else:
+                imgs_in = imgs
+            boxes, scores = (np.asarray(a) for a in infer(params, jnp.asarray(imgs_in)))
+            H, W = imgs.shape[1:3]
+            for i in range(imgs.shape[0]):
+                sc = scores[i].max(-1)
+                keep = sc > conf
+                pboxes = boxes[i][keep]
+                pconf = sc[keep]
+                pcls = scores[i].argmax(-1)[keep].astype(np.float32)
+                m = batch["mask_gt"][i] > 0
+                gt_boxes = np.asarray(xywhn2xyxy(batch["bboxes"][i][m], w=W, h=H))
+                gt_cls = batch["cls"][i][m]
+                tp = match_predictions(pboxes, pcls, gt_boxes, gt_cls, self.iou_thresholds)
+                metrics.update(tp, pconf, pcls, gt_cls)
+                n_img += 1
+        results = metrics.process()
+        LOGGER.info(
+            f"val(rtdetr): {n_img} images in {time.time() - t0:.1f}s — P {results['precision']:.4f} "
+            f"R {results['recall']:.4f} mAP50 {results['mAP50']:.4f} mAP50-95 {results['mAP50-95']:.4f}"
+        )
+        self.metrics = metrics
+        return results

@@ -390,8 +390,6 @@ class RTDETRDecoder:
         return jnp.asarray(anchors), jnp.asarray(valid.astype(np.float32))
 
     def __call__(self, p, xs, ctx: Ctx, path=""):
-        if ctx.train:
-            raise NotImplementedError("RT-DETR training (denoising + DETR loss) lands in a later milestone")
         # encoder input: project each level then flatten (B, ΣHW, hd)
         feats = []
         shapes = []
@@ -416,18 +414,41 @@ class RTDETRDecoder:
         top_anchors = jnp.take_along_axis(jnp.broadcast_to(anchors, (B, anchors.shape[1], 4)), topk_ind[..., None], axis=1)
 
         refer_bbox = self.enc_bbox_head(p["enc_bbox_head"], top_feats) + top_anchors
-        embed = top_feats
+        enc_bboxes = jax.nn.sigmoid(refer_bbox)  # grads flow to the encoder heads here
+        enc_sel_scores = jnp.take_along_axis(enc_scores, topk_ind[..., None], axis=1)
 
-        # decoder loop (eval: stop at eval_idx)
+        if ctx.train:
+            # (ref: head.py _get_decoder_input:1150 — detach queries at train)
+            refer_bbox = jax.lax.stop_gradient(refer_bbox)
+            embed = jax.lax.stop_gradient(top_feats)
+        else:
+            embed = top_feats
+
+        # decoder loop: train collects every layer's refinements (aux losses);
+        # eval stops at eval_idx (ref: transformer.py DeformableTransformerDecoder.forward:748)
         refer = jax.nn.sigmoid(refer_bbox)
         out = embed
+        dec_bboxes = []
+        dec_scores = []
+        last_refined = None
         for i, layer in enumerate(self.dec_layers):
             qp = self.query_pos_head(p["query_pos_head"], refer)
             out = layer(p["decoder"]["layers"][str(i)], out, refer, feats, shapes, query_pos=qp)
             bbox = self.dec_bbox_head[i](p["dec_bbox_head"][str(i)], out)
             refined = jax.nn.sigmoid(bbox + _inverse_sigmoid(refer))
+            if ctx.train:
+                dec_scores.append(self.dec_score_head[i](p["dec_score_head"][str(i)], out))
+                if i == 0:
+                    dec_bboxes.append(refined)
+                else:
+                    dec_bboxes.append(jax.nn.sigmoid(bbox + _inverse_sigmoid(last_refined)))
+                last_refined = refined
+                refer = jax.lax.stop_gradient(refined)
+                continue
             if i == self.eval_idx:
                 scores = self.dec_score_head[i](p["dec_score_head"][str(i)], out)
                 return jnp.concatenate([refined, jax.nn.sigmoid(scores)], -1).astype(jnp.float32)  # (B, nq, 4+nc)
             refer = refined
+        if ctx.train:
+            return jnp.stack(dec_bboxes), jnp.stack(dec_scores), enc_bboxes, enc_sel_scores
         raise AssertionError("eval_idx out of range")
