@@ -210,3 +210,33 @@ class RTDETR(YOLO):
 
     def __init__(self, model="rtdetr-l.yaml", verbose: bool = False):
         super().__init__(model, task="detect", verbose=verbose)
+
+
+class YOLOWorld(YOLO):
+    """YOLO-World open-vocabulary facade (ref: models/yolo/model.py YOLOWorld).
+
+    Text classes via precomputed embeddings: `model.set_text_features(feats)`
+    (CLIP-weight download is impossible in this zero-egress environment)."""
+
+    def __init__(self, model="yolov8s-world.yaml", verbose: bool = False):
+        from yolo_tpu.nn.tasks import WorldModel
+
+        self.task = "detect"
+        self.overrides = {}
+        self.predictor = None
+        self.trainer = None
+        self.metrics = None
+        self.ckpt_path = None
+        self.model = WorldModel(str(model), verbose=verbose)
+        self.params = self.model.init(0)
+        self.overrides["model"] = str(model)
+        self.overrides["task"] = "detect"
+
+    def set_classes(self, classes):
+        self.model.set_classes(classes)
+
+    def set_text_features(self, txt_feats, names=None):
+        self.model.set_text_features(txt_feats)
+        if names:
+            self.model.names = dict(enumerate(names))
+        self.predictor = None  # class count changed → new jit cache

@@ -90,7 +90,12 @@ class Results:
         return len(self.boxes)
 
     def __getitem__(self, idx):
-        r = Results(self.orig_img, self.path, self.names, boxes=self.boxes.data[idx if isinstance(idx, (slice, list, np.ndarray)) else [idx]])
+        sel = idx if isinstance(idx, (slice, list, np.ndarray)) else [idx]
+        r = Results(self.orig_img, self.path, self.names, boxes=self.boxes.data[sel])
+        if getattr(self, "masks", None) is not None:
+            r.masks = Masks(np.asarray(self.masks.data)[sel], self.orig_shape)
+        if getattr(self, "keypoints", None) is not None:
+            r.keypoints = Keypoints(np.asarray(self.keypoints.data)[sel], self.orig_shape)
         r.speed = self.speed
         return r
 

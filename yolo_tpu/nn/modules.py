@@ -42,6 +42,11 @@ class Ctx:
     train: bool = False
     dtype: Any = jnp.float32  # activation/compute dtype
     stats: dict = field(default_factory=dict)  # path -> (batch_mean, batch_var, n)
+    # open-vocab guide state (YOLO-World): text embeddings threaded to
+    # C2fAttn/WorldDetect; ImagePoolingAttn refreshes `guide` mid-walk while
+    # WorldDetect always reads the original `guide0` (ref: tasks.py WorldModel:908)
+    guide: Any = None
+    guide0: Any = None
 
 
 def silu(x):
@@ -1484,3 +1489,251 @@ class RepC3:
             y = m(p["m"][str(i)], y, ctx, f"{path}/m/{i}")
         y = y + self.cv2(p["cv2"], x, ctx, f"{path}/cv2")
         return self.cv3(p["cv3"], y, ctx, f"{path}/cv3") if self.cv3 is not None else y
+
+
+# ---------------------------------------------------------------------------
+# YOLO-World open-vocabulary blocks (ref: block.py MaxSigmoidAttnBlock:587,
+# C2fAttn:641, ImagePoolingAttn:710, ContrastiveHead:777, BNContrastiveHead:804;
+# head.py WorldDetect:482). Text guides travel in Ctx.guide / Ctx.guide0.
+# ---------------------------------------------------------------------------
+
+
+class MaxSigmoidAttnBlock:
+    """Text-guided max-sigmoid spatial attention (ref: block.py :587)."""
+
+    def __init__(self, c1, c2, nh=1, ec=128, gc=512, scale=False):
+        self.nh, self.hc = nh, c2 // nh
+        self.ec_conv = ConvBNAct(c1, ec, 1, act=False) if c1 != ec else None
+        self.gc, self.ec_dim = gc, ec
+        self.proj_conv = ConvBNAct(c1, c2, 3, 1, act=False)
+        self.has_scale = scale
+
+    def init(self, rng):
+        bound = math.sqrt(1.0 / self.gc)
+        p = {
+            "gl": {
+                "weight": rng.uniform(-bound, bound, (self.ec_dim, self.gc)).astype(np.float32),
+                "bias": rng.uniform(-bound, bound, (self.ec_dim,)).astype(np.float32),
+            },
+            "bias": np.zeros((self.nh,), np.float32),
+            "proj_conv": self.proj_conv.init(rng),
+        }
+        if self.ec_conv is not None:
+            p["ec"] = self.ec_conv.init(rng)
+        if self.has_scale:
+            p["scale"] = np.ones((1, self.nh, 1, 1), np.float32)
+        return p
+
+    def __call__(self, p, x, ctx: Ctx, path=""):
+        guide = ctx.guide.astype(jnp.float32)  # (B, nt, gc)
+        B, H, W, C = x.shape
+        g = guide @ p["gl"]["weight"].astype(jnp.float32).T + p["gl"]["bias"]  # (B, nt, ec)
+        g = g.reshape(B, -1, self.nh, self.hc)
+        embed = self.ec_conv(p["ec"], x, ctx, f"{path}/ec") if self.ec_conv is not None else x
+        embed = embed.reshape(B, H, W, self.nh, self.hc).astype(jnp.float32)
+        aw = jnp.einsum("bhwmc,bnmc->bmhwn", embed, g)
+        aw = aw.max(-1) / (self.hc**0.5)  # (B, nh, H, W)
+        aw = aw + p["bias"][None, :, None, None]
+        aw = jax.nn.sigmoid(aw) * (p["scale"] if "scale" in p else 1.0)
+        y = self.proj_conv(p["proj_conv"], x, ctx, f"{path}/proj_conv")  # (B, H, W, c2)
+        y = y.reshape(B, H, W, self.nh, self.hc).astype(jnp.float32)
+        y = y * aw.transpose(0, 2, 3, 1)[..., None]
+        return y.reshape(B, H, W, -1).astype(ctx.dtype)
+
+
+class C2fAttn:
+    """C2f + text-guided attention branch (ref: block.py C2fAttn:641)."""
+
+    def __init__(self, c1, c2, n=1, ec=128, nh=1, gc=512, shortcut=False, g=1, e=0.5):
+        self.c = int(c2 * e)
+        self.n = n
+        self.cv1 = ConvBNAct(c1, 2 * self.c, 1, 1)
+        self.cv2 = ConvBNAct((3 + n) * self.c, c2, 1)
+        self.m = [Bottleneck(self.c, self.c, shortcut, g, k=((3, 3), (3, 3)), e=1.0) for _ in range(n)]
+        self.attn = MaxSigmoidAttnBlock(self.c, self.c, gc=gc, ec=ec, nh=nh)
+
+    def init(self, rng):
+        return {
+            "cv1": self.cv1.init(rng),
+            "cv2": self.cv2.init(rng),
+            "m": {str(i): m.init(rng) for i, m in enumerate(self.m)},
+            "attn": self.attn.init(rng),
+        }
+
+    def __call__(self, p, x, ctx: Ctx, path=""):
+        y = self.cv1(p["cv1"], x, ctx, f"{path}/cv1")
+        ys = [y[..., : self.c], y[..., self.c :]]
+        for i, m in enumerate(self.m):
+            ys.append(m(p["m"][str(i)], ys[-1], ctx, f"{path}/m/{i}"))
+        ys.append(self.attn(p["attn"], ys[-1], ctx, f"{path}/attn"))
+        return self.cv2(p["cv2"], jnp.concatenate(ys, -1), ctx, f"{path}/cv2")
+
+
+def _adaptive_max_pool(x, k):
+    """torch AdaptiveMaxPool2d((k, k)) on NHWC with static H, W."""
+    B, H, W, C = x.shape
+    rows = [x[:, (i * H) // k : -(-((i + 1) * H) // k)] for i in range(k)]
+    out = []
+    for r in rows:
+        cols = [r[:, :, (j * W) // k : -(-((j + 1) * W) // k)].max((1, 2)) for j in range(k)]
+        out.append(jnp.stack(cols, 1))
+    return jnp.stack(out, 1)  # (B, k, k, C)
+
+
+class ImagePoolingAttn:
+    """Image-aware refresh of the text embeddings (ref: block.py :710).
+
+    Reads Ctx.guide, writes the refreshed guide back into Ctx (the reference
+    threads it imperatively through the layer loop, ref: tasks.py :940).
+    """
+
+    def __init__(self, ec=256, ch=(), ct=512, nh=8, k=3, scale=False):
+        self.ec, self.ct, self.nh, self.k = ec, ct, nh, k
+        self.nf = len(ch)
+        self.hc = ec // nh
+        self.ch = tuple(ch)
+        self.has_scale = scale
+
+    def _lin(self, rng, c_in, c_out):
+        bound = math.sqrt(1.0 / c_in)
+        return {
+            "weight": rng.uniform(-bound, bound, (c_out, c_in)).astype(np.float32),
+            "bias": rng.uniform(-bound, bound, (c_out,)).astype(np.float32),
+        }
+
+    def init(self, rng):
+        def ln(c):
+            return {"weight": np.ones((c,), np.float32), "bias": np.zeros((c,), np.float32)}
+
+        p = {
+            "query": {"0": ln(self.ct), "1": self._lin(rng, self.ct, self.ec)},
+            "key": {"0": ln(self.ec), "1": self._lin(rng, self.ec, self.ec)},
+            "value": {"0": ln(self.ec), "1": self._lin(rng, self.ec, self.ec)},
+            "proj": self._lin(rng, self.ec, self.ct),
+            "projections": {str(i): self._lin_conv(rng, c) for i, c in enumerate(self.ch)},
+        }
+        if self.has_scale:
+            p["scale"] = np.zeros((1,), np.float32)
+        return p
+
+    def _lin_conv(self, rng, c_in):
+        bound = math.sqrt(1.0 / c_in)
+        return {
+            "weight": rng.uniform(-bound, bound, (1, 1, c_in, self.ec)).astype(np.float32),
+            "bias": rng.uniform(-bound, bound, (self.ec,)).astype(np.float32),
+        }
+
+    @staticmethod
+    def _ln(p, x):
+        mu = x.mean(-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(-1, keepdims=True)
+        return (x - mu) * jax.lax.rsqrt(var + 1e-5) * p["weight"] + p["bias"]
+
+    def __call__(self, p, xs, ctx: Ctx, path=""):
+        text = ctx.guide.astype(jnp.float32)  # (B, nt, ct)
+        B = xs[0].shape[0]
+        feats = []
+        for i, x in enumerate(xs):
+            pp = p["projections"][str(i)]
+            f = jax.lax.conv_general_dilated(
+                x.astype(jnp.float32), pp["weight"].astype(jnp.float32), (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + pp["bias"]
+            feats.append(_adaptive_max_pool(f, self.k).reshape(B, self.k * self.k, self.ec))
+        xflat = jnp.concatenate(feats, 1)  # (B, nf·k², ec)
+        q = self._ln(p["query"]["0"], text) @ p["query"]["1"]["weight"].T + p["query"]["1"]["bias"]
+        kk = self._ln(p["key"]["0"], xflat) @ p["key"]["1"]["weight"].T + p["key"]["1"]["bias"]
+        v = self._ln(p["value"]["0"], xflat) @ p["value"]["1"]["weight"].T + p["value"]["1"]["bias"]
+        q = q.reshape(B, -1, self.nh, self.hc)
+        kk = kk.reshape(B, -1, self.nh, self.hc)
+        v = v.reshape(B, -1, self.nh, self.hc)
+        aw = jnp.einsum("bnmc,bkmc->bmnk", q, kk) / (self.hc**0.5)
+        aw = jax.nn.softmax(aw, -1)
+        y = jnp.einsum("bmnk,bkmc->bnmc", aw, v).reshape(B, -1, self.ec)
+        y = y @ p["proj"]["weight"].T + p["proj"]["bias"]
+        scale = p["scale"] if "scale" in p else 1.0
+        new_text = (y * scale + text).astype(ctx.dtype)
+        ctx.guide = new_text  # refresh the running guide
+        return new_text
+
+
+class ContrastiveHead:
+    """Region-text similarity with L2 norms (ref: block.py ContrastiveHead:777)."""
+
+    def init(self, rng):
+        return {"bias": np.array([-10.0], np.float32), "logit_scale": np.array(math.log(1 / 0.07), np.float32)}
+
+    def __call__(self, p, x, w, ctx: Ctx, path=""):
+        x = x.astype(jnp.float32)
+        x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)  # channel-last
+        w = w.astype(jnp.float32)
+        w = w / jnp.maximum(jnp.linalg.norm(w, axis=-1, keepdims=True), 1e-12)
+        y = jnp.einsum("bhwc,bkc->bhwk", x, w)
+        return y * jnp.exp(p["logit_scale"]) + p["bias"]
+
+
+class BNContrastiveHead:
+    """Contrastive head with BN on image feats (ref: block.py BNContrastiveHead:804)."""
+
+    def __init__(self, embed: int):
+        self.embed = embed
+
+    def init(self, rng):
+        return {
+            "norm": {
+                "weight": np.ones((self.embed,), np.float32),
+                "bias": np.zeros((self.embed,), np.float32),
+                "running_mean": np.zeros((self.embed,), np.float32),
+                "running_var": np.ones((self.embed,), np.float32),
+            },
+            "bias": np.array([-10.0], np.float32),
+            "logit_scale": np.array(-1.0, np.float32),
+        }
+
+    def __call__(self, p, x, w, ctx: Ctx, path=""):
+        bn = p["norm"]
+        x = x.astype(jnp.float32)
+        if ctx.train:
+            mean = x.mean((0, 1, 2))
+            var = x.var((0, 1, 2))
+            n = x.shape[0] * x.shape[1] * x.shape[2]
+            ctx.stats[f"{path}/norm"] = (jax.lax.stop_gradient(mean), jax.lax.stop_gradient(var), n)
+        else:
+            mean, var = bn["running_mean"], bn["running_var"]
+        x = (x - mean) * (bn["weight"] * jax.lax.rsqrt(var + BN_EPS)) + bn["bias"]
+        w = w.astype(jnp.float32)
+        w = w / jnp.maximum(jnp.linalg.norm(w, axis=-1, keepdims=True), 1e-12)
+        y = jnp.einsum("bhwc,bkc->bhwk", x, w)
+        return y * jnp.exp(p["logit_scale"]) + p["bias"]
+
+
+class WorldDetect(Detect):
+    """Detect head scoring classes by text-embedding similarity
+    (ref: head.py WorldDetect:482)."""
+
+    def __init__(self, nc=80, embed=512, with_bn=False, ch=(), legacy=True):
+        super().__init__(nc, ch, legacy=True)
+        c3 = max(ch[0], min(nc, 100))
+        self.embed = embed
+        self.cv3 = [[ConvBNAct(x, c3, 3), ConvBNAct(c3, c3, 3), Conv2d(c3, embed, 1)] for x in ch]
+        self.cv4 = [BNContrastiveHead(embed) if with_bn else ContrastiveHead() for _ in ch]
+
+    def init(self, rng):
+        p = super().init(rng)
+        p["cv3"] = {str(l): {str(j): self.cv3[l][j].init(rng) for j in range(3)} for l in range(self.nl)}
+        p["cv4"] = {str(l): self.cv4[l].init(rng) for l in range(self.nl)}
+        return p
+
+    def __call__(self, p, xs, ctx: Ctx, path=""):
+        text = ctx.guide0  # original text features (B, nc, embed)
+        outs = []
+        for l, x in enumerate(xs):
+            box = x
+            for j in range(3):
+                box = self.cv2[l][j](p["cv2"][str(l)][str(j)], box, ctx, f"{path}/cv2/{l}/{j}")
+            emb = x
+            for j in range(3):
+                emb = self.cv3[l][j](p["cv3"][str(l)][str(j)], emb, ctx, f"{path}/cv3/{l}/{j}")
+            cls = self.cv4[l](p["cv4"][str(l)], emb, text, ctx, f"{path}/cv4/{l}")
+            outs.append(jnp.concatenate([box, cls.astype(ctx.dtype)], -1))
+        return outs

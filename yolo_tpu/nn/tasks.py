@@ -78,6 +78,10 @@ MODULE_MAP = {
     "HGBlock": M.HGBlock,
     "LightConv": M.LightConv,
     "RepC3": M.RepC3,
+    # YOLO-World open-vocab
+    "C2fAttn": M.C2fAttn,
+    "ImagePoolingAttn": M.ImagePoolingAttn,
+    "WorldDetect": M.WorldDetect,
 }
 
 
@@ -198,6 +202,22 @@ def _parse_rows(d, ch, nc, depth, width, max_channels):
                 args.extend((True, 1.2))  # residual gamma + mlp 1.2 (ref :1646)
             if mname == "nn.ConvTranspose2d":  # raw torch module: no BN, no act
                 args = args[:5] + [False, False]
+        elif mcls is M.C2fAttn:
+            c1, c2 = ch[f], args[0]
+            if c2 != nc:
+                c2 = make_divisible(min(c2, max_channels) * width, 8)
+            # ec width-scales capped at max_channels/2; nh scales when >1 (ref :1632)
+            args[1] = make_divisible(min(args[1], max_channels // 2) * width, 8)
+            args[2] = int(max(round(min(args[2], max_channels // 2 // 32)) * width, 1) if args[2] > 1 else args[2])
+            args = [c1, c2, n, *args[1:]]
+            n = 1
+        elif mcls is M.ImagePoolingAttn:
+            args.append([ch[x] for x in f])
+            c2 = None
+        elif mcls is M.WorldDetect:
+            args.append([ch[x] for x in f])
+            args.append(legacy)
+            c2 = None
         elif mcls in (M.HGStem, M.HGBlock):
             c1, cm, c2 = ch[f], args[0], args[1]
             args = [c1, cm, c2, *args[2:]]
@@ -461,6 +481,52 @@ class PoseModel(DetectionModel):
         ctx = M.Ctx(train=False, dtype=dtype)
         outs = self.forward_features(params, x, ctx)
         return self.head.decode_with_kpts(params["model"][str(self.layers[-1].i)], outs)
+
+
+class WorldModel(DetectionModel):
+    """YOLO-World open-vocabulary model (ref: nn/tasks.py WorldModel:833).
+
+    Class scores come from region-text similarity: text embeddings (B, nc, 512)
+    enter via Ctx.guide/guide0. `set_classes` wants a CLIP text encoder — this
+    zero-egress environment cannot fetch its weights, so it raises with guidance;
+    `set_text_features` accepts precomputed embeddings (the parity tests and any
+    offline-export workflow use this)."""
+
+    task = "detect"
+    is_world = True
+
+    def __init__(self, cfg="yolov8s-world.yaml", ch: int = 3, nc: int | None = None, verbose: bool = False):
+        super().__init__(cfg, ch=ch, nc=nc, verbose=verbose)
+        rng = __import__("numpy").random.default_rng(0)
+        self.txt_feats = rng.normal(0, 1, (1, self.nc, 512)).astype("float32")  # placeholder (ref :868)
+
+    def set_text_features(self, txt_feats):
+        """Install precomputed text embeddings (1, n_classes, 512) and resize nc."""
+        import numpy as np
+
+        self.txt_feats = np.asarray(txt_feats, np.float32)
+        self.nc = self.txt_feats.shape[1]
+        self.head.nc = self.nc  # nc can change per text set (ref: head.py :526)
+        self.head.no = self.nc + self.head.reg_max * 4
+
+    def set_classes(self, text, **kwargs):
+        raise NotImplementedError(
+            "set_classes() needs CLIP text-encoder weights, which this zero-egress environment "
+            "cannot download; precompute embeddings offline and call set_text_features()"
+        )
+
+    def forward_features(self, params, x, ctx: M.Ctx, txt_feats=None):
+        tf = jnp.asarray(self.txt_feats if txt_feats is None else txt_feats, jnp.float32)
+        if tf.shape[0] != x.shape[0]:
+            tf = jnp.broadcast_to(tf, (x.shape[0],) + tf.shape[1:])
+        ctx.guide = tf
+        ctx.guide0 = tf
+        return super().forward_features(params, x, ctx)
+
+    def predict(self, params, x, dtype=jnp.float32, txt_feats=None):
+        ctx = M.Ctx(train=False, dtype=dtype)
+        outs = self.forward_features(params, x, ctx, txt_feats=txt_feats)
+        return self.head.decode(params["model"][str(self.layers[-1].i)], outs)
 
 
 class RTDETRDetectionModel(DetectionModel):
