@@ -1,0 +1,7 @@
+"""Segment Anything Model, functional JAX (ref: ultralytics/models/sam/)."""
+
+from yolo_tpu.models.sam.build import build_sam_vit_b, build_sam_vit_h, build_sam_vit_l
+from yolo_tpu.models.sam.model import SAM
+from yolo_tpu.models.sam.predict import SAMPredictor
+
+__all__ = ["SAM", "SAMPredictor", "build_sam_vit_b", "build_sam_vit_l", "build_sam_vit_h"]

@@ -46,7 +46,8 @@ def load_torch_checkpoint(path):
 
 def _convert(torch_key: str, arr: np.ndarray, target_shape) -> np.ndarray:
     """Layout-convert one torch tensor to the target pytree leaf shape."""
-    if arr.ndim == 4:  # conv weight OIHW → HWIO
+    if arr.ndim == 4 and tuple(arr.shape) != tuple(target_shape):  # conv weight OIHW → HWIO
+        # already-channel-last 4D buffers (e.g. SAM ViT pos_embed) pass through
         arr = arr.transpose(2, 3, 1, 0)
     if tuple(arr.shape) != tuple(target_shape):
         raise ValueError(f"shape mismatch for {torch_key}: torch {arr.shape} vs model {tuple(target_shape)}")
