@@ -73,3 +73,79 @@ def test_region_counter_multiple_regions():
     out = rc.process(frames(1)[0])
     assert out["region_counts"]["right"] == 1
     assert out["region_counts"]["left"] == 0
+
+
+def test_new_solution_apps_run(tmp_path):
+    """All the new demo apps process frames without error and update state."""
+    import numpy as np
+
+    from yolo_tpu import YOLO
+    from yolo_tpu.solutions import (
+        Analytics, DistanceCalculation, ObjectBlurrer, ObjectCropper,
+        ParkingManagement, SecurityAlarm, TrackZone, VisionEye,
+    )
+
+    rng = np.random.default_rng(0)
+    frame = rng.integers(0, 255, (96, 128, 3), np.uint8)
+    shared = YOLO("yolov8n.yaml")
+
+    tz = TrackZone(model=shared, conf=1e-4, imgsz=64, region=[(5, 5), (120, 5), (120, 90), (5, 90)])
+    tz.process(frame.copy())
+
+    ve = VisionEye(model=shared, conf=1e-4, imgsz=64)
+    out = ve.process(frame.copy())
+    assert out.shape == frame.shape
+
+    bl = ObjectBlurrer(model=shared, conf=1e-4, imgsz=64, blur_ratio=0.3)
+    bl.process(frame.copy())
+
+    cr = ObjectCropper(model=shared, conf=1e-4, imgsz=64, crop_dir=str(tmp_path / "crops"))
+    cr.process(frame.copy())
+    assert cr.crop_idx >= 0
+
+    an = Analytics(model=shared, conf=1e-4, imgsz=64)
+    an.process(frame.copy())
+    assert len(an.total_counts) == 1
+    an.plot(save_path=str(tmp_path / "chart.png"))
+
+    dc = DistanceCalculation(model=shared, conf=1e-4, imgsz=64)
+    dc.process(frame.copy())
+    if len(dc.track_ids) >= 2:
+        dc.select(dc.track_ids[0])
+        dc.select(dc.track_ids[1])
+        dc.process(frame.copy())
+        assert dc.pixels_distance >= 0
+
+    pm = ParkingManagement(model=shared, conf=1e-4, imgsz=64, regions=[[(0, 0), (60, 0), (60, 60), (0, 60)]])
+    pm.process(frame.copy())
+    assert pm.pr_info["Occupancy"] + pm.pr_info["Available"] == 1
+
+    hits = []
+    sa = SecurityAlarm(model=shared, conf=1e-4, imgsz=64, records=1, on_alert=lambda n, im: hits.append(n))
+    sa.process(frame.copy())
+    assert sa.email_sent == (len(hits) > 0)
+
+
+def test_aigym_counts_reps():
+    import numpy as np
+
+    from yolo_tpu.solutions import AIGym
+
+    gym = AIGym(model="yolov8n-pose.yaml", conf=1e-4, imgsz=64)
+    # angle math sanity: straight line = 180°, right angle = 90°
+    assert abs(gym.estimate_pose_angle((0, 0), (1, 0), (2, 0)) - 180.0) < 1e-3
+    assert abs(gym.estimate_pose_angle((0, 0), (1, 0), (1, 1)) - 90.0) < 1e-3
+    frame = np.random.default_rng(1).integers(0, 255, (96, 128, 3), np.uint8)
+    gym.process(frame)
+    assert isinstance(gym.workout_counts, dict)
+
+
+def test_instance_segmentation_app():
+    import numpy as np
+
+    from yolo_tpu.solutions import InstanceSegmentation
+
+    seg = InstanceSegmentation(model="yolov8n-seg.yaml", conf=1e-4, imgsz=64)
+    frame = np.random.default_rng(2).integers(0, 255, (96, 128, 3), np.uint8)
+    out = seg.process(frame)
+    assert out.shape == frame.shape
