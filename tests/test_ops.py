@@ -120,3 +120,86 @@ def test_non_max_suppression_shapes_and_filtering():
     cls0 = np.asarray(out["cls"][0])[v0]
     assert list(cls0) == [0, 1]
     assert np.asarray(out["valid"][1]).sum() == 0
+
+
+def test_mosaic9_layout_and_labels():
+    import numpy as np
+
+    from yolo_tpu.data.augment import mosaic9
+
+    rng = np.random.default_rng(0)
+    items = []
+    for i in range(9):
+        img = np.full((60 + i, 80 + i, 3), 30 + i * 10, np.uint8)
+        items.append({
+            "img": img,
+            "bboxes": np.array([[10, 10, 40, 40]], np.float32),
+            "cls": np.array([float(i % 2)], np.float32),
+            "segments": [np.array([[10, 10], [40, 10], [40, 40]], np.float32)],
+        })
+    import random
+
+    out = mosaic9(items, imgsz=96, rng=random.Random(0))
+    assert out["img"].shape == (192, 192, 3)
+    assert len(out["bboxes"]) == len(out["cls"]) == len(out["segments"])
+    assert (out["bboxes"][:, 2:] >= out["bboxes"][:, :2]).all()
+    assert (out["bboxes"] >= 0).all() and (out["bboxes"] <= 192).all()
+
+
+def test_cutmix_adopts_donor_labels():
+    import random
+
+    import numpy as np
+
+    from yolo_tpu.data.augment import cutmix
+
+    rng = random.Random(3)
+    np.random.seed(3)
+    base = {
+        "img": np.zeros((100, 100, 3), np.uint8),
+        "bboxes": np.zeros((0, 4), np.float32),
+        "cls": np.zeros((0,), np.float32),
+    }
+    donor = {
+        "img": np.full((100, 100, 3), 200, np.uint8),
+        "bboxes": np.array([[20, 20, 80, 80]], np.float32),
+        "cls": np.array([1.0], np.float32),
+    }
+    out = cutmix(base, donor, rng=rng)
+    # either a region pasted with the donor label adopted, or a no-op (tiny cut)
+    if len(out["bboxes"]):
+        assert out["cls"][-1] == 1.0
+        assert out["img"].max() == 200
+
+
+def test_segments_survive_train_pipeline():
+    """Segment polygons flow through mosaic4 → perspective → flips with boxes
+    recomputed from the warped polygons."""
+    import random
+
+    import numpy as np
+
+    from yolo_tpu.data.augment import mosaic4, random_flip, random_perspective
+
+    rng = random.Random(5)
+    items = []
+    for i in range(4):
+        poly = np.array([[20, 20], [60, 20], [60, 60], [20, 60]], np.float32) + i
+        items.append({
+            "img": np.full((80, 80, 3), 100, np.uint8),
+            "bboxes": np.array([[20, 20, 61, 61]], np.float32) + i,
+            "cls": np.array([0.0], np.float32),
+            "segments": [poly],
+        })
+    lab = mosaic4(items, imgsz=80, rng=rng)
+    assert len(lab["segments"]) == 4
+    lab = random_perspective(lab, degrees=5.0, translate=0.05, scale=0.2, border=(-40, -40), rng=rng)
+    assert len(lab["segments"]) == len(lab["bboxes"])
+    for sg, box in zip(lab["segments"], lab["bboxes"]):
+        assert sg is not None
+        assert abs(sg[:, 0].min() - box[0]) < 1e-3 and abs(sg[:, 0].max() - box[2]) < 1e-3
+    lab = random_flip(lab, lr_p=1.0, ud_p=0.0, rng=rng)
+    w = lab["img"].shape[1]
+    for sg, box in zip(lab["segments"], lab["bboxes"]):
+        # mirrored polygon still inside the mirrored box
+        assert sg[:, 0].min() >= box[0] - w and sg[:, 0].max() <= w

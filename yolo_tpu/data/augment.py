@@ -70,6 +70,7 @@ def random_flip(labels, lr_p=0.5, ud_p=0.0, rng=None, flip_idx=None):
     b = labels["bboxes"]
     kp = labels.get("keypoints")
     ob = labels.get("obb")
+    segs = labels.get("segments")
     if ud_p and rng.random() < ud_p:
         img = np.flipud(img)
         b = b.copy()
@@ -81,6 +82,8 @@ def random_flip(labels, lr_p=0.5, ud_p=0.0, rng=None, flip_idx=None):
         if ob is not None and len(ob):
             ob = ob.copy()
             ob[..., 1] = h - ob[..., 1]
+        if segs:
+            segs = [np.stack([sg[:, 0], h - sg[:, 1]], 1) if sg is not None else None for sg in segs]
     if lr_p and rng.random() < lr_p:
         img = np.fliplr(img)
         b = b.copy()
@@ -94,12 +97,16 @@ def random_flip(labels, lr_p=0.5, ud_p=0.0, rng=None, flip_idx=None):
         if ob is not None and len(ob):
             ob = ob.copy()
             ob[..., 0] = w - ob[..., 0]
+        if segs:
+            segs = [np.stack([w - sg[:, 0], sg[:, 1]], 1) if sg is not None else None for sg in segs]
     labels["img"] = np.ascontiguousarray(img)
     labels["bboxes"] = b
     if kp is not None:
         labels["keypoints"] = kp
     if ob is not None:
         labels["obb"] = ob
+    if segs is not None:
+        labels["segments"] = segs
     return labels
 
 
@@ -140,7 +147,38 @@ def random_perspective(labels, degrees=0.0, translate=0.1, scale=0.5, shear=0.0,
     bboxes, cls = labels["bboxes"], labels["cls"]
     kpts = labels.get("keypoints")
     obb = labels.get("obb")
+    segments = labels.get("segments")
     n = len(bboxes)
+    if n and segments:
+        # warp each polygon; tight boxes recompute from the warped points
+        # (ref: RandomPerspective.apply_segments:1160)
+        warped = []
+        for sg in segments:
+            if sg is None or len(sg) == 0:
+                warped.append(None)
+                continue
+            pts = np.ones((len(sg), 3))
+            pts[:, :2] = sg
+            pts = pts @ M.T
+            pts = pts[:, :2] / pts[:, 2:3] if perspective else pts[:, :2]
+            pts[:, 0] = pts[:, 0].clip(0, width)
+            pts[:, 1] = pts[:, 1].clip(0, height)
+            warped.append(pts.astype(np.float32))
+        new_boxes = np.array(
+            [
+                [w_.min(0)[0], w_.min(0)[1], w_.max(0)[0], w_.max(0)[1]]
+                if w_ is not None and len(w_)
+                else [0, 0, 0, 0]
+                for w_ in warped
+            ],
+            np.float32,
+        )
+        keep = ((new_boxes[:, 2] - new_boxes[:, 0]) > 2) & ((new_boxes[:, 3] - new_boxes[:, 1]) > 2)
+        labels["img"] = img
+        labels["bboxes"] = new_boxes[keep]
+        labels["cls"] = cls[keep]
+        labels["segments"] = [w_ for w_, k in zip(warped, keep) if k]
+        return labels
     if n:
         xy = np.ones((n * 4, 3))
         xy[:, :2] = bboxes[:, [0, 1, 2, 3, 0, 3, 2, 1]].reshape(n * 4, 2)
@@ -199,7 +237,8 @@ def mosaic4(items, imgsz: int, rng=None):
     kpt_dims = next((it["keypoints"].shape[1:] for it in items if it.get("keypoints") is not None), None)
     has_kpts = kpt_dims is not None
     has_obb = all(it.get("obb") is not None for it in items)
-    all_boxes, all_cls, all_kpts, all_obbs = [], [], [], []
+    has_segs = any(it.get("segments") for it in items)
+    all_boxes, all_cls, all_kpts, all_obbs, all_segs = [], [], [], [], []
     for i, it in enumerate(items):
         img = it["img"]
         h, w = img.shape[:2]
@@ -236,6 +275,11 @@ def mosaic4(items, imgsz: int, rng=None):
                 ob[..., 0] += padw
                 ob[..., 1] += padh
                 all_obbs.append(ob)
+            if has_segs:
+                segs = it.get("segments") or [None] * len(b)
+                all_segs.extend(
+                    sg + np.array([padw, padh], np.float32) if sg is not None else None for sg in segs
+                )
     bboxes = np.concatenate(all_boxes) if all_boxes else np.zeros((0, 4), np.float32)
     cls = np.concatenate(all_cls) if all_cls else np.zeros((0,), np.float32)
     bboxes = _clip_bboxes(bboxes, 2 * s, 2 * s)
@@ -244,6 +288,8 @@ def mosaic4(items, imgsz: int, rng=None):
         out["keypoints"] = np.concatenate(all_kpts)
     if has_obb and all_obbs:
         out["obb"] = np.concatenate(all_obbs)
+    if has_segs:
+        out["segments"] = all_segs
     return out
 
 
@@ -330,8 +376,10 @@ class TrainTransforms:
         h = self.hyp
         use_mosaic = self.mosaic_enabled and rng.random() < h.mosaic
         if use_mosaic:
-            others = [self.dataset.load_raw(rng.randrange(len(self.dataset))) for _ in range(3)]
-            labels = mosaic4([labels, *others], self.imgsz, rng)
+            n = getattr(self, "mosaic_n", 4)
+            others = [self.dataset.load_raw(rng.randrange(len(self.dataset))) for _ in range(n - 1)]
+            fn = mosaic9 if n == 9 else mosaic4
+            labels = fn([labels, *others], self.imgsz, rng)
             border = (-self.imgsz // 2, -self.imgsz // 2)
         else:
             lb = LetterBox((self.imgsz, self.imgsz), scaleup=True)
@@ -346,6 +394,11 @@ class TrainTransforms:
                 labels["keypoints"] = kp
             if labels.get("obb") is not None:
                 labels["obb"] = labels["obb"] * ratio[0] + np.array([pad[0], pad[1]], np.float32)
+            if labels.get("segments"):
+                labels["segments"] = [
+                    sg * ratio[0] + np.array([pad[0], pad[1]], np.float32) if sg is not None else None
+                    for sg in labels["segments"]
+                ]
             border = (0, 0)
 
         if h.copy_paste > 0 and rng.random() < 0.5:
@@ -365,6 +418,9 @@ class TrainTransforms:
         if use_mosaic and rng.random() < h.mixup:
             other = self(self.dataset.load_raw(rng.randrange(len(self.dataset))), rng)
             labels = mixup(labels, {"img": other["img"], "bboxes": other["bboxes"], "cls": other["cls"]}, rng)
+        if getattr(h, "cutmix", 0.0) and rng.random() < h.cutmix:
+            other = self(self.dataset.load_raw(rng.randrange(len(self.dataset))), rng)
+            labels = cutmix(labels, other, rng=rng)
 
         labels["img"] = random_hsv(labels["img"], h.hsv_h, h.hsv_s, h.hsv_v, rng)
         labels = random_flip(
@@ -398,3 +454,124 @@ class ValTransforms:
         if labels.get("obb") is not None:
             out["obb"] = labels["obb"] * ratio[0] + np.array([pad[0], pad[1]], np.float32)
         return out
+
+
+def _bbox_ioa(box1, box2, eps=1e-7):
+    """Intersection over box2 area; box1 (n,4), box2 (m,4) → (n, m)."""
+    ix1 = np.maximum(box1[:, None, 0], box2[None, :, 0])
+    iy1 = np.maximum(box1[:, None, 1], box2[None, :, 1])
+    ix2 = np.minimum(box1[:, None, 2], box2[None, :, 2])
+    iy2 = np.minimum(box1[:, None, 3], box2[None, :, 3])
+    inter = np.clip(ix2 - ix1, 0, None) * np.clip(iy2 - iy1, 0, None)
+    area2 = (box2[:, 2] - box2[:, 0]) * (box2[:, 3] - box2[:, 1])
+    return inter / (area2[None] + eps)
+
+
+def mosaic9(items, imgsz: int, rng=None):
+    """9-image (3x3) mosaic cropped to a 2·imgsz canvas (ref: Mosaic._mosaic9:715).
+
+    Each image is resized so its long side equals imgsz (the reference's
+    load_image convention), placed around the center tile, and the final canvas
+    center-crops to 2s like mosaic4 so the downstream perspective crop matches.
+    """
+    import cv2
+
+    rng = rng or random
+    s = imgsz
+    canvas = np.full((s * 3, s * 3, items[0]["img"].shape[-1]), 114, dtype=np.uint8)
+    all_boxes, all_cls = [], []
+    all_segs = [] if any(it.get("segments") for it in items) else None
+    hp = wp = h0 = w0 = 0
+    for i, it in enumerate(items[:9]):
+        img = it["img"]
+        r = s / max(img.shape[:2])
+        if r != 1:
+            img = cv2.resize(img, (int(img.shape[1] * r), int(img.shape[0] * r)))
+        h, w = img.shape[:2]
+        if i == 0:  # center
+            h0, w0 = h, w
+            c = s, s, s + w, s + h
+        elif i == 1:  # top
+            c = s, s - h, s + w, s
+        elif i == 2:  # top right
+            c = s + wp, s - h, s + wp + w, s
+        elif i == 3:  # right
+            c = s + w0, s, s + w0 + w, s + h
+        elif i == 4:  # bottom right
+            c = s + w0, s + hp, s + w0 + w, s + hp + h
+        elif i == 5:  # bottom
+            c = s + w0 - w, s + h0, s + w0, s + h0 + h
+        elif i == 6:  # bottom left
+            c = s + w0 - wp - w, s + h0, s + w0 - wp, s + h0 + h
+        elif i == 7:  # left
+            c = s - w, s + h0 - h, s, s + h0
+        else:  # top left
+            c = s - w, s + h0 - hp - h, s, s + h0 - hp
+        padw, padh = c[:2]
+        x1, y1, x2, y2 = (max(x, 0) for x in c)
+        canvas[y1:y2, x1:x2] = img[y1 - padh :, x1 - padw :]
+        hp, wp = h, w
+        if len(it["bboxes"]):
+            # labels live on the eventual 2s canvas: shift by pad − s/2 crop
+            off = np.array([padw - s // 2, padh - s // 2] * 2, np.float32)
+            all_boxes.append(it["bboxes"] * r + off)
+            all_cls.append(it["cls"])
+            if all_segs is not None:
+                segs = it.get("segments") or [None] * len(it["bboxes"])
+                all_segs.extend(sg * r + off[:2] if sg is not None else None for sg in segs)
+    bboxes = np.concatenate(all_boxes) if all_boxes else np.zeros((0, 4), np.float32)
+    cls = np.concatenate(all_cls) if all_cls else np.zeros((0,), np.float32)
+    bboxes = _clip_bboxes(bboxes, 2 * s, 2 * s)
+    out = {
+        "img": canvas[s // 2 : s // 2 + 2 * s, s // 2 : s // 2 + 2 * s],
+        "bboxes": bboxes,
+        "cls": cls,
+        "shape": (2 * s, 2 * s),
+    }
+    if all_segs is not None:
+        out["segments"] = all_segs
+    return out
+
+
+def cutmix(labels, other, p: float = 1.0, beta: float = 1.0, num_areas: int = 3, rng=None):
+    """CutMix: paste a random region of `other` that misses existing boxes,
+    adopting the donor boxes the region covers (ref: CutMix:932)."""
+    rng = rng or random
+    img = labels["img"]
+    h, w = img.shape[:2]
+    areas = []
+    for _ in range(num_areas):
+        lam = np.random.beta(beta, beta)
+        cut_ratio = math.sqrt(1.0 - lam)
+        cw, chh = int(w * cut_ratio), int(h * cut_ratio)
+        cx, cy = rng.randrange(w), rng.randrange(h)
+        areas.append([
+            np.clip(cx - cw // 2, 0, w), np.clip(cy - chh // 2, 0, h),
+            np.clip(cx + cw // 2, 0, w), np.clip(cy + chh // 2, 0, h),
+        ])
+    areas = np.asarray(areas, np.float32)
+    if len(labels["bboxes"]):
+        ioa1 = _bbox_ioa(areas, labels["bboxes"])
+        ok = np.nonzero(ioa1.sum(1) <= 0)[0]
+    else:
+        ok = np.arange(num_areas)
+    if len(ok) == 0:
+        return labels
+    area = areas[ok[rng.randrange(len(ok))]]
+    if len(other["bboxes"]) == 0:
+        return labels
+    ioa2 = _bbox_ioa(area[None], other["bboxes"])[0]
+    take = np.nonzero(ioa2 >= 0.1)[0]
+    if len(take) == 0:
+        return labels
+    x1, y1, x2, y2 = area.astype(np.int32)
+    labels["img"][y1:y2, x1:x2] = other["img"][y1:y2, x1:x2]
+    nb = other["bboxes"][take].copy()
+    nb[:, [0, 2]] = nb[:, [0, 2]].clip(x1, x2)  # restrain to the pasted window
+    nb[:, [1, 3]] = nb[:, [1, 3]].clip(y1, y2)
+    labels["bboxes"] = np.concatenate([labels["bboxes"], nb])
+    labels["cls"] = np.concatenate([labels["cls"], other["cls"][take]])
+    if labels.get("keypoints") is not None:
+        pad = np.zeros((len(take), *labels["keypoints"].shape[1:]), np.float32)
+        labels["keypoints"] = np.concatenate([labels["keypoints"], pad])
+    return labels
