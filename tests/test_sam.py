@@ -130,3 +130,56 @@ def test_sam_end_to_end_prompts():
     assert r.iou_scores.shape == (3,)
     r2 = pred(bboxes=[[10, 10, 80, 80]], multimask_output=False)
     assert r2.masks.data.shape == (1, 96, 120)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference oracle not present")
+def test_mobile_sam_tinyvit_parity():
+    """TinyViT encoder vs the reference torch implementation (small input)."""
+    add_reference_to_path()
+    import torch
+    from ultralytics.models.sam.modules.tiny_encoder import TinyViT as RefTiny
+
+    from yolo_tpu.models.sam.tiny_encoder import TinyViT
+    from yolo_tpu.nn.torch_import import state_dict_to_params
+    import jax
+    import jax.numpy as jnp
+
+    torch.manual_seed(7)
+    # the last stage must be 320/448/576 wide — the reference PatchMerging
+    # switches to stride 1 only for those, keeping the 3rd/4th stage resolutions
+    # equal like the shipped MobileSAM config
+    ref = RefTiny(img_size=128, in_chans=3, num_classes=1000, embed_dims=[16, 32, 48, 320],
+                  depths=[1, 1, 2, 1], num_heads=[1, 2, 3, 4], window_sizes=[4, 4, 8, 4],
+                  mlp_ratio=2.0, drop_rate=0.0, drop_path_rate=0.0, use_checkpoint=False,
+                  mbconv_expand_ratio=2.0, local_conv_size=3, layer_lr_decay=0.8)
+    ref.eval()
+    with torch.no_grad():  # randomize the zero-init attention biases
+        for m in ref.modules():
+            if hasattr(m, "attention_biases"):
+                m.attention_biases.normal_(0, 0.5)
+    ref.eval()  # refresh the eval-mode bias cache
+    ours = TinyViT(img_size=128, embed_dims=(16, 32, 48, 320), depths=(1, 1, 2, 1),
+                   num_heads=(1, 2, 3, 4), window_sizes=(4, 4, 8, 4), mlp_ratio=2.0,
+                   mbconv_expand_ratio=2.0)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = state_dict_to_params(sd, ours.init(np.random.default_rng(0)))
+
+    rng = np.random.default_rng(8)
+    x = rng.normal(0, 1, (1, 3, 128, 128)).astype(np.float32)
+    with torch.no_grad():
+        y_r = ref(torch.tensor(x)).numpy()
+    y_j = np.asarray(jax.jit(ours.__call__)(params, jnp.asarray(x.transpose(0, 2, 3, 1)))).transpose(0, 3, 1, 2)
+    assert y_r.shape == y_j.shape, (y_r.shape, y_j.shape)
+    assert np.allclose(y_r, y_j, atol=2e-3), np.abs(y_r - y_j).max()
+
+
+def test_mobile_sam_end_to_end():
+    from yolo_tpu.models.sam.build import build_mobile_sam
+    from yolo_tpu.models.sam.predict import SAMPredictor
+
+    model = build_mobile_sam(img_size=128)
+    pred = SAMPredictor(model)
+    img = np.random.default_rng(0).integers(0, 255, (90, 110, 3), np.uint8)
+    pred.set_image(img)
+    r = pred(points=[[50, 40]], labels=[1])
+    assert r.masks.data.shape == (3, 90, 110)

@@ -45,6 +45,28 @@ def _build_sam(encoder_embed_dim, encoder_depth, encoder_num_heads, encoder_glob
     )
 
 
+def build_mobile_sam(img_size=1024):
+    """MobileSAM: TinyViT-5M encoder + the standard SAM prompt/mask heads
+    (ref: build.py build_mobile_sam:102)."""
+    from yolo_tpu.models.sam.tiny_encoder import TinyViT
+
+    prompt_embed_dim = 256
+    grid = img_size // 16
+    return SAMModel(
+        image_encoder=TinyViT(img_size=img_size, embed_dims=(64, 128, 160, 320), depths=(2, 2, 6, 2),
+                              num_heads=(2, 4, 5, 10), window_sizes=(7, 7, 14, 7)),
+        prompt_encoder=PromptEncoder(
+            embed_dim=prompt_embed_dim, image_embedding_size=(grid, grid),
+            input_image_size=(img_size, img_size), mask_in_chans=16,
+        ),
+        mask_decoder=MaskDecoder(
+            transformer_dim=prompt_embed_dim, num_multimask_outputs=3,
+            transformer=TwoWayTransformer(depth=2, embedding_dim=prompt_embed_dim, num_heads=8, mlp_dim=2048),
+            iou_head_depth=3, iou_head_hidden_dim=256,
+        ),
+    )
+
+
 def build_sam_vit_b(img_size=1024):
     """SAM ViT-B (ref: build.py build_sam_vit_b:45)."""
     return _build_sam(768, 12, 12, (2, 5, 8, 11), img_size)
@@ -64,4 +86,5 @@ SAM_BUILDERS = {
     "sam_b": build_sam_vit_b,
     "sam_l": build_sam_vit_l,
     "sam_h": build_sam_vit_h,
+    "mobile_sam": build_mobile_sam,
 }
