@@ -1,0 +1,97 @@
+"""YOLOE: build/forward + parity vs reference torch with shared prompt embeddings."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import add_reference_to_path, reference_available
+
+from yolo_tpu.nn.tasks import YOLOEModel
+
+
+def test_yoloe_builds_and_forwards():
+    import jax
+    import jax.numpy as jnp
+
+    m = YOLOEModel("yoloe-11s.yaml")
+    p = m.init(0)
+    y = jax.jit(m.predict)(p, jnp.zeros((1, 64, 64, 3), jnp.float32))
+    assert y.shape == (1, 84, 84)
+    with pytest.raises(NotImplementedError):
+        m.set_classes(["a"])
+
+
+def test_yoloe_visual_prompts():
+    import jax.numpy as jnp
+
+    m = YOLOEModel("yoloe-11s.yaml")
+    p = m.init(0)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    vp = jnp.zeros((1, 2, 8, 8), jnp.float32).at[:, 0, 2:5, 2:5].set(1.0).at[:, 1, 5:8, 5:8].set(1.0)
+    vpe = m.get_visual_pe(p, x, vp)
+    assert vpe.shape == (1, 2, 512)
+    n = np.linalg.norm(np.asarray(vpe), axis=-1)
+    assert np.allclose(n, 1.0, atol=1e-4)  # SAVPE embeds are L2-normalized
+    m.set_visual_pe(np.asarray(vpe))
+    y = m.predict(p, x)
+    assert y.shape == (1, 4 + 2, 84)  # two visual-prompt classes
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference oracle not present")
+def test_yoloe_parity_with_reference():
+    add_reference_to_path()
+    import torch
+    from ultralytics.nn.tasks import YOLOEModel as TEM
+
+    from yolo_tpu.nn.torch_import import state_dict_to_params
+    import jax
+    import jax.numpy as jnp
+
+    torch.manual_seed(0)
+    t = TEM("/root/reference/ultralytics/cfg/models/11/yoloe-11.yaml", verbose=False)  # assumes scale n
+    t.eval()
+    ours = YOLOEModel("yoloe-11n.yaml")
+    sd = {k: v.detach().numpy() for k, v in t.state_dict().items()}
+    params = state_dict_to_params(sd, ours.init(0))
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (1, 3, 64, 64)).astype(np.float32)
+    raw_txt = rng.normal(0, 1, (1, 80, 512)).astype(np.float32)
+
+    head = t.model[-1]
+    with torch.no_grad():
+        tpe_t = head.get_tpe(torch.tensor(raw_txt))
+        y_t = t.predict(torch.from_numpy(img), tpe=tpe_t)[0].numpy()
+
+    ours.set_text_features(params, raw_txt)
+    y_j = np.asarray(jax.jit(ours.predict)(params, jnp.asarray(img.transpose(0, 2, 3, 1))))
+    assert y_t.shape == y_j.shape, (y_t.shape, y_j.shape)
+    assert np.allclose(y_t[:, :4], y_j[:, :4], atol=5e-2), np.abs(y_t[:, :4] - y_j[:, :4]).max()
+    assert np.allclose(y_t[:, 4:], y_j[:, 4:], atol=2e-3), np.abs(y_t[:, 4:] - y_j[:, 4:]).max()
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference oracle not present")
+def test_yoloe_savpe_parity():
+    add_reference_to_path()
+    import torch
+    from ultralytics.nn.modules.block import SAVPE as RefSAVPE
+
+    from yolo_tpu.nn.modules import SAVPE, Ctx
+    from yolo_tpu.nn.torch_import import state_dict_to_params
+    import jax.numpy as jnp
+
+    torch.manual_seed(2)
+    ref = RefSAVPE([32, 64, 128], 32, 64)
+    ref.eval()
+    ours = SAVPE([32, 64, 128], 32, 64)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = state_dict_to_params(sd, ours.init(np.random.default_rng(0)))
+
+    rng = np.random.default_rng(3)
+    xs = [rng.normal(0, 1, (1, c, 16 // (2**i), 16 // (2**i))).astype(np.float32) for i, c in enumerate([32, 64, 128])]
+    vp = (rng.uniform(0, 1, (1, 2, 16, 16)) > 0.6).astype(np.float32)
+    with torch.no_grad():
+        y_r = ref([torch.tensor(x) for x in xs], torch.tensor(vp)).numpy()
+    ctx = Ctx(train=False, dtype=jnp.float32)
+    y_j = np.asarray(ours(params, [jnp.asarray(x.transpose(0, 2, 3, 1)) for x in xs], jnp.asarray(vp), ctx))
+    assert y_r.shape == y_j.shape
+    assert np.allclose(y_r, y_j, atol=2e-3), np.abs(y_r - y_j).max()

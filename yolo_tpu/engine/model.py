@@ -240,3 +240,48 @@ class YOLOWorld(YOLO):
         if names:
             self.model.names = dict(enumerate(names))
         self.predictor = None  # class count changed → new jit cache
+
+
+class YOLOE(YOLO):
+    """YOLOE open-vocabulary facade (ref: models/yolo/model.py YOLOE).
+
+    Prompt classes with precomputed text embeddings (set_text_features) or
+    visual prompt masks (get_visual_pe/set_visual_pe)."""
+
+    def __init__(self, model="yoloe-11s.yaml", verbose: bool = False):
+        from yolo_tpu.nn.tasks import YOLOEModel
+
+        self.task = "detect"
+        self.overrides = {}
+        self.predictor = None
+        self.trainer = None
+        self.metrics = None
+        self.ckpt_path = None
+        self.model = YOLOEModel(str(model), verbose=verbose)
+        self.params = self.model.init(0)
+        self.overrides["model"] = str(model)
+        self.overrides["task"] = "detect"
+
+    def set_classes(self, classes):
+        self.model.set_classes(classes)
+
+    def set_text_features(self, txt_feats, names=None):
+        self.model.set_text_features(self.params, txt_feats)
+        if names:
+            self.model.names = dict(enumerate(names))
+        self.predictor = None
+
+    def set_visual_prompts(self, image, prompt_masks, names=None):
+        """Derive class prompts from (1, Q, H/8, W/8) masks on `image`."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from yolo_tpu.ops.letterbox import LetterBox
+
+        im = LetterBox((640, 640), auto=False)(image) if image.shape[:2] != (640, 640) else image
+        x = jnp.asarray(im[None, ..., ::-1].astype(np.float32) / 255.0)
+        vpe = self.model.get_visual_pe(self.params, x, jnp.asarray(prompt_masks))
+        self.model.set_visual_pe(np.asarray(vpe))
+        if names:
+            self.model.names = dict(enumerate(names))
+        self.predictor = None

@@ -1737,3 +1737,219 @@ class WorldDetect(Detect):
             cls = self.cv4[l](p["cv4"][str(l)], emb, text, ctx, f"{path}/cv4/{l}")
             outs.append(jnp.concatenate([box, cls.astype(ctx.dtype)], -1))
         return outs
+
+
+# ---------------------------------------------------------------------------
+# YOLOE open-vocabulary blocks (ref: block.py SwiGLUFFN:1937, Residual:1952,
+# SAVPE:1974; head.py YOLOEDetect:605, YOLOESegment:793)
+# ---------------------------------------------------------------------------
+
+
+class SwiGLUFFN:
+    """SwiGLU feed-forward (ref: block.py SwiGLUFFN:1937)."""
+
+    def __init__(self, gc: int, ec: int, e: int = 4):
+        self.gc, self.ec, self.e = gc, ec, e
+
+    def init(self, rng):
+        b1 = math.sqrt(1.0 / self.gc)
+        b2 = math.sqrt(1.0 / (self.e * self.ec // 2))
+        return {
+            "w12": {
+                "weight": rng.uniform(-b1, b1, (self.e * self.ec, self.gc)).astype(np.float32),
+                "bias": rng.uniform(-b1, b1, (self.e * self.ec,)).astype(np.float32),
+            },
+            "w3": {
+                "weight": rng.uniform(-b2, b2, (self.ec, self.e * self.ec // 2)).astype(np.float32),
+                "bias": np.zeros((self.ec,), np.float32),  # Residual zero-inits w3.bias
+            },
+        }
+
+    def __call__(self, p, x):
+        x12 = x.astype(jnp.float32) @ p["w12"]["weight"].astype(jnp.float32).T + p["w12"]["bias"]
+        x1, x2 = jnp.split(x12, 2, axis=-1)
+        return (silu(x1) * x2) @ p["w3"]["weight"].astype(jnp.float32).T + p["w3"]["bias"]
+
+
+class SAVPE:
+    """Spatial-aware visual prompt embeddings (ref: block.py SAVPE:1974).
+
+    Turns per-prompt binary masks on the P3 grid into normalized embedding
+    vectors via score-weighted pooling of multi-level features."""
+
+    def __init__(self, ch, c3, embed):
+        self.ch, self.c3_dim, self.embed = list(ch), c3, embed
+        self.c = 16
+        self.cv1 = [[ConvBNAct(x, c3, 3), ConvBNAct(c3, c3, 3)] for x in ch]  # + upsample i∈{1,2}
+        self.cv2 = [ConvBNAct(x, c3, 1) for x in ch]
+        self.cv6_0 = ConvBNAct(2 * self.c, self.c, 3)
+
+    def _conv_init(self, rng, k, ci, co):
+        bound = math.sqrt(1.0 / (ci * k * k))
+        return {
+            "weight": rng.uniform(-bound, bound, (k, k, ci, co)).astype(np.float32),
+            "bias": rng.uniform(-bound, bound, (co,)).astype(np.float32),
+        }
+
+    def init(self, rng):
+        return {
+            "cv1": {str(i): {"0": a.init(rng), "1": b.init(rng)} for i, (a, b) in enumerate(self.cv1)},
+            "cv2": {str(i): {"0": m.init(rng)} for i, m in enumerate(self.cv2)},
+            "cv3": self._conv_init(rng, 1, 3 * self.c3_dim, self.embed),
+            "cv4": self._conv_init(rng, 3, 3 * self.c3_dim, self.c),
+            "cv5": self._conv_init(rng, 3, 1, self.c),
+            "cv6": {"0": self.cv6_0.init(rng), "1": self._conv_init(rng, 3, self.c, self.c)},
+        }
+
+    @staticmethod
+    def _conv(p, x, pad=0):
+        y = jax.lax.conv_general_dilated(
+            x.astype(jnp.float32), p["weight"].astype(jnp.float32), (1, 1), [(pad, pad)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + p["bias"]
+
+    @staticmethod
+    def _up(x, f):
+        return jnp.repeat(jnp.repeat(x, f, 1), f, 2) if f > 1 else x
+
+    def __call__(self, p, xs, vp, ctx: Ctx):
+        """xs: 3-level NHWC features; vp: (B, Q, H, W) binary prompt masks on P3."""
+        ys = []
+        for i, x in enumerate(xs):
+            y = self.cv2[i](p["cv2"][str(i)]["0"], x, ctx, "")
+            ys.append(self._up(y, 2 * i if i in (1, 2) else 1))
+        y = self._conv(p["cv4"], jnp.concatenate(ys, -1), pad=1)  # (B, H, W, c)
+
+        feats = []
+        for i, x in enumerate(xs):
+            f = self.cv1[i][0](p["cv1"][str(i)]["0"], x, ctx, "")
+            f = self.cv1[i][1](p["cv1"][str(i)]["1"], f, ctx, "")
+            feats.append(self._up(f, 2 * i if i in (1, 2) else 1))
+        feat = self._conv(p["cv3"], jnp.concatenate(feats, -1))  # (B, H, W, embed)
+
+        B, H, W, C = feat.shape
+        Q = vp.shape[1]
+        xf = feat.reshape(B, H * W, C)
+        yq = jnp.broadcast_to(y[:, None], (B, Q, H, W, self.c)).reshape(B * Q, H, W, self.c)
+        vpf = vp.reshape(B * Q, H, W, 1).astype(jnp.float32)
+        z = jnp.concatenate([yq, self._conv(p["cv5"], vpf, pad=1)], -1)
+        z = self.cv6_0(p["cv6"]["0"], z, ctx, "")
+        z = self._conv(p["cv6"]["1"], z, pad=1)  # (B·Q, H, W, c)
+        z = z.reshape(B, Q, H * W, self.c)
+        vflat = vpf.reshape(B, Q, H * W, 1)
+        score = z * vflat + (1 - vflat) * jnp.finfo(jnp.float32).min
+        score = jax.nn.softmax(score, axis=2)  # over spatial positions
+        # aggregate: per sub-channel-group weighted pooling (ref :2029)
+        xg = xf.reshape(B, H * W, self.c, C // self.c)
+        agg = jnp.einsum("bqnc,bncd->bqcd", score, xg).reshape(B, Q, C)
+        return agg / jnp.maximum(jnp.linalg.norm(agg, axis=-1, keepdims=True), 1e-12)
+
+
+class YOLOEDetect(Detect):
+    """Detect head with text/visual prompt embeddings (ref: head.py YOLOEDetect:605)."""
+
+    def __init__(self, nc=80, embed=512, with_bn=True, ch=(), legacy=False):
+        super().__init__(nc, ch, legacy=legacy)
+        assert with_bn, "YOLOE uses the BN contrastive head"
+        c3 = max(ch[0], min(nc, 100))
+        self.embed = embed
+        if legacy:
+            self.cv3e = [[("conv", ConvBNAct(x, c3, 3)), ("conv", ConvBNAct(c3, c3, 3)), ("raw", Conv2d(c3, embed, 1))] for x in ch]
+        else:
+            self.cv3e = [
+                [
+                    ("seq", (DWConv(x, x, 3), ConvBNAct(x, c3, 1))),
+                    ("seq", (DWConv(c3, c3, 3), ConvBNAct(c3, c3, 1))),
+                    ("raw", Conv2d(c3, embed, 1)),
+                ]
+                for x in ch
+            ]
+        self.cv4 = [BNContrastiveHead(embed) for _ in ch]
+        self.reprta = SwiGLUFFN(embed, embed)
+        self.savpe = SAVPE(ch, c3, embed)
+
+    def init(self, rng):
+        p = super().init(rng)
+        cv3 = {}
+        for l, branch in enumerate(self.cv3e):
+            lp = {}
+            for j, (kind, mod) in enumerate(branch):
+                if kind == "seq":
+                    lp[str(j)] = {"0": mod[0].init(rng), "1": mod[1].init(rng)}
+                else:
+                    lp[str(j)] = mod.init(rng)
+            cv3[str(l)] = lp
+        p["cv3"] = cv3
+        p["cv4"] = {str(l): h.init(rng) for l, h in enumerate(self.cv4)}
+        p["reprta"] = {"m": self.reprta.init(rng)}
+        p["savpe"] = self.savpe.init(rng)
+        return p
+
+    def get_tpe(self, p, tpe):
+        """Text prompt embeddings: residual SwiGLU + L2 norm (ref :737)."""
+        y = tpe.astype(jnp.float32) + self.reprta(p["reprta"]["m"], tpe)
+        return y / jnp.maximum(jnp.linalg.norm(y, axis=-1, keepdims=True), 1e-12)
+
+    def get_vpe(self, p, xs, vp, ctx):
+        """Visual prompt embeddings from (B, Q, H, W) P3-grid masks (ref :744)."""
+        return self.savpe(p["savpe"], xs, vp, ctx)
+
+    def _cls_branch(self, p, l, x, ctx, path):
+        for j, (kind, mod) in enumerate(self.cv3e[l]):
+            pp = p["cv3"][str(l)][str(j)]
+            if kind == "seq":
+                x = mod[0](pp["0"], x, ctx, f"{path}/{j}/0")
+                x = mod[1](pp["1"], x, ctx, f"{path}/{j}/1")
+            elif kind == "conv":
+                x = mod(pp, x, ctx, f"{path}/{j}")
+            else:
+                x = mod(pp, x, ctx, f"{path}/{j}")
+        return x
+
+    def __call__(self, p, xs, ctx: Ctx, path=""):
+        text = ctx.guide0  # (B, nc, embed) processed class prompt embeddings
+        outs = []
+        for l, x in enumerate(xs):
+            box = x
+            for j in range(3):
+                box = self.cv2[l][j](p["cv2"][str(l)][str(j)], box, ctx, f"{path}/cv2/{l}/{j}")
+            emb = self._cls_branch(p, l, x, ctx, f"{path}/cv3/{l}")
+            cls = self.cv4[l](p["cv4"][str(l)], emb, text, ctx, f"{path}/cv4/{l}")
+            outs.append(jnp.concatenate([box, cls.astype(ctx.dtype)], -1))
+        return outs
+
+
+class YOLOESegment(YOLOEDetect):
+    """YOLOE detect + prototype masks (ref: head.py YOLOESegment:793)."""
+
+    def __init__(self, nc=80, nm=32, npr=256, embed=512, with_bn=True, ch=(), legacy=False):
+        super().__init__(nc, embed, with_bn, ch, legacy=legacy)
+        self.nm, self.npr = nm, npr
+        self.proto = Proto(ch[0], npr, nm)
+        c5 = max(ch[0] // 4, nm)
+        self.cv5 = [[ConvBNAct(x, c5, 3), ConvBNAct(c5, c5, 3), Conv2d(c5, nm, 1)] for x in ch]
+
+    def init(self, rng):
+        p = super().init(rng)
+        p["proto"] = self.proto.init(rng)
+        p["cv5"] = {str(l): {str(j): self.cv5[l][j].init(rng) for j in range(3)} for l in range(self.nl)}
+        return p
+
+    def __call__(self, p, xs, ctx: Ctx, path=""):
+        protos = self.proto(p["proto"], xs[0], ctx, f"{path}/proto")
+        mcs = []
+        for l, x in enumerate(xs):
+            m = x
+            for j in range(3):
+                m = self.cv5[l][j](p["cv5"][str(l)][str(j)], m, ctx, f"{path}/cv5/{l}/{j}")
+            mcs.append(m)
+        det_outs = super().__call__(p, xs, ctx, path)
+        return det_outs, mcs, protos
+
+    def decode_with_masks(self, p, outs):
+        det_outs, mask_outs, protos = outs
+        dets = self.decode(p, det_outs)
+        B = dets.shape[0]
+        mc = jnp.concatenate([m.reshape(B, -1, self.nm) for m in mask_outs], axis=1)
+        return jnp.concatenate([dets, jnp.swapaxes(mc, 1, 2)], axis=1), protos

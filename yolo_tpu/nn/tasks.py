@@ -82,6 +82,9 @@ MODULE_MAP = {
     "C2fAttn": M.C2fAttn,
     "ImagePoolingAttn": M.ImagePoolingAttn,
     "WorldDetect": M.WorldDetect,
+    # YOLOE open-vocab (text + visual prompts)
+    "YOLOEDetect": M.YOLOEDetect,
+    "YOLOESegment": M.YOLOESegment,
 }
 
 
@@ -214,7 +217,9 @@ def _parse_rows(d, ch, nc, depth, width, max_channels):
         elif mcls is M.ImagePoolingAttn:
             args.append([ch[x] for x in f])
             c2 = None
-        elif mcls is M.WorldDetect:
+        elif mcls in (M.WorldDetect, M.YOLOEDetect, M.YOLOESegment):
+            if mcls is M.YOLOESegment:  # npr width-scales like Segment (ref :1671)
+                args[2] = make_divisible(min(args[2], max_channels) * width, 8)
             args.append([ch[x] for x in f])
             args.append(legacy)
             c2 = None
@@ -526,6 +531,82 @@ class WorldModel(DetectionModel):
     def predict(self, params, x, dtype=jnp.float32, txt_feats=None):
         ctx = M.Ctx(train=False, dtype=dtype)
         outs = self.forward_features(params, x, ctx, txt_feats=txt_feats)
+        return self.head.decode(params["model"][str(self.layers[-1].i)], outs)
+
+
+class YOLOEModel(DetectionModel):
+    """YOLOE open-vocabulary model (ref: nn/tasks.py YOLOEModel:969).
+
+    Class prompts are embeddings: text prompts pass through the head's residual
+    SwiGLU (get_tpe); visual prompts come from SAVPE over P3-grid masks
+    (get_vpe). CLIP/MobileCLIP text encoding needs downloaded weights, so
+    set_classes raises offline — use set_text_features / get_visual_pe."""
+
+    task = "detect"
+    is_yoloe = True
+
+    def __init__(self, cfg="yoloe-11s.yaml", ch: int = 3, nc: int | None = None, verbose: bool = False):
+        super().__init__(cfg, ch=ch, nc=nc, verbose=verbose)
+        rng = __import__("numpy").random.default_rng(0)
+        self.cls_pe = rng.normal(0, 1, (1, self.nc, 512)).astype("float32")
+
+    def set_classes(self, text, **kwargs):
+        raise NotImplementedError(
+            "set_classes() needs MobileCLIP text-encoder weights (zero-egress env); "
+            "precompute embeddings offline and call set_text_features()"
+        )
+
+    def set_text_features(self, params, txt_feats):
+        """Install raw text embeddings (1, n, embed): processed via head.get_tpe."""
+        import numpy as np
+
+        hp = params["model"][str(self.layers[-1].i)]
+        self.cls_pe = np.asarray(self.head.get_tpe(hp, jnp.asarray(txt_feats, jnp.float32)))
+        self.nc = self.cls_pe.shape[1]
+        self.head.nc = self.nc
+        self.head.no = self.nc + self.head.reg_max * 4
+
+    def get_visual_pe(self, params, x, vp, dtype=jnp.float32):
+        """Visual prompt embeddings for (B, Q, H/8, W/8) prompt masks."""
+        ctx = M.Ctx(train=False, dtype=dtype)
+        feats = []
+        y = {}
+        xx = x
+        for spec in self.layers[:-1]:
+            f = spec.f
+
+            def src(j, xx=xx, spec=spec):
+                return xx if j == -1 else y[j if j >= 0 else spec.i + j]
+
+            x_in = [src(j) for j in f] if isinstance(f, list) else src(f)
+            xx = spec.module(params["model"][str(spec.i)], x_in, ctx, "")
+            if spec.i in self.save:
+                y[spec.i] = xx
+        head_spec = self.layers[-1]
+        xs = [y[j] for j in head_spec.f]
+        return self.head.get_vpe(params["model"][str(head_spec.i)], xs, vp, ctx)
+
+    def set_visual_pe(self, vpe):
+        """Use visual prompt embeddings (B, Q, embed) as the class prompts."""
+        import numpy as np
+
+        self.cls_pe = np.asarray(vpe, np.float32)
+        self.nc = self.cls_pe.shape[1]
+        self.head.nc = self.nc
+        self.head.no = self.nc + self.head.reg_max * 4
+
+    def forward_features(self, params, x, ctx: M.Ctx, cls_pe=None):
+        pe = jnp.asarray(self.cls_pe if cls_pe is None else cls_pe, jnp.float32)
+        if pe.shape[0] != x.shape[0]:
+            pe = jnp.broadcast_to(pe, (x.shape[0],) + pe.shape[1:])
+        ctx.guide0 = pe
+        return super().forward_features(params, x, ctx)
+
+    def predict(self, params, x, dtype=jnp.float32, cls_pe=None):
+        ctx = M.Ctx(train=False, dtype=dtype)
+        outs = self.forward_features(params, x, ctx, cls_pe=cls_pe)
+        if isinstance(self.head, M.YOLOESegment):
+            return self.head.decode_with_masks(params["model"][str(self.layers[-1].i)], outs)
         return self.head.decode(params["model"][str(self.layers[-1].i)], outs)
 
 
