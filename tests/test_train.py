@@ -111,3 +111,27 @@ def test_train_two_epochs_loss_drops_and_val_runs(tiny_dataset, tmp_path):
     if best.exists():
         m2 = YOLO(str(best))
         assert m2.model.nc == 1
+
+
+def test_full_train_state_resume(tiny_dataset, tmp_path):
+    """Resume restores optimizer moments + EMA + params via the orbax train
+    state, continuing from the saved epoch."""
+    from yolo_tpu import YOLO
+
+    common = dict(
+        data=tiny_dataset, imgsz=160, batch=4, workers=1, optimizer="AdamW", lr0=0.002,
+        warmup_epochs=0.0, mosaic=0.0, project=str(tmp_path), name="rs", exist_ok=True,
+        val=False, plots=False, amp=False,
+    )
+    m = YOLO("yolov8n.yaml")
+    m.train(epochs=2, **common)
+    run = tmp_path / "rs"
+    assert (run / "weights" / "train_state" / "state").exists()
+
+    m2 = YOLO("yolov8n.yaml")
+    m2.train(epochs=4, resume=str(run / "weights" / "last.npz"), **common)
+    import csv
+
+    rows = list(csv.DictReader(open(run / "results.csv")))
+    # resumed run continues at epoch 2 and finishes 4 total
+    assert int(rows[0]["epoch"]) == 2 and int(rows[-1]["epoch"]) == 3

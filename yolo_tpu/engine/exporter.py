@@ -152,3 +152,30 @@ class Exporter:
             imgsz = self.args.imgsz or 640
             return export_stablehlo(model, params, imgsz=imgsz, filename=f"{name}.stablehlo")
         raise ValueError(f"unsupported export format '{fmt}' (npz | orbax | stablehlo)")
+
+
+def save_train_state(dirname, state: dict) -> Path:
+    """Persist full training state (params, optimizer moments, EMA, counters)
+    as an orbax checkpoint — the TPU equivalent of the reference's resume
+    checkpoint (ref: engine/trainer.py save_model:536, which pickles
+    model+optimizer into the .pt)."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    dirname = Path(dirname).resolve()
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(dirname / "state", jax.device_get(state), force=True)
+    ckptr.wait_until_finished()
+    return dirname
+
+
+def load_train_state(dirname, template: dict) -> dict:
+    """Restore training state saved by save_train_state (template gives shapes)."""
+    import jax
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    dirname = Path(dirname).resolve()
+    template = jax.tree_util.tree_map(lambda x: np.asarray(x), template)
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(dirname / "state", template)

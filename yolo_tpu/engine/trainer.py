@@ -252,6 +252,11 @@ class DetectionTrainer:
         yaml_save(self.save_dir / "args.yaml", vars(args))
 
         stride = int(max(self.model.stride))
+        if args.batch == -1:  # autobatch: largest power-of-two that fits (ref: utils/autobatch.py)
+            from yolo_tpu.utils.profilers import autobatch
+
+            imgsz = args.imgsz if isinstance(args.imgsz, int) else max(args.imgsz)
+            args.batch = autobatch(self.model, self.params, imgsz=imgsz)
         trainset = build_yolo_dataset(args, self.data["train"], args.batch, self.data, mode="train", stride=stride)
         self.train_loader = build_dataloader(
             trainset, args.batch, workers=args.workers, shuffle=True, seed=args.seed, drop_last=len(trainset) > args.batch
@@ -275,6 +280,19 @@ class DetectionTrainer:
         # not alias the same device buffers
         ema_params = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
         ema_updates = jnp.zeros((), jnp.float32)
+        state_dir = self.wdir / "train_state"
+        if self.args.resume and (state_dir / "state").exists():
+            # full resume: optimizer moments + EMA + step counter (the npz-based
+            # _check_resume already restored params/epoch as a fallback)
+            from yolo_tpu.engine.exporter import load_train_state
+
+            st = load_train_state(
+                state_dir,
+                {"params": params, "opt_state": opt_state, "ema_params": ema_params, "ema_updates": ema_updates},
+            )
+            params, opt_state = st["params"], st["opt_state"]
+            ema_params, ema_updates = st["ema_params"], st["ema_updates"]
+            LOGGER.info(f"restored full train state (optimizer + EMA) from {state_dir}")
         if mesh is not None:
             from yolo_tpu.parallel.mesh import replicate
 
@@ -351,6 +369,12 @@ class DetectionTrainer:
             self._write_csv(csv_rows)
             if args.save:
                 self.save_checkpoint(self.wdir / "last.npz", ema_params, extra={"epoch": epoch})
+                from yolo_tpu.engine.exporter import save_train_state
+
+                save_train_state(
+                    self.wdir / "train_state",
+                    {"params": params, "opt_state": opt_state, "ema_params": ema_params, "ema_updates": ema_updates},
+                )
                 if args.save_period > 0 and (epoch + 1) % args.save_period == 0:
                     self.save_checkpoint(self.wdir / f"epoch{epoch}.npz", ema_params)
             run_callbacks(self.callbacks, "on_fit_epoch_end", self)
