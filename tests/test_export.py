@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+from tests.conftest import add_reference_to_path, reference_available
+
 from yolo_tpu.nn.tasks import DetectionModel
 
 
@@ -68,3 +70,36 @@ def test_exporter_dispatch(small_model, tmp_path, monkeypatch):
     assert out.exists()
     with pytest.raises(ValueError):
         Exporter(args={"format": "tensorrt"})(model, params)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference oracle not present")
+def test_pt_checkpoint_end_to_end_import(tmp_path):
+    """Full .pt round trip: save an ultralytics-format checkpoint (model object
+    + metadata, like the released weights) and load it through YOLO(...pt)."""
+    add_reference_to_path()
+    import torch
+    from ultralytics.nn.tasks import DetectionModel as TDM
+
+    import jax
+    import jax.numpy as jnp
+
+    torch.manual_seed(0)
+    t = TDM("/root/reference/ultralytics/cfg/models/v8/yolov8.yaml", verbose=False)
+    t.eval()
+    t.names = {i: f"c{i}" for i in range(80)}
+    ckpt = {"model": t, "train_args": {"imgsz": 640, "conf": 0.25}, "epoch": 7, "date": "2026-01-01"}
+    pt = tmp_path / "yolov8n_test.pt"
+    torch.save(ckpt, pt)
+
+    from yolo_tpu import YOLO
+
+    m = YOLO(str(pt))
+    assert m.model.nc == 80 and m.model.names[0] == "c0"
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        y_t = t(torch.from_numpy(img))[0].numpy()
+    y_j = np.asarray(jax.jit(m.model.predict)(m.params, jnp.asarray(img.transpose(0, 2, 3, 1))))
+    assert np.allclose(y_t[:, :4], y_j[:, :4], atol=5e-2)
+    assert np.allclose(y_t[:, 4:], y_j[:, 4:], atol=2e-3)
