@@ -183,3 +183,110 @@ def test_mobile_sam_end_to_end():
     pred.set_image(img)
     r = pred(points=[[50, 40]], labels=[1])
     assert r.masks.data.shape == (3, 90, 110)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference oracle not present")
+def test_sam2_hiera_parity():
+    add_reference_to_path()
+    import torch
+    from ultralytics.models.sam.modules.encoders import Hiera as RefHiera
+
+    from yolo_tpu.models.sam.sam2 import Hiera
+    from yolo_tpu.nn.torch_import import state_dict_to_params
+    import jax
+    import jax.numpy as jnp
+
+    torch.manual_seed(4)
+    kw = dict(embed_dim=32, num_heads=1, stages=(1, 1, 2, 1), window_spec=(4, 2, 4, 2),
+              global_att_blocks=(3,), window_pos_embed_bkg_spatial_size=(7, 7))
+    ref = RefHiera(**kw)
+    ref.eval()
+    with torch.no_grad():
+        ref.pos_embed.normal_(0, 0.3)
+        ref.pos_embed_window.normal_(0, 0.3)
+    ours = Hiera(**kw)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = state_dict_to_params(sd, ours.init(np.random.default_rng(0)))
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(0, 1, (1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        outs_r = [o.numpy() for o in ref(torch.tensor(x))]
+    outs_j = jax.jit(ours.__call__)(params, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    assert len(outs_r) == len(outs_j) == 4
+    for o_r, o_j in zip(outs_r, outs_j):
+        o_j = np.asarray(o_j).transpose(0, 3, 1, 2)
+        assert o_r.shape == o_j.shape, (o_r.shape, o_j.shape)
+        assert np.allclose(o_r, o_j, atol=3e-3), np.abs(o_r - o_j).max()
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference oracle not present")
+def test_sam2_fpn_neck_parity():
+    add_reference_to_path()
+    import torch
+    from ultralytics.models.sam.modules.encoders import FpnNeck as RefNeck
+
+    from yolo_tpu.models.sam.sam2 import FpnNeck
+    from yolo_tpu.nn.torch_import import state_dict_to_params
+    import jax.numpy as jnp
+
+    torch.manual_seed(5)
+    ref = RefNeck(d_model=32, backbone_channel_list=[128, 64, 32, 16], fpn_top_down_levels=[2, 3],
+                  fpn_interp_model="nearest")
+    ref.eval()
+    ours = FpnNeck(32, [128, 64, 32, 16])
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = state_dict_to_params(sd, ours.init(np.random.default_rng(0)))
+
+    rng = np.random.default_rng(6)
+    xs = [rng.normal(0, 1, (1, c, 32 // (2**i), 32 // (2**i))).astype(np.float32) for i, c in enumerate([16, 32, 64, 128])]
+    with torch.no_grad():
+        out_r, _ = ref([torch.tensor(x) for x in xs])
+    out_j = ours(params, [jnp.asarray(x.transpose(0, 2, 3, 1)) for x in xs])
+    for o_r, o_j in zip(out_r, out_j):
+        o_j = np.asarray(o_j).transpose(0, 3, 1, 2)
+        assert np.allclose(o_r.numpy(), o_j, atol=1e-4), np.abs(o_r.numpy() - o_j).max()
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference oracle not present")
+def test_sam2_mask_decoder_parity():
+    add_reference_to_path()
+    import torch
+    from ultralytics.models.sam.modules.decoders import SAM2MaskDecoder as RefMD
+    from ultralytics.models.sam.modules.transformer import TwoWayTransformer as RefTWT
+
+    from yolo_tpu.models.sam.modules import TwoWayTransformer
+    from yolo_tpu.models.sam.sam2 import SAM2MaskDecoder
+    from yolo_tpu.nn.torch_import import state_dict_to_params
+    import jax.numpy as jnp
+
+    torch.manual_seed(6)
+    ref = RefMD(transformer_dim=64, transformer=RefTWT(depth=2, embedding_dim=64, num_heads=4, mlp_dim=128),
+                num_multimask_outputs=3, iou_head_depth=3, iou_head_hidden_dim=64,
+                use_high_res_features=True, pred_obj_scores=True, pred_obj_scores_mlp=True,
+                use_multimask_token_for_obj_ptr=True)
+    ref.eval()
+    ours = SAM2MaskDecoder(64, 3, 3, 64, transformer=TwoWayTransformer(2, 64, 4, 128),
+                           use_high_res_features=True, pred_obj_scores=True, pred_obj_scores_mlp=True)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = state_dict_to_params(sd, ours.init(np.random.default_rng(0)))
+
+    rng = np.random.default_rng(7)
+    emb = rng.normal(0, 1, (1, 64, 8, 8)).astype(np.float32)
+    pe = rng.normal(0, 1, (1, 64, 8, 8)).astype(np.float32)
+    sparse = rng.normal(0, 1, (2, 3, 64)).astype(np.float32)
+    dense = rng.normal(0, 1, (2, 64, 8, 8)).astype(np.float32)
+    # high-res feats arrive pre-projected: td/8 at stride 4, td/4 at stride 8
+    s0 = rng.normal(0, 1, (2, 8, 32, 32)).astype(np.float32)
+    s1 = rng.normal(0, 1, (2, 16, 16, 16)).astype(np.float32)
+
+    with torch.no_grad():
+        m_r, i_r, _, o_r = ref(torch.tensor(emb), torch.tensor(pe), torch.tensor(sparse), torch.tensor(dense),
+                               multimask_output=True, repeat_image=True,
+                               high_res_features=[torch.tensor(s0), torch.tensor(s1)])
+    m_j, i_j, o_j = ours(params, jnp.asarray(emb.transpose(0, 2, 3, 1)), jnp.asarray(pe.transpose(0, 2, 3, 1)),
+                         jnp.asarray(sparse), jnp.asarray(dense.transpose(0, 2, 3, 1)), True,
+                         high_res_features=(jnp.asarray(s0.transpose(0, 2, 3, 1)), jnp.asarray(s1.transpose(0, 2, 3, 1))))
+    assert np.allclose(m_r.numpy(), np.asarray(m_j), atol=3e-3), np.abs(m_r.numpy() - np.asarray(m_j)).max()
+    assert np.allclose(i_r.numpy(), np.asarray(i_j), atol=1e-3)
+    assert np.allclose(o_r.numpy(), np.asarray(o_j), atol=1e-3)
