@@ -243,7 +243,11 @@ def collate_batch(samples: list[dict], max_boxes: int = 64):
     meta = []
     for i, s in enumerate(samples):
         im = s["img"]
-        imgs[i] = im if im.ndim == 3 else im[..., None].repeat(3, -1)
+        # cv2 loads BGR; emit RGB here (the Format-transform point, ref
+        # data/augment.py Format:2073 bgr flip) so train/val/predict all see
+        # the same channel order — the per-path flips live only where raw cv2
+        # frames enter (predictor/pipeline), never on dataset batches.
+        imgs[i] = im[..., ::-1] if im.ndim == 3 else im[..., None].repeat(3, -1)
         n = min(len(s["cls"]), max_boxes)
         if n:
             cls[i, :n] = s["cls"][:n]

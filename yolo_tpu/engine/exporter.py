@@ -53,7 +53,11 @@ def save_npz(model, params, filename="model.npz", meta: dict | None = None) -> P
     payload = {f"param::{k}": v for k, v in flat.items()}
     payload["__yaml__"] = np.frombuffer(json.dumps(model.yaml, default=str).encode(), dtype=np.uint8)
     payload["__meta__"] = np.frombuffer(
-        json.dumps({"names": getattr(model, "names", {}), **(meta or {})}, default=str).encode(), dtype=np.uint8
+        json.dumps(
+            {"names": getattr(model, "names", {}), "task": getattr(model, "task", "detect"), **(meta or {})},
+            default=str,
+        ).encode(),
+        dtype=np.uint8,
     )
     np.savez(filename, **payload)
     LOGGER.info(f"saved {filename} ({filename.stat().st_size / 1e6:.1f} MB)")
@@ -64,12 +68,14 @@ def load_npz(filename):
     """Load a .npz produced by save_npz → (model, params, meta)."""
     import jax.numpy as jnp
 
-    from yolo_tpu.nn.tasks import DetectionModel
+    from yolo_tpu.nn.tasks import model_class_for
 
     data = np.load(filename, allow_pickle=False)
     yaml_cfg = json.loads(bytes(data["__yaml__"]).decode())
     meta = json.loads(bytes(data["__meta__"]).decode()) if "__meta__" in data else {}
-    model = DetectionModel(yaml_cfg)
+    # dispatch to the task's model subclass (Segmentation/Pose/OBB/RTDETR/...)
+    # so a saved non-detect model round-trips with the right head decode + loss
+    model = model_class_for(yaml_cfg, meta.get("task"))(yaml_cfg)
     if meta.get("names"):
         model.names = {int(k): v for k, v in meta["names"].items()}
     flat = {k[len("param::") :]: data[k] for k in data.files if k.startswith("param::")}
@@ -89,7 +95,12 @@ def save_orbax(model, params, dirname, meta: dict | None = None) -> Path:
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(dirname / "params", params, force=True)
     ckptr.wait_until_finished()
-    (dirname / "model.json").write_text(json.dumps({"yaml": model.yaml, "names": getattr(model, "names", {}), **(meta or {})}, default=str))
+    (dirname / "model.json").write_text(
+        json.dumps(
+            {"yaml": model.yaml, "names": getattr(model, "names", {}), "task": getattr(model, "task", "detect"), **(meta or {})},
+            default=str,
+        )
+    )
     LOGGER.info(f"saved orbax checkpoint {dirname}")
     return dirname
 
@@ -98,11 +109,11 @@ def load_orbax(dirname):
     import jax
     import orbax.checkpoint as ocp
 
-    from yolo_tpu.nn.tasks import DetectionModel
+    from yolo_tpu.nn.tasks import model_class_for
 
     dirname = Path(dirname).resolve()
     info = json.loads((dirname / "model.json").read_text())
-    model = DetectionModel(info["yaml"])
+    model = model_class_for(info["yaml"], info.get("task"))(info["yaml"])
     if info.get("names"):
         model.names = {int(k): v for k, v in info["names"].items()}
     template = jax.tree_util.tree_map(lambda x: np.asarray(x), model.init(0))

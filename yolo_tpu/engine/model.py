@@ -98,6 +98,8 @@ class YOLO:
             self.model, self.params, _ = load_orbax(path)
         else:
             raise ValueError(f"unsupported model source: {weights}")
+        # the checkpoint's own task wins over filename-substring guessing
+        self.task = getattr(self.model, "task", self.task)
         self.overrides["model"] = str(weights)
         self.overrides["task"] = self.task
 

@@ -50,7 +50,7 @@ class DetectionValidator:
 
         @jax.jit
         def infer(p, imgs):
-            x = imgs[..., ::-1].astype(dtype) / 255.0  # BGR→RGB like predictor
+            x = imgs.astype(dtype) / 255.0  # dataset batches are already RGB (collate_batch)
             preds = model.predict(p, x, dtype=dtype)
             return non_max_suppression(preds, conf_thres=conf, iou_thres=iou, max_det=max_det)
 
@@ -152,7 +152,7 @@ class OBBValidator(DetectionValidator):
 
         @jax.jit
         def infer(p, imgs):
-            x = imgs[..., ::-1].astype(dtype) / 255.0
+            x = imgs.astype(dtype) / 255.0  # dataset batches are already RGB (collate_batch)
             preds = model.predict(p, x, dtype=dtype)  # (B, 4+nc+1, A) with angle
             return non_max_suppression_rotated(preds, conf_thres=conf, iou_thres=iou, max_det=max_det)
 
@@ -218,7 +218,7 @@ class PoseValidator(DetectionValidator):
 
         @jax.jit
         def infer(p, imgs):
-            x = imgs[..., ::-1].astype(dtype) / 255.0
+            x = imgs.astype(dtype) / 255.0  # dataset batches are already RGB (collate_batch)
             preds = model.predict(p, x, dtype=dtype)  # (B, 4+nc+nk, A)
             return non_max_suppression(preds, conf_thres=conf, iou_thres=iou, max_det=max_det, nc=model.nc)
 
@@ -293,7 +293,7 @@ class SegmentationValidator(DetectionValidator):
 
         @jax.jit
         def infer(p, imgs):
-            x = imgs[..., ::-1].astype(dtype) / 255.0
+            x = imgs.astype(dtype) / 255.0  # dataset batches are already RGB (collate_batch)
             preds, protos = model.predict(p, x, dtype=dtype)
             return (
                 non_max_suppression(preds, conf_thres=conf, iou_thres=iou, max_det=max_det, nc=model.nc),
@@ -379,7 +379,7 @@ class RTDETRValidator(DetectionValidator):
 
         @jax.jit
         def infer(p, imgs):
-            x = imgs[..., ::-1].astype(dtype) / 255.0
+            x = imgs.astype(dtype) / 255.0  # dataset batches are already RGB (collate_batch)
             y = model.predict(p, x, dtype=dtype)  # (B, nq, 4+nc) normalized
             H, W = imgs.shape[1], imgs.shape[2]
             boxes = _xywh2xyxy(y[..., :4]) * jnp.array([W, H, W, H], jnp.float32)

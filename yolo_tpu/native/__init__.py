@@ -9,6 +9,7 @@ compiler is available.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import subprocess
 from pathlib import Path
 
@@ -26,10 +27,14 @@ def _load():
         return _LIB
     _TRIED = True
     here = Path(__file__).parent
-    so = here / "libyolo_preprocess.so"
     src = here / "preprocess.cpp"
     try:
-        if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
+        # binary name embeds the source hash: never ship or load a stale /
+        # unauditable .so — always built from the checked-in source (the .so
+        # itself is gitignored)
+        digest = hashlib.sha256(src.read_bytes()).hexdigest()[:12]
+        so = here / f"libyolo_preprocess-{digest}.so"
+        if not so.exists():
             subprocess.run(
                 ["g++", "-O3", "-shared", "-fPIC", "-o", str(so), str(src)],
                 check=True,

@@ -639,3 +639,40 @@ class OBBModel(DetectionModel):
         ctx = M.Ctx(train=False, dtype=dtype)
         outs = self.forward_features(params, x, ctx)
         return self.head.decode_with_angle(params["model"][str(self.layers[-1].i)], outs)
+
+
+def guess_model_task(cfg: dict) -> str:
+    """Infer the task from a model yaml's head module (ref: nn/tasks.py
+    guess_model_task:1743)."""
+    rows = list(cfg.get("head", [])) or list(cfg.get("backbone", []))
+    head = str(rows[-1][2]) if rows else "Detect"
+    if head in ("Classify",):
+        return "classify"
+    if head in ("Segment", "YOLOESegment"):
+        return "segment"
+    if head in ("Pose",):
+        return "pose"
+    if head in ("OBB",):
+        return "obb"
+    return "detect"
+
+
+def model_class_for(cfg: dict, task: str | None = None):
+    """Task/architecture → model class, used by every checkpoint loader so a
+    saved Segmentation/Pose/OBB/RTDETR model round-trips as its own subclass
+    (not the DetectionModel base)."""
+    rows = list(cfg.get("head", []))
+    head = str(rows[-1][2]) if rows else "Detect"
+    if head == "RTDETRDecoder":
+        return RTDETRDetectionModel
+    if head in ("WorldDetect",):
+        return WorldModel
+    if head in ("YOLOEDetect", "YOLOESegment"):
+        return YOLOEModel
+    task = task or guess_model_task(cfg)
+    return {
+        "classify": ClassificationModel,
+        "segment": SegmentationModel,
+        "pose": PoseModel,
+        "obb": OBBModel,
+    }.get(task, DetectionModel)

@@ -26,7 +26,17 @@ def load_torch_checkpoint(path):
     """
     import torch
 
-    ckpt = torch.load(str(path), map_location="cpu", weights_only=False)
+    # Safe-first loading (ref: nn/tasks.py torch_safe_load:1404): try the
+    # no-arbitrary-code weights_only path, and only fall back to full
+    # unpickling with an explicit warning — .pt files execute pickle code.
+    try:
+        ckpt = torch.load(str(path), map_location="cpu", weights_only=True)
+    except Exception:
+        LOGGER.warning(
+            f"{path} is not loadable with weights_only=True; falling back to full unpickling. "
+            "Only load checkpoints from sources you trust."
+        )
+        ckpt = torch.load(str(path), map_location="cpu", weights_only=False)
     meta = {}
     if isinstance(ckpt, dict):
         meta = {k: v for k, v in ckpt.items() if k in ("epoch", "train_args", "date", "version")}
@@ -78,15 +88,17 @@ def state_dict_to_params(state_dict: dict, params_template) -> dict:
 
 
 def load_pt(path, model=None):
-    """Load an ultralytics-style .pt → (DetectionModel, params, meta)."""
-    from yolo_tpu.nn.tasks import DetectionModel
+    """Load an ultralytics-style .pt → (task-specific model, params, meta)."""
+    from yolo_tpu.nn.tasks import model_class_for
 
     sd, meta = load_torch_checkpoint(path)
     if model is None:
         yaml_cfg = meta.get("yaml")
         if yaml_cfg is None:
             raise ValueError(f"{path} has no embedded yaml; pass model= explicitly")
-        model = DetectionModel(dict(yaml_cfg))
+        yaml_cfg = dict(yaml_cfg)
+        task = (meta.get("train_args") or {}).get("task") if isinstance(meta.get("train_args"), dict) else None
+        model = model_class_for(yaml_cfg, task)(yaml_cfg)
     template = model.init(0)
     params = state_dict_to_params(sd, template)
     return model, params, meta

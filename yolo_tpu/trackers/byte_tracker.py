@@ -183,14 +183,20 @@ class BYTETracker:
         inds_low = scores > self.args.track_low_thresh
         inds_second = inds_low & ~remain_inds
 
-        # det idx column is arange within each filtered subset (reference
-        # semantics, ref init_track:420 — NMS output is conf-sorted so the
-        # first-stage subset is a prefix and idx == global index there)
-        def _with_idx(b):
-            return np.concatenate([b, np.arange(len(b)).reshape(-1, 1)], axis=-1) if len(b) else b.reshape(0, 5)
-
-        dets = _with_idx(boxes_xywh[remain_inds])
-        dets_second = _with_idx(boxes_xywh[inds_second])
+        # det idx column is the GLOBAL detection index, appended before the
+        # high/low split, so downstream reindexing (track.py result[idx])
+        # maps second-stage rescued tracks to the right original detection.
+        # (Ref init_track:420 appends a subset-relative arange after the
+        # split; its first-stage subset is a conf-sorted prefix so idx ==
+        # global there, but second-stage idx is misaligned — a documented
+        # divergence we fix rather than reproduce.)
+        boxes_with_idx = (
+            np.concatenate([boxes_xywh, np.arange(n, dtype=boxes_xywh.dtype).reshape(-1, 1)], axis=-1)
+            if n
+            else boxes_xywh.reshape(0, boxes_xywh.shape[-1] + 1 if boxes_xywh.ndim == 2 else 5)
+        )
+        dets = boxes_with_idx[remain_inds]
+        dets_second = boxes_with_idx[inds_second]
         detections = self.init_track(dets, scores[remain_inds], cls[remain_inds], img, feats)
 
         unconfirmed, tracked_stracks = [], []
