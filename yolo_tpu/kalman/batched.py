@@ -147,18 +147,17 @@ def make_step(n_max: int = 64, d_max: int = 16, max_lost_frames: int = 150, min_
         iou = _iou_matrix(det_boxes, trk_boxes)
         iou = jnp.where(det_mask[:, None] & s["active"][None, :], iou, -1.0)
 
-        def assoc_body(_, carry):
-            iou_m, det_match = carry
+        # greedy argmax picks are inherently sequential; unroll the d_max
+        # rounds statically (no fori_loop iteration overhead, lets XLA overlap
+        # the small scatter/select chains across rounds)
+        det_match = jnp.full((d_max,), -1, jnp.int32)
+        iou_m = iou
+        for _ in range(d_max):
             flat = jnp.argmax(iou_m)
             d, t = flat // n_max, flat % n_max
-            best = iou_m[d, t]
-            ok = best >= iou_threshold
+            ok = iou_m[d, t] >= iou_threshold
             det_match = jnp.where(ok, det_match.at[d].set(t), det_match)
             iou_m = jnp.where(ok, iou_m.at[d, :].set(-1.0).at[:, t].set(-1.0), iou_m.at[d, t].set(-1.0))
-            return iou_m, det_match
-
-        det_match = jnp.full((d_max,), -1, jnp.int32)
-        _, det_match = jax.lax.fori_loop(0, d_max, assoc_body, (iou, det_match))
         trk_matched = jnp.zeros((n_max,), bool).at[jnp.where(det_match >= 0, det_match, 0)].max(det_match >= 0)
 
         # ---- step 3: batched measurement update for matched tracks ---------------
@@ -220,33 +219,27 @@ def make_step(n_max: int = 64, d_max: int = 16, max_lost_frames: int = 150, min_
         slot_of_det = jnp.where(unmatched_det, free_sorted[jnp.clip(det_rank, 0, n_max - 1)], n_max + 1)
         can_place = unmatched_det & (slot_of_det < n_max)
 
-        def place(sd, carry):
-            s_, num = carry
-            slot = slot_of_det[sd]
-
-            def do(s_n):
-                s2, num2 = s_n
-                z = _bbox_to_z(det_boxes[sd])
-                x_new = jnp.zeros((8,), jnp.float32).at[:4].set(z)
-                s2 = dict(s2)
-                s2["x"] = s2["x"].at[slot].set(x_new)
-                s2["P"] = s2["P"].at[slot].set(P0)
-                s2["active"] = s2["active"].at[slot].set(True)
-                s2["is_lost"] = s2["is_lost"].at[slot].set(False)
-                s2["age"] = s2["age"].at[slot].set(0)
-                s2["hits"] = s2["hits"].at[slot].set(1)
-                s2["hit_streak"] = s2["hit_streak"].at[slot].set(1)
-                s2["time_since_update"] = s2["time_since_update"].at[slot].set(0)
-                s2["lost_frames"] = s2["lost_frames"].at[slot].set(0)
-                s2["track_num"] = s2["track_num"].at[slot].set(num2)
-                s2["vel_hist"] = s2["vel_hist"].at[slot].set(0.0)
-                s2["vel_count"] = s2["vel_count"].at[slot].set(0)
-                return s2, num2 + 1
-
-            return jax.lax.cond(can_place[sd], do, lambda s_n: s_n, (s_, num))
-
-        s, next_id = jax.lax.fori_loop(0, d_max, place, (s, s["next_id"]))
-        s["next_id"] = next_id
+        # vectorized placement: scatter every placeable detection's fresh-track
+        # fields in ONE shot (mode='drop' makes the n_max+1 sentinel a no-op).
+        # ids follow detection order: next_id + rank-among-placed, matching the
+        # reference's creation-order "T%03d" ids (multi_tracker :92-101).
+        slots = jnp.where(can_place, slot_of_det, n_max + 1)
+        z_new = _bbox_to_z(det_boxes)  # (D, 4)
+        x_new = jnp.concatenate([z_new, jnp.zeros((d_max, 4), jnp.float32)], axis=-1)  # (D, 8)
+        place_num = s["next_id"] + jnp.cumsum(can_place) - 1
+        s["x"] = s["x"].at[slots].set(x_new, mode="drop")
+        s["P"] = s["P"].at[slots].set(jnp.broadcast_to(P0, (d_max, 8, 8)), mode="drop")
+        s["active"] = s["active"].at[slots].set(True, mode="drop")
+        s["is_lost"] = s["is_lost"].at[slots].set(False, mode="drop")
+        s["age"] = s["age"].at[slots].set(0, mode="drop")
+        s["hits"] = s["hits"].at[slots].set(1, mode="drop")
+        s["hit_streak"] = s["hit_streak"].at[slots].set(1, mode="drop")
+        s["time_since_update"] = s["time_since_update"].at[slots].set(0, mode="drop")
+        s["lost_frames"] = s["lost_frames"].at[slots].set(0, mode="drop")
+        s["track_num"] = s["track_num"].at[slots].set(place_num, mode="drop")
+        s["vel_hist"] = s["vel_hist"].at[slots].set(0.0, mode="drop")
+        s["vel_count"] = s["vel_count"].at[slots].set(0, mode="drop")
+        s["next_id"] = s["next_id"] + can_place.sum()
 
         # ---- step 6: prune (should_delete rules, ref tracker :385) ------------------
         tsu = s["time_since_update"]

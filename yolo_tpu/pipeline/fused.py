@@ -8,9 +8,18 @@ step and scan the Kalman update over time with state carried across steps"):
       → lax.scan(batched Kalman tracker step) over the T frames   [sequential]
       → per-frame track table outputs (tiny)
 
-Per chunk the host does ONE upload and ONE tiny download; detection batches
-across frames while tracking scans them, inside the same jit. Track state is a
-pytree carried across chunks, so clips of any length stream chunk-by-chunk.
+Transport discipline (the perf contract — a host↔device round-trip through a
+serialized transport costs ~100-200 ms of latency, so the steady-state loop
+must never synchronize per chunk):
+
+  - ONE upload per chunk (`device_put` of the uint8 frames);
+  - ALL per-frame outputs packed into ONE dense (T, N, 12) f32 tensor inside
+    the jit, so a chunk's results are a single device buffer;
+  - the contract stats (detection/prediction frame counts + state switches,
+    ref kalman/aircraft_detection_tracking.py:111-131) are accumulated ON
+    DEVICE as part of the carried state — `run_clip` dispatches every chunk
+    asynchronously and blocks exactly once at the end, downloading the packed
+    buffers and the stats scalars in a single drain.
 
 Tracking semantics = yolo_tpu.kalman.batched (itself output-parity-tested
 against the reference's EnhancedMultiTargetTracker).
@@ -21,6 +30,37 @@ from __future__ import annotations
 import numpy as np
 
 from yolo_tpu.kalman.batched import STATUS_DETECTED, STATUS_NONE, STATUS_PREDICTED, init_state, make_step
+
+# packed (T, N, 12) column layout
+_COLS = dict(bbox=slice(0, 4), confidence=4, emit=5, status=6, time_since_update=7, track_num=8, velocity=slice(9, 11), det_count=11)
+
+
+def _unpack(packed: np.ndarray) -> dict:
+    """(T, N, 12) f32 → the per-frame output dict (host side)."""
+    return {
+        "bbox": packed[..., _COLS["bbox"]],
+        "confidence": packed[..., _COLS["confidence"]],
+        "emit": packed[..., _COLS["emit"]] > 0.5,
+        "status": packed[..., _COLS["status"]].astype(np.int32),
+        "time_since_update": packed[..., _COLS["time_since_update"]].astype(np.int32),
+        "track_num": packed[..., _COLS["track_num"]].astype(np.int32),
+        "velocity": packed[..., _COLS["velocity"]],
+        "det_count": packed[:, 0, _COLS["det_count"]].astype(np.int32),
+    }
+
+
+def init_stats(n_max: int):
+    """Fresh on-device stats accumulator (prev_* carry crosses chunk edges)."""
+    import jax.numpy as jnp
+
+    return {
+        "frames": jnp.zeros((), jnp.int32),
+        "detection_frames": jnp.zeros((), jnp.int32),
+        "prediction_frames": jnp.zeros((), jnp.int32),
+        "state_changes": jnp.zeros((), jnp.int32),
+        "prev_status": jnp.full((n_max,), STATUS_NONE, jnp.int32),
+        "prev_nums": jnp.zeros((n_max,), jnp.int32),
+    }
 
 
 class FusedDetectTrack:
@@ -54,7 +94,7 @@ class FusedDetectTrack:
         dtype = dtype or jnp.bfloat16
         tracker_step = make_step(n_max, d_max, max_lost_frames, min_hits, iou_threshold)
 
-        def fused(p, track_state, frames):
+        def fused(p, track_state, stats, frames):
             x = frames.astype(dtype) / 255.0
             if frames.shape[-1] == 1:
                 x = jnp.broadcast_to(x, x.shape[:-1] + (3,))
@@ -70,56 +110,95 @@ class FusedDetectTrack:
                 return tracker_step(state, boxes, mask)
 
             track_state, outs = jax.lax.scan(body, track_state, (det_boxes, det_mask))
-            outs["det_count"] = det_mask.sum(-1)
-            return track_state, outs
 
-        self._fused = jax.jit(fused, donate_argnums=(1,))
-        self.params = params
-        self.state = init_state(n_max)
-
-    def process_chunk(self, frames: np.ndarray):
-        """frames: (T, H, W, C) uint8 with T == chunk → dict of per-frame outputs."""
-        import jax
-
-        assert frames.shape[0] == self.chunk, f"chunk must be {self.chunk}, got {frames.shape[0]}"
-        dev = jax.device_put(frames)
-        self.state, outs = self._fused(self.params, self.state, dev)
-        return {k: np.asarray(v) for k, v in outs.items()}
-
-    def run_clip(self, clip: np.ndarray, collect_stats: bool = True):
-        """Stream a whole clip; returns (outputs list, contract stats).
-
-        Stats mirror the reference demo's observable counters (ref:
-        kalman/aircraft_detection_tracking.py :111-131): detection/prediction
-        frame counts + state switches.
-        """
-        T = self.chunk
-        n_chunks = len(clip) // T
-        stats = {"frames": 0, "detection_frames": 0, "prediction_frames": 0, "state_changes": 0}
-        all_out = []
-        prev_status = None  # (N,) last frame of previous chunk
-        prev_nums = None
-        for ci in range(n_chunks):
-            outs = self.process_chunk(clip[ci * T : (ci + 1) * T])
-            all_out.append(outs)
-            if not collect_stats:
-                continue
-            # vectorized contract-stats: slots are stable per track, so per-id
-            # state transitions == per-slot status changes under the same id
-            emit = outs["emit"]
-            status = np.where(emit, outs["status"], STATUS_NONE)  # (T, N)
+            T = det_boxes.shape[0]
+            status = jnp.where(outs["emit"], outs["status"], STATUS_NONE)  # (T, N)
             nums = outs["track_num"]
-            stats["frames"] += T
-            stats["detection_frames"] += int((status == STATUS_DETECTED).sum())
-            stats["prediction_frames"] += int((status == STATUS_PREDICTED).sum())
-            full_status = status if prev_status is None else np.concatenate([prev_status[None], status])
-            full_nums = nums if prev_nums is None else np.concatenate([prev_nums[None], nums])
+            # contract stats on device — per-slot status transitions under the
+            # same id, including the edge between the previous chunk and this one
+            full_status = jnp.concatenate([stats["prev_status"][None], status])
+            full_nums = jnp.concatenate([stats["prev_nums"][None], nums])
             changed = (
                 (full_status[1:] != full_status[:-1])
                 & (full_status[1:] != STATUS_NONE)
                 & (full_status[:-1] != STATUS_NONE)
                 & (full_nums[1:] == full_nums[:-1])
             )
-            stats["state_changes"] += int(changed.sum())
-            prev_status, prev_nums = status[-1], nums[-1]
+            stats = {
+                "frames": stats["frames"] + T,
+                "detection_frames": stats["detection_frames"] + (status == STATUS_DETECTED).sum(),
+                "prediction_frames": stats["prediction_frames"] + (status == STATUS_PREDICTED).sum(),
+                "state_changes": stats["state_changes"] + changed.sum(),
+                "prev_status": status[-1],
+                "prev_nums": nums[-1],
+            }
+
+            f32 = jnp.float32
+            packed = jnp.concatenate(
+                [
+                    outs["bbox"].astype(f32),
+                    outs["confidence"].astype(f32)[..., None],
+                    outs["emit"].astype(f32)[..., None],
+                    outs["status"].astype(f32)[..., None],
+                    outs["time_since_update"].astype(f32)[..., None],
+                    outs["track_num"].astype(f32)[..., None],
+                    outs["velocity"].astype(f32),
+                    jnp.broadcast_to(det_mask.sum(-1).astype(f32)[:, None, None], (T, self.n_max, 1)),
+                ],
+                axis=-1,
+            )
+            return track_state, stats, packed
+
+        self._fused = jax.jit(fused, donate_argnums=(1, 2))
+        self.params = params
+        self.state = init_state(n_max)
+        self.stats = init_stats(n_max)
+
+    def reset(self):
+        self.state = init_state(self.n_max)
+        self.stats = init_stats(self.n_max)
+
+    def process_chunk_device(self, frames: np.ndarray):
+        """Dispatch one chunk; returns the packed (T, N, 12) DEVICE buffer
+        without any host synchronization."""
+        import jax
+
+        assert frames.shape[0] == self.chunk, f"chunk must be {self.chunk}, got {frames.shape[0]}"
+        dev = jax.device_put(frames)
+        self.state, self.stats, packed = self._fused(self.params, self.state, self.stats, dev)
+        return packed
+
+    def process_chunk(self, frames: np.ndarray):
+        """frames: (T, H, W, C) uint8 with T == chunk → dict of per-frame outputs."""
+        return _unpack(np.asarray(self.process_chunk_device(frames)))
+
+    def run_clip(self, clip: np.ndarray, collect_stats: bool = True, collect_outputs: bool = True):
+        """Stream a whole clip; returns (outputs list, contract stats).
+
+        Every chunk is dispatched asynchronously (one upload, one packed device
+        output, stats carried on device); uploads are double-buffered on a
+        background thread so the H2D transfer of chunk k+1 overlaps the fused
+        program of chunk k. The single host synchronization is the drain at
+        the end. Stats mirror the reference demo's observable counters (ref:
+        kalman/aircraft_detection_tracking.py :111-131).
+        """
+        import concurrent.futures
+
+        import jax
+
+        T = self.chunk
+        n_chunks = len(clip) // T
+        device_outs = []
+        with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
+            nxt = pool.submit(jax.device_put, clip[:T]) if n_chunks else None
+            for ci in range(n_chunks):
+                dev = nxt.result()
+                if ci + 1 < n_chunks:
+                    nxt = pool.submit(jax.device_put, clip[(ci + 1) * T : (ci + 2) * T])
+                self.state, self.stats, packed = self._fused(self.params, self.state, self.stats, dev)
+                if collect_outputs:
+                    device_outs.append(packed)
+                # else: drop the reference — backend may skip materializing
+        all_out = [_unpack(np.asarray(p)) for p in device_outs]
+        stats = {k: int(np.asarray(v)) for k, v in self.stats.items() if not k.startswith("prev_")} if collect_stats else {}
         return all_out, stats
