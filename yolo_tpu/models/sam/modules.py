@@ -391,13 +391,19 @@ class SAMAttention:
 class TwoWayAttentionBlock:
     """Sparse↔dense two-way attention (ref: transformer.py :129)."""
 
-    def __init__(self, embedding_dim, num_heads, mlp_dim=2048, attention_downsample_rate=2, skip_first_layer_pe=False):
+    def __init__(self, embedding_dim, num_heads, mlp_dim=2048, attention_downsample_rate=2, skip_first_layer_pe=False,
+                 sam2: bool = False):
         self.skip_first_layer_pe = skip_first_layer_pe
         self.self_attn = SAMAttention(embedding_dim, num_heads)
         self.norm1 = LayerNorm(embedding_dim)
         self.cross_attn_token_to_image = SAMAttention(embedding_dim, num_heads, attention_downsample_rate)
         self.norm2 = LayerNorm(embedding_dim)
-        self.mlp = MLPBlock(embedding_dim, mlp_dim, act="relu")
+        # SAM2's block uses blocks.MLP ("mlp.layers.{i}" keys); SAM1 uses
+        # MLPBlock ("mlp.lin1/lin2") — identical math, different param names
+        # (ref: blocks.py SAM2TwoWayAttentionBlock:293)
+        from yolo_tpu.nn.transformer import MLP as _SeqMLP
+
+        self.mlp = _SeqMLP(embedding_dim, mlp_dim, embedding_dim, 2) if sam2 else MLPBlock(embedding_dim, mlp_dim, act="relu")
         self.norm3 = LayerNorm(embedding_dim)
         self.norm4 = LayerNorm(embedding_dim)
         self.cross_attn_image_to_token = SAMAttention(embedding_dim, num_heads, attention_downsample_rate)
@@ -430,9 +436,10 @@ class TwoWayAttentionBlock:
 class TwoWayTransformer:
     """Stack of two-way blocks + final token→image attention (ref: transformer.py :13)."""
 
-    def __init__(self, depth, embedding_dim, num_heads, mlp_dim, attention_downsample_rate=2):
+    def __init__(self, depth, embedding_dim, num_heads, mlp_dim, attention_downsample_rate=2, sam2: bool = False):
         self.layers = [
-            TwoWayAttentionBlock(embedding_dim, num_heads, mlp_dim, attention_downsample_rate, skip_first_layer_pe=i == 0)
+            TwoWayAttentionBlock(embedding_dim, num_heads, mlp_dim, attention_downsample_rate,
+                                 skip_first_layer_pe=i == 0, sam2=sam2)
             for i in range(depth)
         ]
         self.final_attn_token_to_image = SAMAttention(embedding_dim, num_heads, attention_downsample_rate)
