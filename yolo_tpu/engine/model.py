@@ -217,8 +217,9 @@ class RTDETR(YOLO):
 class YOLOWorld(YOLO):
     """YOLO-World open-vocabulary facade (ref: models/yolo/model.py YOLOWorld).
 
-    Text classes via precomputed embeddings: `model.set_text_features(feats)`
-    (CLIP-weight download is impossible in this zero-egress environment)."""
+    Text classes: `set_classes(["person", ...])` runs the native CLIP text
+    tower (yolo_tpu.nn.text_model; exact with an imported clip checkpoint),
+    or pass precomputed embeddings via `set_text_features(feats)`."""
 
     def __init__(self, model="yolov8s-world.yaml", verbose: bool = False):
         from yolo_tpu.nn.tasks import WorldModel
@@ -234,8 +235,11 @@ class YOLOWorld(YOLO):
         self.overrides["model"] = str(model)
         self.overrides["task"] = "detect"
 
-    def set_classes(self, classes):
-        self.model.set_classes(classes)
+    def set_classes(self, classes, **kwargs):
+        """End-to-end text prompting via the native CLIP text tower
+        (pass clip_ckpt=<openai clip .pt> for released-weight embeddings)."""
+        self.model.set_classes(classes, **kwargs)
+        self.predictor = None  # class count changed → new jit cache
 
     def set_text_features(self, txt_feats, names=None):
         self.model.set_text_features(txt_feats)
@@ -264,8 +268,11 @@ class YOLOE(YOLO):
         self.overrides["model"] = str(model)
         self.overrides["task"] = "detect"
 
-    def set_classes(self, classes):
-        self.model.set_classes(classes)
+    def set_classes(self, classes, **kwargs):
+        """Text prompting via the native CLIP text tower (MobileCLIP-layout
+        checkpoints import the same way; pass clip_ckpt=)."""
+        self.model.set_classes(classes, params=self.params, **kwargs)
+        self.predictor = None
 
     def set_text_features(self, txt_feats, names=None):
         self.model.set_text_features(self.params, txt_feats)

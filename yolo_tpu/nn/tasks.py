@@ -514,11 +514,24 @@ class WorldModel(DetectionModel):
         self.head.nc = self.nc  # nc can change per text set (ref: head.py :526)
         self.head.no = self.nc + self.head.reg_max * 4
 
-    def set_classes(self, text, **kwargs):
-        raise NotImplementedError(
-            "set_classes() needs CLIP text-encoder weights, which this zero-egress environment "
-            "cannot download; precompute embeddings offline and call set_text_features()"
-        )
+    def set_classes(self, text, text_model=None, clip_ckpt=None, **kwargs):
+        """Open-vocabulary class prompts via the native CLIP text tower
+        (ref: tasks.py WorldModel.set_classes:~860 → nn/text_model.py CLIP).
+
+        With a `clip_ckpt` (OpenAI clip .pt) or a pre-built `text_model`, the
+        embeddings match the reference; with neither, the randomly-initialized
+        tower still yields a working end-to-end pipeline (documented for
+        weight-less environments)."""
+        import numpy as np
+
+        from yolo_tpu.nn.text_model import build_text_model
+
+        tm = text_model or build_text_model()
+        if clip_ckpt:
+            tm.load_torch(clip_ckpt)
+        feats = np.asarray(tm.encode_text(list(text)), np.float32)[None]  # (1, n, 512)
+        self.set_text_features(feats)
+        self.names = dict(enumerate(text))
 
     def forward_features(self, params, x, ctx: M.Ctx, txt_feats=None):
         tf = jnp.asarray(self.txt_feats if txt_feats is None else txt_feats, jnp.float32)
@@ -550,11 +563,21 @@ class YOLOEModel(DetectionModel):
         rng = __import__("numpy").random.default_rng(0)
         self.cls_pe = rng.normal(0, 1, (1, self.nc, 512)).astype("float32")
 
-    def set_classes(self, text, **kwargs):
-        raise NotImplementedError(
-            "set_classes() needs MobileCLIP text-encoder weights (zero-egress env); "
-            "precompute embeddings offline and call set_text_features()"
-        )
+    def set_classes(self, text, params=None, text_model=None, clip_ckpt=None, **kwargs):
+        """Text class prompts via the native CLIP text tower (ref: tasks.py
+        YOLOEModel.set_classes → get_text_pe; the reference uses MobileCLIP-BLT,
+        we accept any CLIP-layout checkpoint via clip_ckpt)."""
+        import numpy as np
+
+        from yolo_tpu.nn.text_model import build_text_model
+
+        assert params is not None, "pass params= (text prompts run through the head's SwiGLU)"
+        tm = text_model or build_text_model()
+        if clip_ckpt:
+            tm.load_torch(clip_ckpt)
+        feats = np.asarray(tm.encode_text(list(text)), np.float32)[None]
+        self.set_text_features(params, feats)
+        self.names = dict(enumerate(text))
 
     def set_text_features(self, params, txt_feats):
         """Install raw text embeddings (1, n, embed): processed via head.get_tpe."""
