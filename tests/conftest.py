@@ -109,3 +109,41 @@ def add_reference_to_path():
     for p in (str(stub_root), str(REFERENCE)):
         if p not in sys.path:
             sys.path.insert(0, p)
+
+
+# --------------------------------------------------------------------------- #
+# default-fast suite: heavy torch-parity / training modules are opt-in via
+# --slow (the reference uses the same conftest pattern, ref tests/conftest.py
+# :10-25). Default run stays < 5 min; CI's nightly job passes --slow.
+# --------------------------------------------------------------------------- #
+import pytest  # noqa: E402
+
+SLOW_MODULES = {
+    "test_classify",        # full classification training loop
+    "test_model",           # torch .pt import + forward numeric parity
+    "test_model_families",  # v3/v5/v6/v8/11/12 torch parity sweep
+    "test_pose_obb",        # pose/OBB loss+validator parity
+    "test_profilers",       # trace/flops/autobatch (compiles several graphs)
+    "test_rtdetr_train",    # DETR loss + Hungarian parity training steps
+    "test_sam",             # SAM/MobileSAM/SAM2 encoder-decoder parity
+    "test_sam2_video",      # 10-frame video propagation parity
+    "test_segment",         # mask training + seg mAP
+    "test_train",           # detect trainer end-to-end + orbax resume
+    "test_text_model",      # CLIP tower parity vs transformers
+    "test_world",           # YOLO-World parity + set_classes
+    "test_yoloe",           # YOLOE parity + prompts
+}
+
+
+def pytest_addoption(parser):
+    parser.addoption("--slow", action="store_true", default=False,
+                     help="also run the heavy torch-parity / training modules")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--slow"):
+        return
+    skip = pytest.mark.skip(reason="slow suite — opt in with --slow")
+    for item in items:
+        if Path(str(item.fspath)).stem in SLOW_MODULES:
+            item.add_marker(skip)

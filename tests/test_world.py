@@ -21,8 +21,9 @@ def test_world_builds_and_forwards():
     m.set_text_features(np.random.default_rng(0).normal(0, 1, (1, 3, 512)).astype(np.float32))
     y = jax.jit(m.predict)(p, jnp.zeros((1, 64, 64, 3), jnp.float32))
     assert y.shape == (1, 4 + 3, 84)
-    with pytest.raises(NotImplementedError):
-        m.set_classes(["a", "b"])
+    # set_classes now runs the native CLIP text tower end-to-end
+    m.set_classes(["a", "b"])
+    assert m.nc == 2 and m.names == {0: "a", 1: "b"}
 
 
 @pytest.mark.parametrize("yaml_name", ["yolov8s-world.yaml", "yolov8s-worldv2.yaml"])

@@ -16,8 +16,9 @@ def test_yoloe_builds_and_forwards():
     p = m.init(0)
     y = jax.jit(m.predict)(p, jnp.zeros((1, 64, 64, 3), jnp.float32))
     assert y.shape == (1, 84, 84)
-    with pytest.raises(NotImplementedError):
-        m.set_classes(["a"])
+    # set_classes runs the native CLIP text tower through the head's SwiGLU
+    m.set_classes(["a"], params=p)
+    assert m.nc == 1 and m.names == {0: "a"}
 
 
 def test_yoloe_visual_prompts():

@@ -14,7 +14,7 @@ Public surface mirrors the reference (see SURVEY.md §1-2):
 
 __version__ = "0.1.0"
 
-from yolo_tpu.engine.model import RTDETR, YOLO, YOLOE, YOLOWorld  # noqa: E402
+from yolo_tpu.engine.model import NAS, RTDETR, YOLO, YOLOE, YOLOWorld  # noqa: E402
 from yolo_tpu.models import SAM, FastSAM  # noqa: E402
 
-__all__ = ["YOLO", "RTDETR", "YOLOWorld", "YOLOE", "FastSAM", "SAM", "__version__"]
+__all__ = ["YOLO", "NAS", "RTDETR", "YOLOWorld", "YOLOE", "FastSAM", "SAM", "__version__"]

@@ -184,6 +184,13 @@ class YOLO:
         args = {**self.overrides, **kwargs, "mode": "export"}
         return Exporter(args=args)(model=self.model, params=self.params)
 
+    def tune(self, iterations: int = 10, **kwargs):
+        """Hyperparameter evolution (ref: engine/model.py tune:810 → Tuner)."""
+        from yolo_tpu.engine.tuner import Tuner
+
+        args = {**self.overrides, **kwargs, "mode": "train"}
+        return Tuner(args=args)(model=self, iterations=iterations, **kwargs)
+
     def benchmark(self, **kwargs):
         from yolo_tpu.utils.benchmarks import benchmark
 
@@ -294,3 +301,25 @@ class YOLOE(YOLO):
         if names:
             self.model.names = dict(enumerate(names))
         self.predictor = None
+
+
+class NAS(YOLO):
+    """YOLO-NAS facade (ref: models/nas/model.py NAS:20).
+
+    The reference wraps super_gradients' pickled deploy model; here the
+    DEPLOY-form architecture (fused QARepVGG blocks, ReLU, SPP context, PAN
+    neck, anchor-free DFL head) is native to the graph compiler — see
+    cfg/models/nas/yolo_nas.yaml. Accepts 'yolo_nas_{s,m,l}' names, the
+    unified yaml, or a saved .npz/orbax checkpoint.
+    """
+
+    def __init__(self, model: str = "yolo_nas_s", verbose: bool = False):
+        name = str(model)
+        if name.endswith(".pt"):
+            raise ValueError(
+                "super_gradients pickled checkpoints are not importable here; "
+                "export the state_dict and load via yaml + torch_import instead"
+            )
+        if not name.endswith((".yaml", ".yml", ".npz")) and "yolo_nas" in name:
+            name = f"{name}.yaml"
+        super().__init__(name, task="detect", verbose=verbose)

@@ -475,6 +475,56 @@ class C3:
         return self.cv3(p["cv3"], jnp.concatenate([a, b], axis=-1), ctx, f"{path}/cv3")
 
 
+class NASBottleneck:
+    """Two fused-QARepVGG 3x3 convs with a learnable-alpha residual — the
+    deploy form of super_gradients' YoloNASBottleneck (ref analog:
+    models/nas/model.py loads these prefused; QARepVGG's 3x3+1x1+identity
+    branches fold into one 3x3 conv at deployment)."""
+
+    def __init__(self, c1, c2, shortcut=True):
+        self.cv1 = ConvBNAct(c1, c2, 3, 1, act="relu")
+        self.cv2 = ConvBNAct(c2, c2, 3, 1, act="relu")
+        self.add = shortcut and c1 == c2
+
+    def init(self, rng):
+        p = {"cv1": self.cv1.init(rng), "cv2": self.cv2.init(rng)}
+        if self.add:
+            p["alpha"] = np.ones((), np.float32)
+        return p
+
+    def __call__(self, p, x, ctx, path=""):
+        y = self.cv2(p["cv2"], self.cv1(p["cv1"], x, ctx, f"{path}/cv1"), ctx, f"{path}/cv2")
+        return p["alpha"] * x + y if self.add else y
+
+
+class NASCSP:
+    """CSP layer over NASBottlenecks — deploy form of YoloNASCSPLayer.
+    Same 3-conv CSP topology as C3 but ReLU activations and 3x3-3x3
+    alpha-residual inner blocks."""
+
+    def __init__(self, c1, c2, n=1, shortcut=True, e=0.5):
+        c_ = int(c2 * e)
+        self.cv1 = ConvBNAct(c1, c_, 1, 1, act="relu")
+        self.cv2 = ConvBNAct(c1, c_, 1, 1, act="relu")
+        self.cv3 = ConvBNAct(2 * c_, c2, 1, act="relu")
+        self.m = [NASBottleneck(c_, c_, shortcut) for _ in range(n)]
+
+    def init(self, rng):
+        return {
+            "cv1": self.cv1.init(rng),
+            "cv2": self.cv2.init(rng),
+            "cv3": self.cv3.init(rng),
+            "m": {str(i): m.init(rng) for i, m in enumerate(self.m)},
+        }
+
+    def __call__(self, p, x, ctx, path=""):
+        a = self.cv1(p["cv1"], x, ctx, f"{path}/cv1")
+        for i, m in enumerate(self.m):
+            a = m(p["m"][str(i)], a, ctx, f"{path}/m/{i}")
+        b = self.cv2(p["cv2"], x, ctx, f"{path}/cv2")
+        return self.cv3(p["cv3"], jnp.concatenate([a, b], axis=-1), ctx, f"{path}/cv3")
+
+
 class C3k(C3):
     """C3 with square k×k bottleneck kernels (ref: block.py C3k)."""
 

@@ -42,6 +42,7 @@ MODULE_MAP = {
     # YOLO11 family
     "C3": M.C3,
     "C3k": M.C3k,
+    "NASCSP": M.NASCSP,
     "C3k2": M.C3k2,
     "SCDown": M.SCDown,
     "C2PSA": M.C2PSA,
@@ -112,9 +113,13 @@ def yaml_model_load(path) -> dict:
     if stem != path.stem:
         path = path.with_name(stem + path.suffix)
     m = re.search(r"(\d+)([nslmx])(.*)$", stem)  # scale letter right after version digits
+    nas = re.fullmatch(r"yolo_nas_([sml])", stem)  # yolo_nas_s → yolo_nas.yaml scale s
     unified = path
     scale = ""
-    if m and not path.exists():
+    if nas and not path.exists():
+        scale = nas.group(1)
+        unified = path.with_name(f"yolo_nas{path.suffix}")
+    elif m and not path.exists():
         scale = m.group(2)
         unified = path.with_name(f"{stem[: m.start(2)]}{m.group(3)}{path.suffix}")
     if not unified.exists():
@@ -191,12 +196,12 @@ def _parse_rows(d, ch, nc, depth, width, max_channels):
         ]
         n = max(round(n * depth), 1) if n > 1 else n
 
-        if mcls in (M.ConvBNAct, M.DWConv, M.C2f, M.SPPF, M.SPP, M.Bottleneck, M.C3, M.C3k, M.C3k2, M.SCDown, M.C2PSA, M.Classify, M.RepConv, M.RepCSP, M.RepNCSPELAN4, M.ELAN1, M.AConv, M.ADown, M.SPPELAN, M.CIB, M.C2fCIB, M.PSA, M.A2C2f, M.ConvTranspose, M.RepC3):
+        if mcls in (M.ConvBNAct, M.DWConv, M.C2f, M.SPPF, M.SPP, M.Bottleneck, M.C3, M.C3k, M.C3k2, M.NASCSP, M.SCDown, M.C2PSA, M.Classify, M.RepConv, M.RepCSP, M.RepNCSPELAN4, M.ELAN1, M.AConv, M.ADown, M.SPPELAN, M.CIB, M.C2fCIB, M.PSA, M.A2C2f, M.ConvTranspose, M.RepC3):
             c1, c2 = ch[f], args[0]
             if c2 != nc:
                 c2 = make_divisible(min(c2, max_channels) * width, 8)
             args = [c1, c2, *args[1:]]
-            if mcls in (M.C2f, M.C3, M.C3k, M.C3k2, M.C2PSA, M.RepCSP, M.C2fCIB, M.A2C2f, M.RepC3):
+            if mcls in (M.C2f, M.C3, M.C3k, M.C3k2, M.NASCSP, M.C2PSA, M.RepCSP, M.C2fCIB, M.A2C2f, M.RepC3):
                 args.insert(2, n)
                 n = 1
             if mcls is M.C3k2 and d.get("scale") in ("m", "l", "x"):
