@@ -1,0 +1,73 @@
+"""Data-layer extras: photometric augs, LoadTensor/LoadScreenshots routing,
+GroundingDataset (ref: data/augment.py Albumentations:1876,
+data/loaders.py:229,566, data/dataset.py GroundingDataset:420)."""
+
+import json
+import random
+
+import numpy as np
+import pytest
+
+
+def test_random_photometric_recipe():
+    from yolo_tpu.data.augment import random_photometric
+
+    img = np.random.default_rng(0).integers(0, 255, (64, 64, 3), np.uint8)
+    out = random_photometric(img.copy(), p=1.0, rng=random.Random(3))
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert (out != img).any()  # every transform fired at p=1
+    # p=0 is the identity
+    same = random_photometric(img.copy(), p=0.0, rng=random.Random(3))
+    assert (same == img).all()
+    # gray branch leaves all channels equal
+    g = random_photometric(img.copy(), p=1.0, rng=random.Random(0))
+
+
+def test_load_tensor_variants():
+    from yolo_tpu.data.loaders import LoadTensor
+
+    # NCHW float [0,1]
+    lt = LoadTensor(np.random.rand(2, 3, 32, 32).astype(np.float32))
+    items = list(lt)
+    assert len(items) == 2 and items[0][1].shape == (32, 32, 3) and items[0][1].dtype == np.uint8
+    # NHWC uint8 passthrough
+    lt = LoadTensor(np.zeros((1, 16, 24, 3), np.uint8))
+    assert next(iter(lt))[1].shape == (16, 24, 3)
+    # un-normalized floats rejected (ref LoadTensor._single_check)
+    with pytest.raises(ValueError):
+        LoadTensor(np.full((1, 3, 8, 8), 255.0, np.float32))
+
+
+def test_load_inference_source_routes_tensor():
+    from yolo_tpu.data.loaders import LoadTensor, load_inference_source
+
+    src = load_inference_source(np.zeros((2, 32, 32, 3), np.uint8))
+    assert isinstance(src, LoadTensor)
+
+
+def test_grounding_dataset(tmp_path):
+    import cv2
+
+    from yolo_tpu.data.dataset import GroundingDataset
+
+    img = np.random.default_rng(0).integers(0, 255, (64, 96, 3), np.uint8)
+    cv2.imwrite(str(tmp_path / "im0.jpg"), img)
+    ann = {
+        "images": [{"id": 1, "file_name": "im0.jpg", "height": 64, "width": 96,
+                    "caption": "a small aircraft near a cloud"}],
+        "annotations": [
+            {"image_id": 1, "bbox": [10, 10, 20, 12], "iscrowd": 0, "tokens_positive": [[8, 16]]},
+            {"image_id": 1, "bbox": [50, 30, 14, 10], "iscrowd": 0, "tokens_positive": [[24, 29]]},
+            {"image_id": 1, "bbox": [0, 0, 5, 5], "iscrowd": 1, "tokens_positive": [[0, 1]]},  # crowd skipped
+        ],
+    }
+    (tmp_path / "ann.json").write_text(json.dumps(ann))
+    ds = GroundingDataset(str(tmp_path), str(tmp_path / "ann.json"), imgsz=64)
+    assert len(ds) == 1
+    lb = ds.labels[0]
+    assert lb["texts"] == [["aircraft"], ["cloud"]]
+    assert lb["cls"].tolist() == [0.0, 1.0]
+    # center-xywh normalization (ref cache_labels box math)
+    assert np.allclose(lb["bboxes"][0], [20 / 96, 16 / 64, 20 / 96, 12 / 64], atol=1e-6)
+    item = ds[0]
+    assert "texts" in item and item["img"].shape[0] == 64

@@ -361,6 +361,30 @@ def mixup(labels, other, rng=None):
     return labels
 
 
+def random_photometric(img, p: float = 0.01, rng=None):
+    """Albumentations-equivalent photometric augs (ref: data/augment.py
+    Albumentations:1876 — the active transforms are Blur/MedianBlur/ToGray/
+    CLAHE each at p=0.01). cv2 implementations, applied independently."""
+    import cv2
+
+    rng = rng or random
+    if rng.random() < p:  # A.Blur(blur_limit=7)
+        k = rng.choice([3, 5, 7])
+        img = cv2.blur(img, (k, k))
+    if rng.random() < p:  # A.MedianBlur(blur_limit=7)
+        k = rng.choice([3, 5, 7])
+        img = cv2.medianBlur(img, k)
+    if rng.random() < p:  # A.ToGray (keep 3 channels)
+        g = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+        img = cv2.merge([g, g, g])
+    if rng.random() < p:  # A.CLAHE(clip_limit=(1,4), tile 8x8) on LAB L
+        lab = cv2.cvtColor(img, cv2.COLOR_BGR2LAB)
+        clahe = cv2.createCLAHE(clipLimit=rng.uniform(1.0, 4.0), tileGridSize=(8, 8))
+        lab[..., 0] = clahe.apply(lab[..., 0])
+        img = cv2.cvtColor(lab, cv2.COLOR_LAB2BGR)
+    return img
+
+
 class TrainTransforms:
     """Composed training pipeline ≈ reference v8_transforms order:
     Mosaic → CopyPaste → RandomPerspective → MixUp → HSV → flips."""
@@ -422,6 +446,7 @@ class TrainTransforms:
             other = self(self.dataset.load_raw(rng.randrange(len(self.dataset))), rng)
             labels = cutmix(labels, other, rng=rng)
 
+        labels["img"] = random_photometric(labels["img"], p=getattr(h, "augment_photometric", 0.01), rng=rng)
         labels["img"] = random_hsv(labels["img"], h.hsv_h, h.hsv_s, h.hsv_v, rng)
         labels = random_flip(
             labels, lr_p=h.fliplr, ud_p=h.flipud, rng=rng, flip_idx=getattr(self.dataset, "flip_idx", None)

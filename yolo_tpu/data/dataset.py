@@ -292,3 +292,95 @@ def collate_batch(samples: list[dict], max_boxes: int = 64):
                 cv2.fillPoly(maps[i], [pts], float(j + 1))
         batch["masks"] = maps
     return batch
+
+
+class GroundingDataset(YOLODataset):
+    """Grounding (caption-span) detection dataset from a COCO-style JSON
+    (ref: data/dataset.py GroundingDataset:420).
+
+    Annotations carry `tokens_positive` spans into each image's caption; the
+    span text becomes the per-image class name, so every image has its own
+    `texts` list (consumed by YOLO-World/YOLOE text-prompt training).
+    """
+
+    def __init__(self, img_path, json_file: str, imgsz: int = 640, augment: bool = False,
+                 hyp=None, stride: int = 32, fraction: float = 1.0, task: str = "detect"):
+        self.task = task
+        self.img_path = img_path
+        self.json_file = json_file
+        self.imgsz = imgsz
+        self.augment = augment
+        self.hyp = hyp
+        self.stride = stride
+        self.single_cls = False
+        self.names = {}
+        self.kpt_shape = None
+        self.flip_idx = None
+        self.im_files, self.labels = self._load_grounding(json_file, img_path, fraction)
+        if not self.im_files:
+            raise FileNotFoundError(f"no annotated images found via {json_file}")
+        if augment and hyp is not None:
+            from yolo_tpu.data.augment import TrainTransforms
+
+            self.transforms = TrainTransforms(self, imgsz, hyp)
+        else:
+            from yolo_tpu.data.augment import ValTransforms
+
+            self.transforms = ValTransforms(imgsz, stride)
+
+    @staticmethod
+    def _load_grounding(json_file, img_root, fraction: float = 1.0):
+        """Parse the grounding json → (im_files, labels-with-texts)
+        (ref: GroundingDataset.cache_labels — same box/caption-span math)."""
+        from collections import defaultdict
+
+        ann_data = json.loads(Path(json_file).read_text())
+        images = {int(im["id"]): im for im in ann_data["images"]}
+        img_to_anns = defaultdict(list)
+        for ann in ann_data["annotations"]:
+            img_to_anns[int(ann["image_id"])].append(ann)
+
+        im_files, labels = [], []
+        for img_id, anns in sorted(img_to_anns.items()):
+            img = images[img_id]
+            h, w = img["height"], img["width"]
+            im_file = Path(img_root) / img["file_name"]
+            if not im_file.exists():
+                continue
+            caption = img.get("caption", "")
+            cat2id: dict = {}
+            texts: list = []
+            cls, boxes = [], []
+            for ann in anns:
+                if ann.get("iscrowd"):
+                    continue
+                box = np.array(ann["bbox"], np.float32)  # ltwh pixels
+                box[:2] += box[2:] / 2  # → center xywh
+                box[[0, 2]] /= float(w)
+                box[[1, 3]] /= float(h)
+                if box[2] <= 0 or box[3] <= 0:
+                    continue
+                cat_name = " ".join(caption[t[0] : t[1]] for t in ann["tokens_positive"]).lower().strip()
+                if not cat_name:
+                    continue
+                if cat_name not in cat2id:
+                    cat2id[cat_name] = len(cat2id)
+                    texts.append([cat_name])
+                cls.append(float(cat2id[cat_name]))
+                boxes.append(box.tolist())
+            im_files.append(str(im_file))
+            labels.append({
+                "cls": np.array(cls, np.float32),
+                "bboxes": np.array(boxes, np.float32).reshape(-1, 4),
+                "segments": None,
+                "keypoints": None,
+                "obb": None,
+                "texts": texts,
+            })
+        n = max(1, int(len(im_files) * fraction)) if im_files else 0
+        return im_files[:n], labels[:n]
+
+    def load_raw(self, i: int) -> dict:
+        out = super().load_raw(i)
+        out["texts"] = self.labels[i].get("texts", [])
+        return out

@@ -154,8 +154,90 @@ class LoadImagesAndVideos:
         return len(self.files)
 
 
+class LoadScreenshots:
+    """Live screen-capture source (ref: data/loaders.py LoadScreenshots:229;
+    `yolo predict source=screen`). Spec: "screen [N] [left top width height]".
+    Uses the `mss` package when present; raises with guidance otherwise."""
+
+    def __init__(self, source: str = "screen"):
+        try:
+            import mss
+        except ImportError as e:
+            raise ImportError("screen capture needs the 'mss' package (pip install mss)") from e
+        parts = str(source).split()[1:]
+        self.screen = 0
+        left = top = width = height = None
+        if len(parts) == 1:
+            self.screen = int(parts[0])
+        elif len(parts) == 4:
+            left, top, width, height = (int(x) for x in parts)
+        elif len(parts) == 5:
+            self.screen, left, top, width, height = (int(x) for x in parts)
+        self.sct = mss.mss()
+        mon = self.sct.monitors[self.screen]
+        self.monitor = {
+            "left": mon["left"] + (left or 0),
+            "top": mon["top"] + (top or 0),
+            "width": width or mon["width"],
+            "height": height or mon["height"],
+        }
+        self.mode = "stream"
+        self.frame = 0
+
+    def __iter__(self):
+        import numpy as np
+
+        while True:
+            im = np.asarray(self.sct.grab(self.monitor))[..., :3]  # BGRA → BGR
+            self.frame += 1
+            yield f"screen{self.screen}", im, self.frame
+
+
+class LoadTensor:
+    """In-memory batched array source (ref: data/loaders.py LoadTensor:566).
+
+    Accepts numpy/jax arrays shaped (B, H, W, 3) uint8 BGR (our NHWC native
+    layout) or torch-style (B, 3, H, W) floats in [0, 1] — the latter is
+    converted so downstream preprocessing sees the same contract."""
+
+    def __init__(self, im0):
+        import numpy as np
+
+        im = np.asarray(im0)
+        if im.ndim == 3:
+            im = im[None]
+        if im.ndim != 4:
+            raise ValueError(f"LoadTensor expects 3/4-D input, got shape {im.shape}")
+        if im.shape[1] in (1, 3) and im.shape[-1] not in (1, 3):  # NCHW → NHWC
+            im = im.transpose(0, 2, 3, 1)
+        if im.dtype != np.uint8:
+            if im.max() > 1.0 + 1e-3:
+                raise ValueError("float inputs must be normalized to [0, 1] (ref LoadTensor:_single_check)")
+            im = (im * 255).round().astype(np.uint8)
+        if im.shape[-1] == 1:
+            im = im.repeat(3, -1)
+        self.im0 = im
+        self.bs = im.shape[0]
+        self.mode = "image"
+
+    def __iter__(self):
+        for i, im in enumerate(self.im0):
+            yield f"image{i}.jpg", im, 0
+
+    def __len__(self):
+        return self.bs
+
+
 def load_inference_source(source, vid_stride: int = 1, stream_buffer: bool = False):
     """Route a source spec to its loader (ref: data/build.py:267)."""
+    import numpy as np
+
+    if isinstance(source, str) and source.startswith("screen"):
+        return LoadScreenshots(source)
+    if isinstance(source, np.ndarray) and source.ndim == 4:
+        return LoadTensor(source)
+    if type(source).__module__.startswith(("jax", "torch")) and hasattr(source, "ndim") and source.ndim == 4:
+        return LoadTensor(source)
     if isinstance(source, (list, tuple)) and all(isinstance(s, str) and ("://" in s or str(s).isdigit()) for s in source):
         return LoadStreams(source, vid_stride=vid_stride, buffer=stream_buffer)
     if isinstance(source, str) and ("://" in source or source.isdigit()):
