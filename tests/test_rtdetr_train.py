@@ -216,3 +216,100 @@ def test_rtdetr_facade_train_smoke(tmp_path):
     for r in rows:
         for k in ("train/giou_loss", "train/cls_loss", "train/l1_loss"):
             assert np.isfinite(float(r[k])), (k, r[k])
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference oracle not present")
+def test_cdn_attn_mask_exact_parity():
+    """The dn attention mask is deterministic — compare bit-exact vs the
+    reference get_cdn_group (ref: models/utils/ops.py :295-307)."""
+    add_reference_to_path()
+    import torch
+    from ultralytics.models.utils.ops import get_cdn_group
+
+    from yolo_tpu.utils.cdn import cdn_attn_mask
+
+    N, nq, nc = 8, 30, 5
+    # a batch where every image has exactly N gts → reference max_nums == N
+    B = 2
+    batch = {
+        "cls": torch.arange(B * N) % nc,
+        "bboxes": torch.rand(B * N, 4) * 0.4 + 0.3,
+        "batch_idx": torch.arange(B * N) // N,
+        "gt_groups": [N] * B,
+    }
+    emb = torch.rand(nc, 16)
+    _, _, ref_mask, meta = get_cdn_group(batch, nc, nq, emb, num_dn=24, training=True)
+    G = meta["dn_num_group"]
+    ours = cdn_attn_mask(G, N, nq)
+    assert ours.shape == tuple(ref_mask.shape)
+    assert (ours == ref_mask.numpy()).all()
+
+
+def test_make_cdn_batch_noise_semantics():
+    from yolo_tpu.utils.cdn import make_cdn_batch
+
+    rng = np.random.default_rng(0)
+    B, N = 2, 8
+    batch = {
+        "cls": rng.integers(0, 5, (B, N)).astype(np.float32),
+        "bboxes": (rng.random((B, N, 4)) * 0.3 + 0.35).astype(np.float32),
+        "mask_gt": np.ones((B, N), np.float32),
+    }
+    dn = make_cdn_batch(batch, num_classes=5, num_dn=24, rng=np.random.default_rng(1))
+    G = dn["dn_num_group"]
+    D = 2 * G * N
+    assert dn["dn_cls"].shape == (B, D) and dn["dn_bbox"].shape == (B, D, 4)
+    # positives stay within half-extent of the gt; negatives are pushed outside
+    def sig(x):
+        return 1 / (1 + np.exp(-x))
+
+    gt = np.tile(batch["bboxes"], (1, 2 * G, 1))
+    dev = np.abs(sig(dn["dn_bbox"]) - gt)  # xywh deviation
+    pos_dev = dev[:, : G * N, :2]
+    neg_dev = dev[:, G * N :, :2]
+    assert neg_dev.mean() > pos_dev.mean()
+    # padded gts give zero logits
+    batch["mask_gt"][0, 4:] = 0.0
+    dn = make_cdn_batch(batch, 5, 24, rng=np.random.default_rng(2))
+    assert (dn["dn_bbox"][0, 4:8] == 0).all() and (dn["dn_valid"][0, 4:8] == 0).all()
+
+
+def test_rtdetr_train_step_with_cdn():
+    """One jitted RT-DETR train step consuming denoising groups end to end
+    (VERDICT r1 next#8 acceptance)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_tpu.nn.modules import Ctx
+    from yolo_tpu.nn.tasks import RTDETRDetectionModel
+    from yolo_tpu.utils.cdn import cdn_attn_mask, make_cdn_batch
+    from yolo_tpu.utils.detr_loss import RTDETRDetectionLoss
+
+    m = RTDETRDetectionModel(_mini_rtdetr_cfg(nc=3))
+    p = m.init(0)
+    loss_fn = RTDETRDetectionLoss(m)
+    rng = np.random.default_rng(0)
+    B, N = 2, 4
+    batch = {
+        "img": rng.integers(0, 255, (B, 64, 64, 3)).astype(np.uint8),
+        "cls": rng.integers(0, 3, (B, N)).astype(np.float32),
+        "bboxes": (rng.random((B, N, 4)) * 0.3 + 0.3).astype(np.float32),
+        "mask_gt": np.ones((B, N), np.float32),
+    }
+    dn = make_cdn_batch(batch, m.nc, num_dn=8, rng=rng)
+    batch.update({k: dn[k] for k in ("dn_cls", "dn_bbox", "dn_valid")})
+    G = dn["dn_num_group"]
+
+    def fl(params):
+        ctx = Ctx(train=True, dtype=jnp.float32)
+        ctx.dn = {"dn_cls": jnp.asarray(batch["dn_cls"]), "dn_bbox": jnp.asarray(batch["dn_bbox"]),
+                  "dn_valid": jnp.asarray(batch["dn_valid"]), "attn_mask": cdn_attn_mask(G, N, m.head.nq)}
+        feats = m.forward_features(params, jnp.asarray(batch["img"], jnp.float32) / 255.0, ctx)
+        total, comps = loss_fn(feats, {k: jnp.asarray(v) for k, v in batch.items() if k != "img"})
+        return total, comps
+
+    (total, comps), grads = jax.jit(jax.value_and_grad(fl, has_aux=True))(p)
+    assert np.isfinite(float(total))
+    # gradients reach the denoising class embedding (dn path is live)
+    gnorm = float(jnp.abs(grads["model"][str(m.layers[-1].i)]["denoising_class_embed"]["weight"]).sum())
+    assert gnorm > 0

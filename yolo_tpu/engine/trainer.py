@@ -181,6 +181,17 @@ class DetectionTrainer:
             from yolo_tpu.nn.modules import Ctx
 
             ctx = Ctx(train=True, dtype=dtype)
+            if "dn_cls" in batch:  # RT-DETR contrastive denoising (utils/cdn.py)
+                from yolo_tpu.utils.cdn import cdn_attn_mask
+
+                D = batch["dn_cls"].shape[1]
+                N = batch["cls"].shape[1]
+                ctx.dn = {
+                    "dn_cls": batch["dn_cls"],
+                    "dn_bbox": batch["dn_bbox"],
+                    "dn_valid": batch["dn_valid"],
+                    "attn_mask": cdn_attn_mask(D // (2 * N), N, model.head.nq),
+                }
             x = batch["img"].astype(dtype) / 255.0
             feats = model.forward_features(params, x, ctx)
             total, comps = loss_fn(feats, batch)
@@ -331,6 +342,11 @@ class DetectionTrainer:
                 else:
                     lr, mom = lr_epoch, args.momentum
                 dev_batch = {k: v for k, v in batch.items() if k != "meta"}
+                if getattr(self.model, "is_rtdetr", False):
+                    from yolo_tpu.utils.cdn import make_cdn_batch
+
+                    dn = make_cdn_batch(dev_batch, self.model.nc)
+                    dev_batch.update({k: dn[k] for k in ("dn_cls", "dn_bbox", "dn_valid")})
                 if mesh is not None:
                     from yolo_tpu.parallel.mesh import shard_batch
 

@@ -47,6 +47,8 @@ class Ctx:
     # WorldDetect always reads the original `guide0` (ref: tasks.py WorldModel:908)
     guide: Any = None
     guide0: Any = None
+    # RT-DETR denoising group (utils/cdn.py make_cdn_batch output + attn_mask)
+    dn: Any = None
 
 
 def silu(x):

@@ -324,8 +324,8 @@ class RTDETRDecoder:
     """Query-selection deformable decoder head (ref: head.py RTDETRDecoder:861).
 
     Inference path: (B, nq, 4+nc) with sigmoid scores and normalized xywh boxes.
-    Training path (denoising groups + per-layer aux outputs) raises until the
-    DETR loss lands.
+    Training path returns per-layer aux outputs; contrastive-denoising
+    queries (utils/cdn.py) are prepended when ctx.dn is set.
     """
 
     def __init__(self, nc=80, ch=(512, 1024, 2048), hd=256, nq=300, ndp=4, nh=8, ndl=6, d_ffn=1024, eval_idx=-1):
@@ -424,6 +424,18 @@ class RTDETRDecoder:
         else:
             embed = top_feats
 
+        # contrastive-denoising queries prepended at train (ref: head.py
+        # forward:1002 get_cdn_group → _get_decoder_input concat); the
+        # class-embedding lookup happens here so denoising_class_embed trains
+        attn_mask = None
+        dn = getattr(ctx, "dn", None)
+        if ctx.train and dn is not None:
+            dn_embed = p["denoising_class_embed"]["weight"].astype(jnp.float32)[dn["dn_cls"]]
+            dn_embed = dn_embed * dn["dn_valid"][..., None]
+            embed = jnp.concatenate([dn_embed, embed], 1)
+            refer_bbox = jnp.concatenate([dn["dn_bbox"].astype(jnp.float32), refer_bbox], 1)
+            attn_mask = jnp.asarray(dn["attn_mask"])
+
         # decoder loop: train collects every layer's refinements (aux losses);
         # eval stops at eval_idx (ref: transformer.py DeformableTransformerDecoder.forward:748)
         refer = jax.nn.sigmoid(refer_bbox)
@@ -433,7 +445,7 @@ class RTDETRDecoder:
         last_refined = None
         for i, layer in enumerate(self.dec_layers):
             qp = self.query_pos_head(p["query_pos_head"], refer)
-            out = layer(p["decoder"]["layers"][str(i)], out, refer, feats, shapes, query_pos=qp)
+            out = layer(p["decoder"]["layers"][str(i)], out, refer, feats, shapes, attn_mask=attn_mask, query_pos=qp)
             bbox = self.dec_bbox_head[i](p["dec_bbox_head"][str(i)], out)
             refined = jax.nn.sigmoid(bbox + _inverse_sigmoid(refer))
             if ctx.train:

@@ -147,8 +147,13 @@ class RTDETRDetectionLoss:
     decoder layers; every layer gets its own Hungarian assignment (the reference
     re-matches per aux layer) and a VFL-class + L1 + GIoU loss. Matching runs
     on host through jax.pure_callback with static (L+1, B, N) outputs, so the
-    whole loss still jits. Denoising groups (cdn) are not yet wired — the loss
-    is exact for the non-dn path.
+    whole loss still jits.
+
+    Denoising groups: when the batch carries cdn entries (utils/cdn.py
+    make_cdn_batch) the decoder outputs arrive with the dn queries prepended;
+    they are split off and scored with FIXED positional matching — dn block g
+    slot j ↔ gt slot j (ref: models/utils/loss.py get_dn_match_indices:453) —
+    no Hungarian needed, so the dn terms stay fully on device.
     """
 
     def __init__(self, model, hyp=None):
@@ -160,6 +165,11 @@ class RTDETRDetectionLoss:
         import jax.numpy as jnp
 
         dec_bboxes, dec_scores, enc_bboxes, enc_scores = preds
+        dn_b = dn_s = None
+        if "dn_cls" in batch:  # dn queries are the prefix of the decoder axis
+            D = batch["dn_cls"].shape[1]
+            dn_b, dec_bboxes = dec_bboxes[:, :, :D], dec_bboxes[:, :, D:]
+            dn_s, dec_scores = dec_scores[:, :, :D], dec_scores[:, :, D:]
         all_b = jnp.concatenate([enc_bboxes[None], dec_bboxes], 0).astype(jnp.float32)  # (L+1, B, Nq, 4)
         all_s = jnp.concatenate([enc_scores[None], dec_scores], 0).astype(jnp.float32)
         L, B, Nq, _ = all_b.shape
@@ -195,5 +205,20 @@ class RTDETRDetectionLoss:
             total = total + d["loss_class"] + d["loss_bbox"] + d["loss_giou"]
             if l == L - 1:  # final decoder layer = the reported main loss
                 main = d
+
+        if dn_b is not None:
+            G = dn_b.shape[2] // (2 * N)
+            pos_src = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None], (B, N))
+            for l in range(dn_b.shape[0]):  # per decoder layer (aux dn losses)
+                for g in range(G):
+                    pb = jnp.concatenate(
+                        [dn_b[l][:, g * N : (g + 1) * N], dn_b[l][:, (G + g) * N : (G + g + 1) * N]], axis=1
+                    ).astype(jnp.float32)
+                    ps = jnp.concatenate(
+                        [dn_s[l][:, g * N : (g + 1) * N], dn_s[l][:, (G + g) * N : (G + g + 1) * N]], axis=1
+                    ).astype(jnp.float32)
+                    d = self.layer_loss(pb, ps, gt_bboxes, gt_cls, mask_gt, pos_src, mask_gt)
+                    total = total + (d["loss_class"] + d["loss_bbox"] + d["loss_giou"]) / G
+
         comps = jnp.stack([main["loss_giou"], main["loss_class"], main["loss_bbox"]])
         return total, jax.lax.stop_gradient(comps)
