@@ -96,3 +96,72 @@ def test_yoloe_savpe_parity():
     y_j = np.asarray(ours(params, [jnp.asarray(x.transpose(0, 2, 3, 1)) for x in xs], jnp.asarray(vp), ctx))
     assert y_r.shape == y_j.shape
     assert np.allclose(y_r, y_j, atol=2e-3), np.abs(y_r - y_j).max()
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference oracle not present")
+def test_yoloe_lrpc_prompt_free_parity():
+    """Prompt-free LRPC path vs torch (ref: head.py LRPCHead:540, fuse:667,
+    forward_lrpc:731): fused vocabulary + proposal filter, identical kept
+    anchors and logits."""
+    add_reference_to_path()
+    import copy
+
+    import torch
+    from ultralytics.nn.modules.head import LRPCHead
+    from ultralytics.nn.tasks import YOLOEModel as TEM
+
+    from yolo_tpu.nn.torch_import import state_dict_to_params
+    import jax.numpy as jnp
+
+    torch.manual_seed(3)
+    t = TEM("/root/reference/ultralytics/cfg/models/11/yoloe-11.yaml", verbose=False)
+    t.eval()
+    ours = YOLOEModel("yoloe-11n.yaml")
+    sd = {k: v.detach().numpy() for k, v in t.state_dict().items()}
+    params = state_dict_to_params(sd, ours.init(0))
+
+    rng = np.random.default_rng(5)
+    nc_v = 4
+    big_txt = rng.normal(0, 1, (1, nc_v, 512)).astype(np.float32)
+    obj_txt = rng.normal(0, 1, (1, 1, 512)).astype(np.float32)
+    img = rng.uniform(0, 1, (1, 3, 64, 64)).astype(np.float32)
+
+    head = t.model[-1]
+    with torch.no_grad():
+        tpe_big = head.get_tpe(torch.tensor(big_txt))
+        tpe_obj = head.get_tpe(torch.tensor(obj_txt))
+        # reference prompt-free assembly (ref tasks.py get_vocab:1086 + set_vocab:1057)
+        hv = copy.deepcopy(head)
+        hv.fuse(tpe_big)  # vocabulary convs
+        hp = copy.deepcopy(head)
+        hp.fuse(tpe_obj)  # proposal-filter convs (1-class 'object' model)
+        captured = {}
+        hook = head.register_forward_pre_hook(lambda m, args: captured.update(x=[xi.clone() for xi in args[0]]))
+        _ = t.predict(torch.tensor(img), tpe=head.get_tpe(torch.tensor(rng.normal(0, 1, (1, 80, 512)).astype(np.float32))))
+        hook.remove()
+        head.lrpc = torch.nn.ModuleList(
+            LRPCHead(hv.cv3[i][-1], hp.cv3[i][-1], head.cv2[i][-1], enabled=i != 2) for i in range(3)
+        )
+        for i in range(3):
+            del head.cv2[i][-1]
+            del head.cv3[i][-1]
+        head.nc = nc_v
+        head.conf = 0.25  # high enough that the filter actually drops anchors
+        head.is_fused = True
+        (y_t, _), mask_t = head.forward(captured["x"], None, return_mask=True)
+        y_t, mask_t = y_t.numpy(), mask_t.numpy()
+
+    # ours: same obj prompts for the pf head, stubbed text model for the vocab
+    class StubTM:
+        def encode_text(self, texts):
+            return big_txt[0]
+
+    ours.set_text_features(params, obj_txt)
+    p2 = ours.set_vocab(params, ["a", "b", "c", "d"], text_model=StubTM())
+    y_j, keep = ours.predict_lrpc(p2, jnp.asarray(img.transpose(0, 2, 3, 1)), conf=0.25)
+    keep = np.asarray(keep)[0]
+    assert (keep == mask_t).all(), f"proposal masks differ: ours {keep.sum()} vs ref {mask_t.sum()}"
+    y_sel = np.asarray(y_j)[:, :, keep]
+    assert y_sel.shape == y_t.shape, (y_sel.shape, y_t.shape)
+    assert np.allclose(y_t[:, :4], y_sel[:, :4], atol=5e-2), np.abs(y_t[:, :4] - y_sel[:, :4]).max()
+    assert np.allclose(y_t[:, 4:], y_sel[:, 4:], atol=2e-3), np.abs(y_t[:, 4:] - y_sel[:, 4:]).max()

@@ -1971,6 +1971,73 @@ class YOLOEDetect(Detect):
             outs.append(jnp.concatenate([box, cls.astype(ctx.dtype)], -1))
         return outs
 
+    # ---- prompt-free LRPC path (ref: head.py LRPCHead:540, fuse:667,
+    # forward_lrpc:731) -------------------------------------------------------
+    def fuse_text(self, p, cls_pe):
+        """Fold [final embed conv + BN-contrastive head + class prompts] into
+        per-level (nc, c3) linears — the reference's YOLOEDetect.fuse math.
+
+        cls_pe: (nc, embed) prompt embeddings (normalized inside, idempotent).
+        """
+        pe = np.asarray(cls_pe, np.float32)
+        pe = pe / np.maximum(np.linalg.norm(pe, axis=-1, keepdims=True), 1e-12)
+        out = {}
+        for l in range(self.nl):
+            conv = p["cv3"][str(l)]["2"]
+            head = p["cv4"][str(l)]
+            W = np.asarray(conv["weight"], np.float32).reshape(-1, self.embed)  # (c3, embed) from HWIO
+            b = np.asarray(conv["bias"], np.float32) if "bias" in conv else np.zeros((self.embed,), np.float32)
+            bn = head["norm"]
+            s = np.asarray(bn["weight"], np.float32) / np.sqrt(np.asarray(bn["running_var"], np.float32) + BN_EPS)
+            Wf = W * s[None]  # BN folded into the embed conv (fuse_conv_and_bn)
+            bf = np.asarray(bn["bias"], np.float32) + (b - np.asarray(bn["running_mean"], np.float32)) * s
+            t = pe * np.exp(np.asarray(head["logit_scale"], np.float32))
+            out[str(l)] = {
+                "weight": (t @ Wf.T).astype(np.float32),  # (nc, c3)
+                "bias": (t @ bf + np.asarray(head["bias"], np.float32)[0]).astype(np.float32),
+            }
+        return out
+
+    def _cls_features(self, p, l, x, ctx, path):
+        """cv3 chain WITHOUT the final embed conv → (B, h, w, c3)."""
+        for j, (kind, mod) in enumerate(self.cv3e[l][:-1]):
+            pp = p["cv3"][str(l)][str(j)]
+            if kind == "seq":
+                x = mod[0](pp["0"], x, ctx, f"{path}/{j}/0")
+                x = mod[1](pp["1"], x, ctx, f"{path}/{j}/1")
+            else:
+                x = mod(pp, x, ctx, f"{path}/{j}")
+        return x
+
+    def forward_lrpc(self, p, xs, ctx: Ctx, conf: float = 0.001, path=""):
+        """Prompt-free detection with the fused vocabulary (ref forward_lrpc:731).
+
+        Region-proposal filtering is STATIC-shape: instead of gathering the
+        anchors that pass the pf score (data-dependent shapes), failing
+        anchors' class features are zeroed — the reference's own export-mode
+        semantics — so their logits collapse to the fused bias (sigmoid ≈ 0)
+        and NMS drops them. Returns (per-level outs, (B, A) keep mask).
+        """
+        assert "lrpc" in p, "prompt-free inference requires set_vocab() first (fused vocabulary)"
+        vocab, pf = p["lrpc"]["vocab"], p["lrpc"]["pf"]
+        outs, masks = [], []
+        for l, x in enumerate(xs):
+            box = x
+            for j in range(3):
+                box = self.cv2[l][j](p["cv2"][str(l)][str(j)], box, ctx, f"{path}/cv2/{l}/{j}")
+            emb = self._cls_features(p, l, x, ctx, f"{path}/cv3/{l}").astype(jnp.float32)
+            B, h, w, _ = emb.shape
+            pf_logit = emb @ pf[str(l)]["weight"].T + pf[str(l)]["bias"]
+            keep = jax.nn.sigmoid(pf_logit[..., :1]) > conf  # proposal filter, channel 0
+            if l != self.nl - 1:  # last level runs unfiltered (ref enabled=i != 2)
+                emb = emb * keep
+                masks.append(keep.reshape(B, h * w))
+            else:
+                masks.append(jnp.ones((B, h * w), bool))
+            cls = emb @ vocab[str(l)]["weight"].T + vocab[str(l)]["bias"]
+            outs.append(jnp.concatenate([box.astype(jnp.float32), cls], -1))
+        return outs, jnp.concatenate(masks, axis=1)
+
 
 class YOLOESegment(YOLOEDetect):
     """YOLOE detect + prototype masks (ref: head.py YOLOESegment:793)."""

@@ -594,10 +594,8 @@ class YOLOEModel(DetectionModel):
         self.head.nc = self.nc
         self.head.no = self.nc + self.head.reg_max * 4
 
-    def get_visual_pe(self, params, x, vp, dtype=jnp.float32):
-        """Visual prompt embeddings for (B, Q, H/8, W/8) prompt masks."""
-        ctx = M.Ctx(train=False, dtype=dtype)
-        feats = []
+    def _head_inputs(self, params, x, ctx):
+        """Walk the graph up to (not including) the head → its input features."""
         y = {}
         xx = x
         for spec in self.layers[:-1]:
@@ -610,9 +608,54 @@ class YOLOEModel(DetectionModel):
             xx = spec.module(params["model"][str(spec.i)], x_in, ctx, "")
             if spec.i in self.save:
                 y[spec.i] = xx
-        head_spec = self.layers[-1]
-        xs = [y[j] for j in head_spec.f]
-        return self.head.get_vpe(params["model"][str(head_spec.i)], xs, vp, ctx)
+        return [y[j] for j in self.layers[-1].f]
+
+    def get_visual_pe(self, params, x, vp, dtype=jnp.float32):
+        """Visual prompt embeddings for (B, Q, H/8, W/8) prompt masks."""
+        ctx = M.Ctx(train=False, dtype=dtype)
+        xs = self._head_inputs(params, x, ctx)
+        return self.head.get_vpe(params["model"][str(self.layers[-1].i)], xs, vp, ctx)
+
+    def set_vocab(self, params, texts, text_model=None, clip_ckpt=None):
+        """Prompt-free re-parameterization (ref: nn/tasks.py YOLOEModel
+        set_vocab:1057 + get_vocab:1086): fuse `texts` prompts into per-level
+        vocabulary linears, and the model's CURRENT class prompts (typically
+        the 1-class 'object' prompt the -pf checkpoints train with) into the
+        region-proposal filter. Returns updated params."""
+        import numpy as np
+
+        from yolo_tpu.nn.text_model import build_text_model
+
+        hi = str(self.layers[-1].i)
+        hp = params["model"][hi]
+        tm = text_model or build_text_model()
+        if clip_ckpt:
+            tm.load_torch(clip_ckpt)
+        feats = np.asarray(tm.encode_text(list(texts)), np.float32)
+        tpe = np.asarray(self.head.get_tpe(hp, jnp.asarray(feats[None])))[0]  # (nc_v, embed)
+        new_hp = dict(hp)
+        new_hp["lrpc"] = {
+            "vocab": self.head.fuse_text(hp, tpe),
+            "pf": self.head.fuse_text(hp, np.asarray(self.cls_pe)[0]),
+        }
+        params = dict(params)
+        pm = dict(params["model"])
+        pm[hi] = new_hp
+        params["model"] = pm
+        self.names = dict(enumerate(texts))
+        self.nc = len(texts)
+        self.head.nc = self.nc
+        self.head.no = self.nc + self.head.reg_max * 4
+        return params
+
+    def predict_lrpc(self, params, x, conf: float = 0.001, dtype=jnp.float32):
+        """Prompt-free inference (ref: head.py forward_lrpc:731) →
+        ((B, 4+nc, A) decoded preds, (B, A) proposal keep mask)."""
+        ctx = M.Ctx(train=False, dtype=dtype)
+        xs = self._head_inputs(params, x, ctx)
+        hp = params["model"][str(self.layers[-1].i)]
+        outs, keep = self.head.forward_lrpc(hp, xs, ctx, conf=conf)
+        return self.head.decode(hp, outs), keep
 
     def set_visual_pe(self, vpe):
         """Use visual prompt embeddings (B, Q, embed) as the class prompts."""
