@@ -10,6 +10,7 @@ matching/AP run on host once per batch.
 from __future__ import annotations
 
 import time
+from pathlib import Path
 
 import numpy as np
 
@@ -116,6 +117,15 @@ class DetectionValidator:
             save_dir.mkdir(parents=True, exist_ok=True)
             (save_dir / "predictions.json").write_text(json.dumps(self._json_dets))
             LOGGER.info(f"saved {save_dir / 'predictions.json'}")
+            # optional cross-check against the vendored COCOeval protocol
+            # (ref: detect/val.py coco_evaluate:433; pycocotools absent here)
+            anno = Path(data.get("path", ".")) / "annotations" / "instances_val2017.json"
+            if anno and anno.exists():
+                from yolo_tpu.utils.coco_eval import coco_evaluate
+
+                stats = coco_evaluate(str(anno), self._json_dets)
+                LOGGER.info("COCOeval cross-check: " + " ".join(f"{k} {v:.4f}" for k, v in stats.items()))
+                results.update({f"coco/{k}": v for k, v in stats.items()})
         if self.args.plots:
             try:
                 from yolo_tpu.cfg import get_save_dir
