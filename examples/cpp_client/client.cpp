@@ -8,11 +8,15 @@
 // receives fixed-layout detections; the chip stays owned by one serving
 // process that batches across clients.
 //
-// Protocol (little-endian):
-//   request:  'YTPU' | u32 h | u32 w | u32 c | u8[h*w*c] BGR
-//   response: 'YTPR' | u32 n | n x (f32 x1,y1,x2,y2,conf,cls)
+// Protocol v2 (little-endian):
+//   request:  'YTP2' | u16 version(=2) | u16 model_id
+//             | u32 h | u32 w | u32 c | u8[h*w*c] BGR
+//   response: 'YTPR' | u16 version | u16 status(0=ok)
+//             | u32 n | n x (f32 x1,y1,x2,y2,conf,cls)
+//             status!=0 -> u32 len | utf-8 message
+// (the server also accepts the legacy v1 'YTPU' framing)
 //
-// Usage: ./yolo_client [host] [port] [n_frames]
+// Usage: ./yolo_client [host] [port] [n_frames] [model_id]
 //   Sends synthetic IR-style frames with a moving bright target and prints the
 //   detections; for real use, replace make_frame() with your capture source.
 
@@ -74,17 +78,28 @@ std::vector<uint8_t> make_frame(int t) {
   return img;
 }
 
-std::vector<Detection> detect(int fd, const std::vector<uint8_t>& frame) {
-  uint32_t hdr[3] = {kH, kW, kC};
-  send_all(fd, "YTPU", 4);
-  send_all(fd, hdr, sizeof(hdr));
+std::vector<Detection> detect(int fd, const std::vector<uint8_t>& frame, uint16_t model_id) {
+  const uint16_t version = 2;
+  uint32_t geom[3] = {kH, kW, kC};
+  send_all(fd, "YTP2", 4);
+  send_all(fd, &version, 2);
+  send_all(fd, &model_id, 2);
+  send_all(fd, geom, sizeof(geom));
   send_all(fd, frame.data(), frame.size());
 
   char magic[4];
   recv_all(fd, magic, 4);
   if (std::memcmp(magic, "YTPR", 4) != 0) throw std::runtime_error("bad response magic");
+  uint16_t ver = 0, status = 0;
+  recv_all(fd, &ver, 2);
+  recv_all(fd, &status, 2);
   uint32_t n = 0;
   recv_all(fd, &n, 4);
+  if (status != 0) {
+    std::string msg(n, '\0');
+    if (n) recv_all(fd, msg.data(), n);
+    throw std::runtime_error("server error " + std::to_string(status) + ": " + msg);
+  }
   std::vector<Detection> dets(n);
   if (n) recv_all(fd, dets.data(), n * sizeof(Detection));
   return dets;
@@ -96,6 +111,7 @@ int main(int argc, char** argv) {
   const std::string host = argc > 1 ? argv[1] : "127.0.0.1";
   const int port = argc > 2 ? std::atoi(argv[2]) : 8777;
   const int n_frames = argc > 3 ? std::atoi(argv[3]) : 16;
+  const uint16_t model_id = argc > 4 ? static_cast<uint16_t>(std::atoi(argv[4])) : 0;
 
   int fd = ::socket(AF_INET, SOCK_STREAM, 0);
   if (fd < 0) { std::cerr << "socket() failed\n"; return 1; }
@@ -111,7 +127,7 @@ int main(int argc, char** argv) {
   auto t0 = std::chrono::steady_clock::now();
   int total = 0;
   for (int t = 0; t < n_frames; ++t) {
-    auto dets = detect(fd, make_frame(t));
+    auto dets = detect(fd, make_frame(t), model_id);
     total += static_cast<int>(dets.size());
     std::cout << "frame " << t << ": " << dets.size() << " detections";
     for (const auto& d : dets)

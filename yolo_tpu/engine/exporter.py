@@ -122,8 +122,12 @@ def load_orbax(dirname):
     return model, params, info
 
 
-def export_stablehlo(model, params, imgsz=(640, 640), batch: int = 1, filename="model.stablehlo") -> Path:
-    """Serialize the fused inference program to portable StableHLO bytes."""
+def export_stablehlo(model, params, imgsz=(640, 640), batch: int = 1, filename="model.stablehlo",
+                     platforms=("tpu", "cpu")) -> Path:
+    """Serialize the fused inference program to portable StableHLO bytes.
+
+    Lowered for multiple platforms by default so one artifact serves both the
+    TPU fleet and CPU consumers (examples/stablehlo_consumer)."""
     import jax
     import jax.numpy as jnp
     from jax import export as jax_export
@@ -134,7 +138,7 @@ def export_stablehlo(model, params, imgsz=(640, 640), batch: int = 1, filename="
         x = imgs.astype(jnp.float32) / 255.0
         return model.predict(p, x)
 
-    exported = jax_export.export(jax.jit(infer))(
+    exported = jax_export.export(jax.jit(infer), platforms=list(platforms))(
         jax.tree_util.tree_map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params),
         jax.ShapeDtypeStruct((batch, h, w, 3), jnp.uint8),
     )

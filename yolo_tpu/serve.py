@@ -2,13 +2,22 @@
 
 TPU-native replacement for the reference's per-engine native deployment path
 (ref: examples/YOLO11-Triton-CPP client + nn/autobackend.py runtime matrix):
-one serving process owns the jitted model; any client — the C++ example under
-examples/cpp_client, another process, another host — streams frames over a
-trivial length-prefixed binary protocol and gets fixed-shape detections back.
+one serving process owns the jitted model(s); any client — the C++ example
+under examples/cpp_client, another process, another host — streams frames over
+a length-prefixed binary protocol and gets fixed-shape detections back.
 
-Protocol (little-endian):
-  request:  magic 'YTPU' | u32 height | u32 width | u32 channels | u8[h*w*c] BGR frame
-  response: magic 'YTPR' | u32 n | n × (f32 x1, y1, x2, y2, conf, cls)
+Protocol v2 (little-endian):
+  request:  magic 'YTP2' | u16 version (=2) | u16 model_id
+            | u32 height | u32 width | u32 channels | u8[h*w*c] BGR frame
+  response: magic 'YTPR' | u16 version | u16 status (0=ok)
+            | u32 n | n × (f32 x1, y1, x2, y2, conf, cls)
+            status != 0 → u32 msg_len | utf-8 message instead of detections
+Protocol v1 ('YTPU' | u32 h | u32 w | u32 c | frame → 'YTPR' | u32 n | dets)
+is still accepted for old clients.
+
+Multi-model: construct with {model_id: source} (or `name=source` CLI specs);
+each model gets its own predictor + batching queue, so heterogeneous streams
+share the chip without blocking each other's shapes.
 
 Batching: frames arriving within `batch_window_ms` coalesce into one device
 call (snap-to-power-of-two padding), so many client streams share the chip.
@@ -26,20 +35,48 @@ import numpy as np
 
 from yolo_tpu.utils import LOGGER
 
-MAGIC_REQ = b"YTPU"
+MAGIC_REQ_V1 = b"YTPU"
+MAGIC_REQ_V2 = b"YTP2"
 MAGIC_RES = b"YTPR"
+PROTOCOL_VERSION = 2
+
+STATUS_OK = 0
+STATUS_BAD_MODEL = 1
+STATUS_BAD_REQUEST = 2
+STATUS_INTERNAL = 3
+
+
+class _ModelLane:
+    """One model's predictor + coalescing queue."""
+
+    def __init__(self, source: str, conf, iou, imgsz, max_det):
+        from yolo_tpu import YOLO
+
+        self.yolo = YOLO(source)
+        self.yolo.fuse()
+        self.conf, self.iou, self.imgsz, self.max_det = conf, iou, imgsz, max_det
+        self.queue: list = []
+        self.predictor = None
+
+    def build(self):
+        from yolo_tpu.engine.predictor import BasePredictor
+
+        self.predictor = BasePredictor(
+            self.yolo.model, self.yolo.params,
+            overrides={"conf": self.conf, "iou": self.iou, "imgsz": self.imgsz, "max_det": self.max_det, "verbose": False},
+            names=self.yolo.names,
+        )
+        self.predictor.warmup((1, self.imgsz, self.imgsz, 3))
 
 
 class DetectionServer:
-    def __init__(self, model_source: str, host: str = "127.0.0.1", port: int = 8777, conf: float = 0.25, iou: float = 0.7, imgsz: int = 640, max_det: int = 300, batch_window_ms: float = 4.0):
-        from yolo_tpu import YOLO
-
-        self.yolo = YOLO(model_source)
-        self.yolo.fuse()
+    def __init__(self, models, host: str = "127.0.0.1", port: int = 8777, conf: float = 0.25,
+                 iou: float = 0.7, imgsz: int = 640, max_det: int = 300, batch_window_ms: float = 4.0):
+        if isinstance(models, str):
+            models = {0: models}
+        self.lanes = {int(k): _ModelLane(v, conf, iou, imgsz, max_det) for k, v in models.items()}
         self.host, self.port = host, port
-        self.conf, self.iou, self.imgsz, self.max_det = conf, iou, imgsz, max_det
         self.batch_window = batch_window_ms / 1e3
-        self._queue: list = []
         self._lock = threading.Lock()
         self._event = threading.Event()
         self._stop = False
@@ -47,30 +84,32 @@ class DetectionServer:
     # --- device worker ----------------------------------------------------------
 
     def _worker(self):
-        from yolo_tpu.engine.predictor import BasePredictor
-
-        predictor = BasePredictor(
-            self.yolo.model, self.yolo.params,
-            overrides={"conf": self.conf, "iou": self.iou, "imgsz": self.imgsz, "max_det": self.max_det, "verbose": False},
-            names=self.yolo.names,
-        )
-        LOGGER.info("warming up the device program...")
-        predictor.warmup((1, self.imgsz, self.imgsz, 3))
+        LOGGER.info("warming up device program(s)...")
+        for mid, lane in self.lanes.items():
+            lane.build()
+            LOGGER.info(f"model {mid} ready ({lane.yolo.overrides.get('model')})")
         LOGGER.info("server ready")
         while not self._stop:
             self._event.wait(timeout=0.1)
             time.sleep(self.batch_window)  # coalesce
             with self._lock:
-                jobs, self._queue = self._queue, []
+                grabbed = {mid: lane.queue for mid, lane in self.lanes.items() if lane.queue}
+                for mid in grabbed:
+                    self.lanes[mid].queue = []
                 self._event.clear()
-            if not jobs:
-                continue
-            frames = [j[0] for j in jobs]
-            results = predictor(frames, verbose=False)
-            for (frame, done, out), r in zip(jobs, results):
-                dets = r.boxes.data[:, :6] if len(r.boxes) else np.zeros((0, 6), np.float32)
-                out.append(dets)
-                done.set()
+            for mid, jobs in grabbed.items():
+                lane = self.lanes[mid]
+                try:
+                    results = lane.predictor([j[0] for j in jobs], verbose=False)
+                    for (frame, done, out), r in zip(jobs, results):
+                        dets = r.boxes.data[:, :6] if len(r.boxes) else np.zeros((0, 6), np.float32)
+                        out.append((STATUS_OK, dets))
+                        done.set()
+                except Exception as e:  # a bad batch must not kill the worker
+                    LOGGER.warning(f"inference failed for model {mid}: {e}")
+                    for frame, done, out in jobs:
+                        out.append((STATUS_INTERNAL, str(e)))
+                        done.set()
 
     # --- socket handling -----------------------------------------------------------
 
@@ -83,23 +122,51 @@ class DetectionServer:
             buf += chunk
         return buf
 
+    def _send_error(self, conn, status: int, msg: str):
+        data = msg.encode()
+        conn.sendall(MAGIC_RES + struct.pack("<HHI", PROTOCOL_VERSION, status, len(data)) + data)
+
     def _handle_client(self, conn, addr):
         LOGGER.info(f"client {addr} connected")
         try:
             while True:
                 magic = self._recv_exact(conn, 4)
-                if magic != MAGIC_REQ:
+                if magic == MAGIC_REQ_V1:
+                    version, mid = 1, 0
+                elif magic == MAGIC_REQ_V2:
+                    version, mid = struct.unpack("<HH", self._recv_exact(conn, 4))
+                    if version != PROTOCOL_VERSION:
+                        self._send_error(conn, STATUS_BAD_REQUEST, f"unsupported protocol version {version}")
+                        continue
+                else:
                     raise ValueError(f"bad magic {magic!r}")
                 h, w, c = struct.unpack("<III", self._recv_exact(conn, 12))
+                if not (0 < h <= 8192 and 0 < w <= 8192 and c in (1, 3)):
+                    self._send_error(conn, STATUS_BAD_REQUEST, f"bad frame geometry {h}x{w}x{c}")
+                    continue
                 raw = self._recv_exact(conn, h * w * c)
+                if mid not in self.lanes:
+                    self._send_error(conn, STATUS_BAD_MODEL, f"unknown model id {mid} (have {sorted(self.lanes)})")
+                    continue
                 frame = np.frombuffer(raw, np.uint8).reshape(h, w, c)
+                if c == 1:
+                    frame = np.repeat(frame, 3, axis=-1)
                 done, out = threading.Event(), []
                 with self._lock:
-                    self._queue.append((frame, done, out))
+                    self.lanes[mid].queue.append((frame, done, out))
                     self._event.set()
                 done.wait()
-                dets = out[0].astype(np.float32)
-                conn.sendall(MAGIC_RES + struct.pack("<I", len(dets)) + dets.tobytes())
+                status, payload = out[0]
+                if status != STATUS_OK:
+                    self._send_error(conn, status, str(payload))
+                    continue
+                dets = payload.astype(np.float32)
+                if version == 1:  # legacy framing: no version/status fields
+                    conn.sendall(MAGIC_RES + struct.pack("<I", len(dets)) + dets.tobytes())
+                else:
+                    conn.sendall(
+                        MAGIC_RES + struct.pack("<HHI", PROTOCOL_VERSION, STATUS_OK, len(dets)) + dets.tobytes()
+                    )
         except (ConnectionError, ValueError) as e:
             LOGGER.info(f"client {addr} gone: {e}")
         finally:
@@ -113,6 +180,7 @@ class DetectionServer:
         srv.bind((self.host, self.port))
         srv.listen(16)
         self._srv = srv
+        self.port = srv.getsockname()[1]  # resolve port 0 → chosen port
         LOGGER.info(f"listening on {self.host}:{self.port}")
         if ready_event is not None:
             ready_event.set()
@@ -133,14 +201,22 @@ class DetectionServer:
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="yolo_tpu detection server")
-    p.add_argument("model", nargs="?", default="yolov8-small.yaml")
+    p.add_argument("models", nargs="*", default=["yolov8-small.yaml"],
+                   help="model sources; 'id=source' pairs for multi-model, bare source = id 0")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8777)
     p.add_argument("--conf", type=float, default=0.25)
     p.add_argument("--iou", type=float, default=0.7)
     p.add_argument("--imgsz", type=int, default=640)
     args = p.parse_args(argv)
-    DetectionServer(args.model, args.host, args.port, args.conf, args.iou, args.imgsz).serve_forever()
+    models = {}
+    for i, spec in enumerate(args.models):
+        if "=" in spec:
+            k, v = spec.split("=", 1)
+            models[int(k)] = v
+        else:
+            models[i] = spec
+    DetectionServer(models, args.host, args.port, args.conf, args.iou, args.imgsz).serve_forever()
 
 
 if __name__ == "__main__":
