@@ -149,3 +149,43 @@ def test_instance_segmentation_app():
     frame = np.random.default_rng(2).integers(0, 255, (96, 128, 3), np.uint8)
     out = seg.process(frame)
     assert out.shape == frame.shape
+
+
+def test_web_inference_serves_mjpeg(tmp_path):
+    """Local-web live view (streamlit_inference equivalent): page + MJPEG
+    stream of annotated frames."""
+    import http.client
+    import threading
+    import time
+
+    import cv2
+
+    from yolo_tpu.solutions.web_inference import WebInference
+
+    vid = tmp_path / "clip.mp4"
+    vw = cv2.VideoWriter(str(vid), cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 64))
+    for _ in range(6):
+        vw.write(np.random.default_rng(0).integers(0, 255, (64, 64, 3), np.uint8))
+    vw.release()
+
+    wi = WebInference(model="yolov8n.yaml", source=str(vid), conf=0.9, max_frames=6)
+    ready = threading.Event()
+    t = threading.Thread(target=wi.serve, kwargs={"port": 0, "ready_event": ready}, daemon=True)
+    t.start()
+    assert ready.wait(30)
+    conn = http.client.HTTPConnection("127.0.0.1", wi.port, timeout=120)
+    conn.request("GET", "/")
+    page = conn.getresponse().read()
+    assert b"yolo_tpu live inference" in page
+    # wait for the first annotated frame, then read a stream chunk
+    for _ in range(600):
+        if wi._jpeg is not None:
+            break
+        time.sleep(0.1)
+    assert wi._jpeg is not None, "no frame produced"
+    conn.request("GET", "/stream")
+    r = conn.getresponse()
+    chunk = r.read(2000)
+    assert b"--frame" in chunk and b"image/jpeg" in chunk
+    wi.shutdown()
+    conn.close()

@@ -109,3 +109,83 @@ def test_world_set_classes_end_to_end():
     img = np.random.default_rng(0).integers(0, 255, (160, 160, 3), np.uint8)
     res = m.predict(img, conf=0.5, verbose=False)
     assert res[0].boxes.xyxy.shape[1] == 4
+
+
+def test_clip_vision_encoder_parity_vs_transformers():
+    """CLIP visual tower vs HF CLIPVisionModelWithProjection with mapped weights."""
+    torch = pytest.importorskip("torch")
+    from transformers import CLIPVisionConfig, CLIPVisionModelWithProjection
+
+    from yolo_tpu.nn.text_model import CLIPVisionEncoder
+    from yolo_tpu.nn.torch_import import state_dict_to_params
+
+    torch.manual_seed(31)
+    width, layers, heads, embed, patch, size = 64, 2, 4, 32, 16, 64
+    cfg = CLIPVisionConfig(hidden_size=width, intermediate_size=4 * width, num_hidden_layers=layers,
+                           num_attention_heads=heads, image_size=size, patch_size=patch,
+                           hidden_act="quick_gelu", projection_dim=embed)
+    ref = CLIPVisionModelWithProjection(cfg)
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    pre = "vision_model."
+    mapped = {
+        "conv1.weight": sd[pre + "embeddings.patch_embedding.weight"].transpose(2, 3, 1, 0),
+        "class_embedding": sd[pre + "embeddings.class_embedding"],
+        "positional_embedding": sd[pre + "embeddings.position_embedding.weight"],
+        "ln_pre.weight": sd[pre + "pre_layrnorm.weight"],
+        "ln_pre.bias": sd[pre + "pre_layrnorm.bias"],
+        "ln_post.weight": sd[pre + "post_layernorm.weight"],
+        "ln_post.bias": sd[pre + "post_layernorm.bias"],
+        "proj": sd["visual_projection.weight"].T,
+    }
+    for i in range(layers):
+        src = f"{pre}encoder.layers.{i}"
+        dst = f"transformer.resblocks.{i}"
+        mapped[f"{dst}.attn.in_proj_weight"] = np.concatenate(
+            [sd[f"{src}.self_attn.q_proj.weight"], sd[f"{src}.self_attn.k_proj.weight"], sd[f"{src}.self_attn.v_proj.weight"]])
+        mapped[f"{dst}.attn.in_proj_bias"] = np.concatenate(
+            [sd[f"{src}.self_attn.q_proj.bias"], sd[f"{src}.self_attn.k_proj.bias"], sd[f"{src}.self_attn.v_proj.bias"]])
+        mapped[f"{dst}.attn.out_proj.weight"] = sd[f"{src}.self_attn.out_proj.weight"]
+        mapped[f"{dst}.attn.out_proj.bias"] = sd[f"{src}.self_attn.out_proj.bias"]
+        mapped[f"{dst}.ln_1.weight"] = sd[f"{src}.layer_norm1.weight"]
+        mapped[f"{dst}.ln_1.bias"] = sd[f"{src}.layer_norm1.bias"]
+        mapped[f"{dst}.mlp.c_fc.weight"] = sd[f"{src}.mlp.fc1.weight"]
+        mapped[f"{dst}.mlp.c_fc.bias"] = sd[f"{src}.mlp.fc1.bias"]
+        mapped[f"{dst}.mlp.c_proj.weight"] = sd[f"{src}.mlp.fc2.weight"]
+        mapped[f"{dst}.mlp.c_proj.bias"] = sd[f"{src}.mlp.fc2.bias"]
+        mapped[f"{dst}.ln_2.weight"] = sd[f"{src}.layer_norm2.weight"]
+        mapped[f"{dst}.ln_2.bias"] = sd[f"{src}.layer_norm2.bias"]
+    ours = CLIPVisionEncoder(image_size=size, patch=patch, width=width, layers=layers, heads=heads, embed_dim=embed)
+    params = state_dict_to_params(mapped, ours.init(0))
+
+    rng = np.random.default_rng(32)
+    # HF normalizes outside the model; ours normalizes inside — feed ours raw
+    # [0,1] pixels and HF the CLIP-normalized version
+    img = rng.random((2, size, size, 3)).astype(np.float32)
+    norm = (img - ours.MEAN) / ours.STD
+    with torch.no_grad():
+        out_r = ref(pixel_values=torch.tensor(norm.transpose(0, 3, 1, 2))).image_embeds.numpy()
+    out_j = np.asarray(ours.encode_image(params, img, normalize=False))
+    assert np.allclose(out_r, out_j, atol=3e-4), np.abs(out_r - out_j).max()
+
+
+def test_similarity_search_solution(tmp_path):
+    import cv2
+
+    from yolo_tpu.nn.text_model import CLIPModel
+    from yolo_tpu.solutions.similarity_search import VisualAISearch
+
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        cv2.imwrite(str(tmp_path / f"im{i}.jpg"), rng.integers(0, 255, (48, 48, 3), np.uint8))
+    tiny = CLIPModel(image_size=32, patch=16, width=32, layers=1, heads=2, embed_dim=16)
+    # shrink the text tower too (random weights; the wiring is what's tested)
+    from yolo_tpu.nn.text_model import CLIPTextEncoder
+
+    tiny.text.encoder = CLIPTextEncoder(width=32, layers=1, heads=2, embed_dim=16,
+                                        vocab_size=tiny.text.tokenizer.vocab_size)
+    tiny.text.params = tiny.text.encoder.init(0)
+    s = VisualAISearch(data=str(tmp_path), clip_model=tiny)
+    hits = s("a bright object", k=2, similarity_thresh=-1.0)
+    assert len(hits) == 2
+    assert all(isinstance(f, str) and isinstance(v, float) for f, v in hits)

@@ -286,3 +286,137 @@ def build_text_model(variant: str = "clip:ViT-B/32", bpe_path=None):
         "ViT-L/14": dict(width=768, layers=12, heads=12, embed_dim=768),
     }.get(name, dict(width=512, layers=12, heads=8, embed_dim=512))
     return CLIPText(**cfg, bpe_path=bpe_path)
+
+
+class CLIPVisionEncoder:
+    """CLIP visual ViT (OpenAI layout: visual.conv1/class_embedding/
+    positional_embedding/ln_pre/transformer.resblocks/ln_post/proj).
+
+    Defaults = ViT-B/32. Images: (B, H, W, 3) RGB float [0, 1] normalized with
+    the CLIP mean/std inside `encode_image`.
+    """
+
+    MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+    STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+    def __init__(self, image_size: int = 224, patch: int = 32, width: int = 768,
+                 layers: int = 12, heads: int = 12, embed_dim: int = 512):
+        self.image_size, self.patch, self.width = image_size, patch, width
+        self.layers, self.heads, self.embed_dim = layers, heads, embed_dim
+        self.grid = image_size // patch
+
+    def init(self, seed: int = 0):
+        rng = np.random.default_rng(seed)
+        w = self.width
+
+        def lin(ci, co):
+            return {"weight": rng.normal(0, ci**-0.5, (co, ci)).astype(np.float32),
+                    "bias": np.zeros((co,), np.float32)}
+
+        def ln():
+            return {"weight": np.ones((w,), np.float32), "bias": np.zeros((w,), np.float32)}
+
+        blocks = {}
+        for i in range(self.layers):
+            blocks[str(i)] = {
+                "attn": {
+                    "in_proj_weight": rng.normal(0, w**-0.5, (3 * w, w)).astype(np.float32),
+                    "in_proj_bias": np.zeros((3 * w,), np.float32),
+                    "out_proj": lin(w, w),
+                },
+                "ln_1": ln(),
+                "mlp": {"c_fc": lin(w, 4 * w), "c_proj": lin(4 * w, w)},
+                "ln_2": ln(),
+            }
+        return {
+            "conv1": {"weight": rng.normal(0, 0.02, (self.patch, self.patch, 3, w)).astype(np.float32)},
+            "class_embedding": rng.normal(0, w**-0.5, (w,)).astype(np.float32),
+            "positional_embedding": rng.normal(0, 0.01, (self.grid**2 + 1, w)).astype(np.float32),
+            "ln_pre": ln(),
+            "transformer": {"resblocks": blocks},
+            "ln_post": ln(),
+            "proj": rng.normal(0, w**-0.5, (w, self.embed_dim)).astype(np.float32),
+        }
+
+    def encode_image(self, params, images, normalize: bool = True):
+        import jax
+        import jax.numpy as jnp
+
+        def _ln(p, x):
+            mu = x.mean(-1, keepdims=True)
+            var = ((x - mu) ** 2).mean(-1, keepdims=True)
+            return (x - mu) * jax.lax.rsqrt(var + 1e-5) * p["weight"] + p["bias"]
+
+        x = (jnp.asarray(images, jnp.float32) - self.MEAN) / self.STD
+        x = jax.lax.conv_general_dilated(
+            x, params["conv1"]["weight"].astype(jnp.float32), (self.patch, self.patch), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        B, gh, gw, w = x.shape
+        x = x.reshape(B, gh * gw, w)
+        cls_tok = jnp.broadcast_to(params["class_embedding"].astype(jnp.float32)[None, None], (B, 1, w))
+        x = jnp.concatenate([cls_tok, x], axis=1) + params["positional_embedding"]
+        x = _ln(params["ln_pre"], x)
+        L = x.shape[1]
+        nh, hd = self.heads, w // self.heads
+        for i in range(self.layers):
+            p = params["transformer"]["resblocks"][str(i)]
+            h = _ln(p["ln_1"], x)
+            qkv = h @ p["attn"]["in_proj_weight"].T + p["attn"]["in_proj_bias"]
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = q.reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
+            k = k.reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
+            v = v.reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
+            att = jax.nn.softmax(q @ k.transpose(0, 1, 3, 2) / jnp.sqrt(jnp.float32(hd)), -1) @ v
+            att = att.transpose(0, 2, 1, 3).reshape(B, L, w)
+            x = x + att @ p["attn"]["out_proj"]["weight"].T + p["attn"]["out_proj"]["bias"]
+            h = _ln(p["ln_2"], x)
+            h = h @ p["mlp"]["c_fc"]["weight"].T + p["mlp"]["c_fc"]["bias"]
+            h = h * jax.nn.sigmoid(1.702 * h)  # QuickGELU
+            x = x + h @ p["mlp"]["c_proj"]["weight"].T + p["mlp"]["c_proj"]["bias"]
+        feats = _ln(params["ln_post"], x[:, 0]) @ params["proj"]
+        if normalize:
+            feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+        return feats
+
+
+class CLIPModel:
+    """Joint text+image CLIP (ref: nn/text_model.py CLIP image_preprocess +
+    encode_text) — powers the similarity-search solution."""
+
+    def __init__(self, bpe_path=None, seed: int = 0, **vision_kw):
+        self.text = CLIPText(bpe_path=bpe_path, seed=seed)
+        self.vision = CLIPVisionEncoder(**vision_kw)
+        self.vision_params = self.vision.init(seed + 1)
+
+    def load_torch(self, path):
+        """Import a full OpenAI clip checkpoint (text + visual towers)."""
+        from yolo_tpu.nn.torch_import import load_torch_checkpoint, state_dict_to_params
+
+        sd, _ = load_torch_checkpoint(path)
+        self.text.params = state_dict_to_params(
+            {k: v for k, v in sd.items() if not k.startswith("visual.")}, self.text.params
+        )
+        self.vision_params = state_dict_to_params(
+            {k[len("visual.") :]: v for k, v in sd.items() if k.startswith("visual.")}, self.vision_params
+        )
+        return self
+
+    def encode_text(self, texts):
+        return self.text.encode_text(texts)
+
+    def encode_image(self, images):
+        """images: (B, H, W, 3) RGB uint8/float at any size — resized to the
+        tower's input size with bicubic like CLIP's preprocess."""
+        import cv2
+
+        size = self.vision.image_size
+        ims = []
+        for im in images:
+            im = np.asarray(im)
+            if im.dtype == np.uint8:
+                im = im.astype(np.float32) / 255.0
+            if im.shape[:2] != (size, size):
+                im = cv2.resize(im, (size, size), interpolation=cv2.INTER_CUBIC)
+            ims.append(im)
+        return self.vision.encode_image(self.vision_params, np.stack(ims))

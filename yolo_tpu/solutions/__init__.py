@@ -1,9 +1,9 @@
 """Solutions: demo applications over predict/track (ref: ultralytics/solutions/).
 
-The reference ships ~20 demo apps on one BaseSolution; all the vision-only ones
-are provided here over the TPU predict/track stack (streamlit_inference needs a
-streamlit UI and similarity_search needs CLIP+faiss — both out of scope for a
-zero-egress TPU host).
+The reference ships ~20 demo apps on one BaseSolution; all are provided over
+the TPU predict/track stack. similarity_search runs on the in-repo JAX CLIP
+towers (numpy cosine index instead of FAISS); the streamlit UI is replaced by
+a stdlib MJPEG web view (web_inference.WebInference).
 """
 
 from yolo_tpu.solutions.solutions import BaseSolution
@@ -11,6 +11,8 @@ from yolo_tpu.solutions.object_counter import ObjectCounter
 from yolo_tpu.solutions.heatmap import Heatmap
 from yolo_tpu.solutions.speed_estimator import SpeedEstimator
 from yolo_tpu.solutions.queue_manager import QueueManager, RegionCounter
+from yolo_tpu.solutions.similarity_search import VisualAISearch
+from yolo_tpu.solutions.web_inference import WebInference
 from yolo_tpu.solutions.apps import (
     AIGym,
     Analytics,
@@ -28,4 +30,5 @@ __all__ = [
     "BaseSolution", "ObjectCounter", "Heatmap", "SpeedEstimator", "QueueManager", "RegionCounter",
     "AIGym", "Analytics", "DistanceCalculation", "InstanceSegmentation", "ObjectBlurrer",
     "ObjectCropper", "ParkingManagement", "SecurityAlarm", "TrackZone", "VisionEye",
+    "VisualAISearch", "WebInference",
 ]
