@@ -189,3 +189,34 @@ def test_web_inference_serves_mjpeg(tmp_path):
     assert b"--frame" in chunk and b"image/jpeg" in chunk
     wi.shutdown()
     conn.close()
+
+
+def test_plot_images_and_labels(tmp_path):
+    """Train-batch mosaics + label stats (ref: plotting.py plot_images:682,
+    plot_labels:564)."""
+    from yolo_tpu.utils.plotting import Annotator, plot_images, plot_labels
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "img": rng.integers(0, 255, (4, 64, 64, 3), np.uint8),
+        "cls": np.zeros((4, 8), np.float32),
+        "bboxes": np.tile(np.array([0.5, 0.5, 0.4, 0.3], np.float32), (4, 8, 1)),
+        "mask_gt": np.tile(np.array([1, 1] + [0] * 6, np.float32), (4, 1)),
+    }
+    out = tmp_path / "tb.jpg"
+    plot_images(batch, fname=out, names={0: "obj"})
+    assert out.exists() and out.stat().st_size > 500
+    grid = plot_images(batch, save=False)
+    assert grid.shape == (128, 128, 3)
+    lp = plot_labels(batch["bboxes"].reshape(-1, 4), batch["cls"].reshape(-1), names={0: "obj"},
+                     save_path=tmp_path / "labels.png")
+    assert (tmp_path / "labels.png").exists()
+    # annotator extras
+    im = np.zeros((64, 64, 3), np.uint8)
+    a = Annotator(im)
+    a.rectangle((4, 4, 30, 30), outline=(0, 255, 0))
+    a.text((5, 5), "t", box_color=(64, 64, 64))
+    a.masks(np.ones((1, 64, 64)), [(255, 0, 0)], alpha=0.4)
+    kp = np.concatenate([rng.uniform(5, 60, (17, 2)), np.ones((17, 1))], -1)
+    a.kpts(kp)
+    assert a.result().any()

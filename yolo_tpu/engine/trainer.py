@@ -269,6 +269,16 @@ class DetectionTrainer:
             imgsz = args.imgsz if isinstance(args.imgsz, int) else max(args.imgsz)
             args.batch = autobatch(self.model, self.params, imgsz=imgsz)
         trainset = build_yolo_dataset(args, self.data["train"], args.batch, self.data, mode="train", stride=stride)
+        if args.plots:  # dataset label statistics (ref: trainer plot_training_labels)
+            try:
+                from yolo_tpu.utils.plotting import plot_labels
+
+                all_b = np.concatenate([lb["bboxes"] for lb in trainset.labels]) if trainset.labels else np.zeros((0, 4))
+                all_c = np.concatenate([lb["cls"] for lb in trainset.labels]) if trainset.labels else np.zeros((0,))
+                self.save_dir.mkdir(parents=True, exist_ok=True)
+                plot_labels(all_b, all_c, names=self.data.get("names", {}), save_path=self.save_dir / "labels.png")
+            except Exception as e:
+                LOGGER.warning(f"label plot failed: {e}")
         self.train_loader = build_dataloader(
             trainset, args.batch, workers=args.workers, shuffle=True, seed=args.seed, drop_last=len(trainset) > args.batch
         )
@@ -334,6 +344,15 @@ class DetectionTrainer:
             t0 = time.time()
             epoch_losses = []
             for batch in self.train_loader:
+                # first-epoch train-batch mosaics (ref: trainer plot_training_samples)
+                if args.plots and epoch == self.start_epoch and ni - self.start_epoch * nb < 3:
+                    try:
+                        from yolo_tpu.utils.plotting import plot_images
+
+                        plot_images(batch, fname=self.save_dir / f"train_batch{ni - self.start_epoch * nb}.jpg",
+                                    names=getattr(self.model, "names", {}))
+                    except Exception as e:
+                        LOGGER.warning(f"train-batch plot failed: {e}")
                 # warmup interpolation (per iteration, ref :393-403)
                 if ni <= nw:
                     xi = [0, nw]

@@ -49,8 +49,139 @@ class Annotator:
                 0, self.lw / 3, txt_color, tf, cv2.LINE_AA,
             )
 
+    def rectangle(self, xy, fill=None, outline=None, width: int = 1):
+        """Draw a rectangle (ref: Annotator.rectangle:478). xy = (x1, y1, x2, y2)."""
+        cv2 = self._cv2
+        p1, p2 = (int(xy[0]), int(xy[1])), (int(xy[2]), int(xy[3]))
+        if fill is not None:
+            cv2.rectangle(self.im, p1, p2, fill, -1, cv2.LINE_AA)
+        if outline is not None:
+            cv2.rectangle(self.im, p1, p2, outline, width, cv2.LINE_AA)
+
+    def text(self, xy, text: str, txt_color=(255, 255, 255), anchor: str = "top", box_color=()):
+        """Draw text with optional background box (ref: Annotator.text:482)."""
+        cv2 = self._cv2
+        tf = max(self.lw - 1, 1)
+        wh = cv2.getTextSize(text, 0, self.lw / 3, tf)[0]
+        x, y = int(xy[0]), int(xy[1])
+        if anchor == "bottom":
+            y -= 2
+        else:
+            y += wh[1] + 2
+        if box_color:
+            cv2.rectangle(self.im, (x, y - wh[1] - 3), (x + wh[0], y + 3), box_color, -1, cv2.LINE_AA)
+        cv2.putText(self.im, text, (x, y), 0, self.lw / 3, txt_color, tf, cv2.LINE_AA)
+
+    def masks(self, masks, colors, alpha: float = 0.5):
+        """Alpha-blend instance masks (ref: Annotator.masks:366).
+
+        masks: (N, H, W) float/bool at image resolution; colors: list of BGR."""
+        if masks is None or len(masks) == 0:
+            return
+        im = self.im.astype(np.float32)
+        for m, c in zip(np.asarray(masks), colors):
+            mm = (np.asarray(m) > 0.5)[..., None]
+            im = np.where(mm, im * (1 - alpha) + alpha * np.array(c, np.float32), im)
+        self.im[:] = im.astype(np.uint8)
+
+    # COCO-17 skeleton (ref: Annotator.__init__ skeleton table)
+    SKELETON = [(16, 14), (14, 12), (17, 15), (15, 13), (12, 13), (6, 12), (7, 13), (6, 7),
+                (6, 8), (7, 9), (8, 10), (9, 11), (2, 3), (1, 2), (1, 3), (2, 4), (3, 5), (4, 6), (5, 7)]
+
+    def kpts(self, kpts, radius: int = 5, kpt_line: bool = True, conf_thres: float = 0.25):
+        """Draw keypoints + skeleton (ref: Annotator.kpts:410). kpts (K, 2|3)."""
+        cv2 = self._cv2
+        kpts = np.asarray(kpts)
+        has_conf = kpts.shape[-1] == 3
+        for k in kpts:
+            if has_conf and k[2] < conf_thres:
+                continue
+            if k[0] > 0 and k[1] > 0:
+                cv2.circle(self.im, (int(k[0]), int(k[1])), radius, (0, 255, 0), -1, cv2.LINE_AA)
+        if kpt_line and len(kpts) == 17:
+            for a, b in self.SKELETON:
+                ka, kb = kpts[a - 1], kpts[b - 1]
+                if has_conf and (ka[2] < conf_thres or kb[2] < conf_thres):
+                    continue
+                if min(ka[0], ka[1], kb[0], kb[1]) > 0:
+                    cv2.line(self.im, (int(ka[0]), int(ka[1])), (int(kb[0]), int(kb[1])), (255, 128, 0), 2, cv2.LINE_AA)
+
+    def save(self, filename="image.jpg"):
+        self._cv2.imwrite(str(filename), self.im)
+
     def result(self):
         return self.im
+
+
+def plot_images(batch, fname="train_batch.jpg", names=None, max_subplots: int = 16, conf_thres: float = 0.25, save: bool = True):
+    """Train-batch mosaic with gt/pred boxes (ref: plotting.py plot_images:682).
+
+    batch: our collated dict — img (B, H, W, 3) RGB uint8, cls (B, N),
+    bboxes (B, N, 4) normalized xywh, mask_gt (B, N); optional conf (B, N).
+    """
+    import cv2
+    import math
+
+    imgs = np.asarray(batch["img"])[:max_subplots]
+    B, H, W = imgs.shape[:3]
+    ncols = int(math.ceil(B**0.5))
+    nrows = int(math.ceil(B / ncols))
+    canvas = np.full((nrows * H, ncols * W, 3), 255, np.uint8)
+    names = names or {}
+    confs = batch.get("conf")
+    for i in range(B):
+        r, c = divmod(i, ncols)
+        tile = imgs[i][..., ::-1].copy()  # RGB → BGR for cv2 drawing
+        ann = Annotator(tile, line_width=max(round((H + W) / 2 * 0.003), 2))
+        m = np.asarray(batch["mask_gt"][i]) > 0
+        boxes = np.asarray(batch["bboxes"][i])[m]
+        cls = np.asarray(batch["cls"][i])[m]
+        cf = np.asarray(confs[i])[m] if confs is not None else None
+        for j, (b, k) in enumerate(zip(boxes, cls)):
+            if cf is not None and cf[j] < conf_thres:
+                continue
+            cx, cy, bw, bh = b * [W, H, W, H]
+            xyxy = (cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2)
+            label = names.get(int(k), str(int(k))) + (f" {cf[j]:.2f}" if cf is not None else "")
+            ann.box_label(xyxy, label, color=color_for(int(k)))
+        canvas[r * H : (r + 1) * H, c * W : (c + 1) * W] = ann.result()
+    if save:
+        cv2.imwrite(str(fname), canvas)
+        return None
+    return canvas
+
+
+def plot_labels(boxes, cls, names=None, save_path="labels.png"):
+    """Dataset label statistics: class histogram + box center/size scatter
+    (ref: plotting.py plot_labels:564, matplotlib in place of seaborn)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    boxes = np.asarray(boxes).reshape(-1, 4)  # normalized xywh
+    cls = np.asarray(cls).reshape(-1)
+    fig, axes = plt.subplots(2, 2, figsize=(10, 8), tight_layout=True)
+    names = names or {}
+    nc = int(cls.max()) + 1 if len(cls) else 1
+    axes[0, 0].hist(cls, bins=np.arange(nc + 1) - 0.5, rwidth=0.8)
+    axes[0, 0].set_title("instances per class")
+    if nc <= 30 and names:
+        axes[0, 0].set_xticks(range(nc))
+        axes[0, 0].set_xticklabels([names.get(i, i) for i in range(nc)], rotation=90, fontsize=7)
+    if len(boxes):
+        axes[0, 1].scatter(boxes[:, 0], boxes[:, 1], s=3, alpha=0.4)
+        axes[0, 1].set_title("box centers (x, y)")
+        axes[1, 0].scatter(boxes[:, 2], boxes[:, 3], s=3, alpha=0.4)
+        axes[1, 0].set_title("box sizes (w, h)")
+        axes[1, 1].hist2d(boxes[:, 2], boxes[:, 3], bins=32)
+        axes[1, 1].set_title("w/h density")
+    for ax in axes.flat:
+        ax.set_xlim(0, 1)
+        ax.set_ylim(0, 1) if ax is not axes[0, 0] else None
+    fig.savefig(save_path, dpi=120)
+    plt.close(fig)
+    return save_path
 
 
 def plot_results(csv_file, save_path=None):
