@@ -62,3 +62,19 @@ def test_trainer_resume(tmp_path):
 
     rows = list(csv.DictReader(open(tmp_path / "runs" / "exp" / "results.csv")))
     assert int(rows[0]["epoch"]) >= 2  # resumed run starts past the old epochs
+
+
+def test_benchmark_formats(tmp_path):
+    """Format-matrix benchmark (ref: benchmarks.py benchmark:53): every native
+    export format exports, reloads, and serves the fused predict."""
+    from yolo_tpu.nn.tasks import DetectionModel
+    from yolo_tpu.utils.benchmarks import benchmark_formats
+
+    m = DetectionModel("yolov8n.yaml")
+    p = m.init(0)
+    rows = benchmark_formats(m, p, imgsz=64, workdir=tmp_path)
+    by_fmt = {r["format"]: r for r in rows}
+    assert set(by_fmt) == {"native-jit", "npz", "orbax", "stablehlo"}
+    for fmt, r in by_fmt.items():
+        assert r["status"] == "✅", (fmt, r)
+        assert r["fps"] > 0

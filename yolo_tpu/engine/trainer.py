@@ -400,6 +400,7 @@ class DetectionTrainer:
                 "lr": lr_epoch,
                 **{f"metrics/{k}": v for k, v in (self.metrics or {}).items()},
             }
+            self._last_row = row  # consumed by the tracker integrations
             csv_rows.append(row)
             self._write_csv(csv_rows)
             if args.save:

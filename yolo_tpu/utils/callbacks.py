@@ -34,7 +34,9 @@ def add_integration_callbacks(callbacks: dict):
             callbacks.setdefault(k, []).append(v)
     except ImportError:
         pass
-    return callbacks
+    from yolo_tpu.utils.integrations import attach
+
+    return attach(callbacks)
 
 
 def run_callbacks(callbacks: dict, hook: str, obj):

@@ -1,0 +1,214 @@
+"""Experiment-tracker callback integrations: W&B, MLflow, ClearML, Comet, DVC.
+
+Reference counterpart: ultralytics/utils/callbacks/{wandb,mlflow,clearml,
+comet,dvc}.py — each module guards its SDK import and exposes a `callbacks`
+dict keyed by hook name. Same pattern here: attach whatever imports; nothing
+breaks without the SDKs (this host has none — the code paths activate in any
+deployment that does `pip install wandb` etc.).
+
+Every writer consumes the same trainer attributes the CSV/TensorBoard writers
+use: `trainer.epoch`, the per-epoch loss components in `trainer._last_row`
+(written by save-metrics), and `trainer.metrics`.
+"""
+
+from __future__ import annotations
+
+from yolo_tpu.utils import LOGGER
+
+
+def _trainer_scalars(trainer) -> dict:
+    out = {}
+    row = getattr(trainer, "_last_row", None) or {}
+    for k, v in row.items():
+        if isinstance(v, (int, float)) and k != "epoch":
+            out[k] = float(v)
+    for k, v in (getattr(trainer, "metrics", None) or {}).items():
+        if isinstance(v, (int, float)):
+            out[f"metrics/{k}"] = float(v)
+    return out
+
+
+# --------------------------------------------------------------------------- #
+# Weights & Biases (ref: callbacks/wb.py)
+# --------------------------------------------------------------------------- #
+def _wandb_callbacks():
+    import wandb  # noqa: F401 — guarded by caller
+
+    state = {}
+
+    def on_pretrain_routine_start(trainer):
+        import wandb
+
+        state["run"] = wandb.run or wandb.init(
+            project=str(getattr(trainer.args, "project", None) or "yolo_tpu"),
+            name=str(getattr(trainer.args, "name", None) or None),
+            config=vars(trainer.args),
+        )
+
+    def on_fit_epoch_end(trainer):
+        import wandb
+
+        if wandb.run:
+            wandb.run.log(_trainer_scalars(trainer), step=trainer.epoch + 1)
+
+    def on_train_end(trainer):
+        import wandb
+
+        if wandb.run:
+            best = trainer.wdir / "best.npz"
+            if best.exists():
+                art = wandb.Artifact(f"run_{wandb.run.id}_model", type="model")
+                art.add_file(str(best))
+                wandb.run.log_artifact(art, aliases=["best"])
+            wandb.run.finish()
+
+    return {
+        "on_pretrain_routine_start": on_pretrain_routine_start,
+        "on_fit_epoch_end": on_fit_epoch_end,
+        "on_train_end": on_train_end,
+    }
+
+
+# --------------------------------------------------------------------------- #
+# MLflow (ref: callbacks/mlflow.py)
+# --------------------------------------------------------------------------- #
+def _mlflow_callbacks():
+    import mlflow  # noqa: F401
+
+    def on_pretrain_routine_start(trainer):
+        import mlflow
+
+        mlflow.set_experiment(str(getattr(trainer.args, "project", None) or "/yolo_tpu"))
+        mlflow.start_run(run_name=str(getattr(trainer.args, "name", None) or "train"))
+        mlflow.log_params({k: str(v) for k, v in vars(trainer.args).items()})
+
+    def on_fit_epoch_end(trainer):
+        import mlflow
+
+        mlflow.log_metrics(
+            {k.replace("(", "").replace(")", ""): v for k, v in _trainer_scalars(trainer).items()},
+            step=trainer.epoch + 1,
+        )
+
+    def on_train_end(trainer):
+        import mlflow
+
+        best = trainer.wdir / "best.npz"
+        if best.exists():
+            mlflow.log_artifact(str(best))
+        mlflow.end_run()
+
+    return {
+        "on_pretrain_routine_start": on_pretrain_routine_start,
+        "on_fit_epoch_end": on_fit_epoch_end,
+        "on_train_end": on_train_end,
+    }
+
+
+# --------------------------------------------------------------------------- #
+# ClearML (ref: callbacks/clearml.py)
+# --------------------------------------------------------------------------- #
+def _clearml_callbacks():
+    from clearml import Task  # noqa: F401
+
+    def on_pretrain_routine_start(trainer):
+        from clearml import Task
+
+        Task.init(
+            project_name=str(getattr(trainer.args, "project", None) or "yolo_tpu"),
+            task_name=str(getattr(trainer.args, "name", None) or "train"),
+        ).connect(vars(trainer.args))
+
+    def on_fit_epoch_end(trainer):
+        from clearml import Task
+
+        task = Task.current_task()
+        if task:
+            for k, v in _trainer_scalars(trainer).items():
+                task.get_logger().report_scalar("train", k, v, iteration=trainer.epoch + 1)
+
+    return {"on_pretrain_routine_start": on_pretrain_routine_start, "on_fit_epoch_end": on_fit_epoch_end}
+
+
+# --------------------------------------------------------------------------- #
+# Comet (ref: callbacks/comet.py)
+# --------------------------------------------------------------------------- #
+def _comet_callbacks():
+    import comet_ml  # noqa: F401
+
+    state = {}
+
+    def on_pretrain_routine_start(trainer):
+        import comet_ml
+
+        state["exp"] = comet_ml.Experiment(project_name=str(getattr(trainer.args, "project", None) or "yolo_tpu"))
+        state["exp"].log_parameters(vars(trainer.args))
+
+    def on_fit_epoch_end(trainer):
+        if "exp" in state:
+            state["exp"].log_metrics(_trainer_scalars(trainer), epoch=trainer.epoch + 1)
+
+    def on_train_end(trainer):
+        if "exp" in state:
+            state["exp"].end()
+
+    return {
+        "on_pretrain_routine_start": on_pretrain_routine_start,
+        "on_fit_epoch_end": on_fit_epoch_end,
+        "on_train_end": on_train_end,
+    }
+
+
+# --------------------------------------------------------------------------- #
+# DVCLive (ref: callbacks/dvc.py)
+# --------------------------------------------------------------------------- #
+def _dvc_callbacks():
+    import dvclive  # noqa: F401
+
+    state = {}
+
+    def on_pretrain_routine_start(trainer):
+        import dvclive
+
+        state["live"] = dvclive.Live(save_dvc_exp=True)
+
+    def on_fit_epoch_end(trainer):
+        live = state.get("live")
+        if live:
+            for k, v in _trainer_scalars(trainer).items():
+                live.log_metric(k, v)
+            live.next_step()
+
+    def on_train_end(trainer):
+        if state.get("live"):
+            state["live"].end()
+
+    return {
+        "on_pretrain_routine_start": on_pretrain_routine_start,
+        "on_fit_epoch_end": on_fit_epoch_end,
+        "on_train_end": on_train_end,
+    }
+
+
+_FACTORIES = {
+    "wandb": _wandb_callbacks,
+    "mlflow": _mlflow_callbacks,
+    "clearml": _clearml_callbacks,
+    "comet": _comet_callbacks,
+    "dvc": _dvc_callbacks,
+}
+
+
+def attach(callbacks: dict) -> dict:
+    """Register every integration whose SDK imports (ref: base.py
+    add_integration_callbacks:~190)."""
+    for name, factory in _FACTORIES.items():
+        try:
+            for hook, fn in factory().items():
+                callbacks.setdefault(hook, []).append(fn)
+            LOGGER.info(f"callback integration attached: {name}")
+        except ImportError:
+            pass
+        except Exception as e:
+            LOGGER.warning(f"callback integration {name} failed to attach: {e}")
+    return callbacks
