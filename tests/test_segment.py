@@ -138,3 +138,51 @@ def test_mask_iou_parity_with_reference():
     ref = ref_mask_iou(torch.tensor(gm), torch.tensor(pm)).numpy()
     ours = mask_iou(gm, pm)
     assert np.allclose(ours, ref, atol=1e-6)
+
+
+def test_overlap_false_per_instance_masks():
+    """overlap_mask=False: per-instance mask tensors through collate + loss
+    (ref: v8SegmentationLoss masks[target_gt_idx] path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_tpu.data.dataset import collate_batch
+    from yolo_tpu.nn.modules import Ctx
+    from yolo_tpu.nn.tasks import SegmentationModel
+    from yolo_tpu.utils.loss import v8SegmentationLoss
+    from yolo_tpu.cfg import get_cfg
+
+    rng = np.random.default_rng(0)
+    # two OVERLAPPING instances — the overlap map loses covered pixels, the
+    # per-instance encoding must keep both full masks
+    tri1 = np.array([[8, 8], [56, 8], [32, 56]], np.float32)
+    tri2 = np.array([[16, 16], [60, 20], [40, 60]], np.float32)
+    sample = {
+        "img": rng.integers(0, 255, (64, 64, 3), np.uint8),
+        "cls": np.array([0.0, 0.0], np.float32),
+        "bboxes": np.array([[8, 8, 56, 56], [16, 16, 60, 60]], np.float32),
+        "segments": [tri1, tri2],
+    }
+    b_ov = collate_batch([dict(sample)], max_boxes=8, overlap=True)
+    b_pi = collate_batch([dict(sample)], max_boxes=8, overlap=False)
+    assert b_ov["masks"].shape == (1, 16, 16)
+    assert b_pi["masks"].shape == (1, 8, 16, 16)
+    # overlapping region: per-instance keeps both, the overlap map only one
+    both = (b_pi["masks"][0, 0] > 0) & (b_pi["masks"][0, 1] > 0)
+    assert both.sum() > 0
+
+    m = SegmentationModel("yolov8n-seg.yaml", nc=1)
+    p = m.init(0)
+    loss_fn = v8SegmentationLoss(m, get_cfg())
+
+    def fl(params, batch):
+        ctx = Ctx(train=True, dtype=jnp.float32)
+        feats = m.forward_features(params, jnp.asarray(batch["img"], jnp.float32) / 255.0, ctx)
+        total, comps = loss_fn(feats, {k: jnp.asarray(v) for k, v in batch.items() if k != "meta"})
+        return total, comps
+
+    for b in (b_ov, b_pi):
+        (total, comps), grads = jax.jit(jax.value_and_grad(fl, has_aux=True))(p, b)
+        assert np.isfinite(float(total))
+        g = float(jnp.abs(grads["model"]["0"]["conv"]["weight"]).sum())
+        assert g > 0

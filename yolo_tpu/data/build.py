@@ -37,13 +37,14 @@ def build_yolo_dataset(cfg, img_path, batch: int, data: dict, mode: str = "train
 class DataLoader:
     """Epoch-based threaded loader with deterministic shuffling."""
 
-    def __init__(self, dataset: YOLODataset, batch_size: int = 16, shuffle: bool = True, workers: int = 4, seed: int = 0, max_boxes: int = 64, drop_last: bool = True, process_fn=None):
+    def __init__(self, dataset: YOLODataset, batch_size: int = 16, shuffle: bool = True, workers: int = 4, seed: int = 0, max_boxes: int = 64, drop_last: bool = True, process_fn=None, overlap_mask: bool = True):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.workers = max(1, workers)
         self.seed = seed
         self.max_boxes = max_boxes
+        self.overlap_mask = overlap_mask
         self.drop_last = drop_last
         self.epoch = 0
         self.process_fn = process_fn or (lambda b: b)
@@ -81,7 +82,7 @@ class DataLoader:
                     else:
                         s = self.dataset[j]
                     samples.append(s)
-                out_q.put((bi, self.process_fn(collate_batch(samples, self.max_boxes))))
+                out_q.put((bi, self.process_fn(collate_batch(samples, self.max_boxes, overlap=self.overlap_mask))))
             out_q.put((None, None))
 
         threads = [threading.Thread(target=producer, args=(w,), daemon=True) for w in range(self.workers)]
@@ -120,6 +121,6 @@ def _accepts_rng(fn) -> bool:
         return False
 
 
-def build_dataloader(dataset, batch: int, workers: int = 4, shuffle: bool = True, seed: int = 0, max_boxes: int = 64, drop_last: bool = True):
+def build_dataloader(dataset, batch: int, workers: int = 4, shuffle: bool = True, seed: int = 0, max_boxes: int = 64, drop_last: bool = True, overlap_mask: bool = True):
     """Factory mirroring the reference name (ref: data/build.py:180)."""
-    return DataLoader(dataset, batch_size=batch, shuffle=shuffle, workers=workers, seed=seed, max_boxes=max_boxes, drop_last=drop_last)
+    return DataLoader(dataset, batch_size=batch, shuffle=shuffle, workers=workers, seed=seed, max_boxes=max_boxes, drop_last=drop_last, overlap_mask=overlap_mask)

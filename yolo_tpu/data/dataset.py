@@ -225,7 +225,7 @@ class YOLODataset:
             self.transforms.mosaic_enabled = False
 
 
-def collate_batch(samples: list[dict], max_boxes: int = 64):
+def collate_batch(samples: list[dict], max_boxes: int = 64, overlap: bool = True):
     """Stack samples into fixed-shape arrays for the jitted step.
 
     Returns dict: img (B,H,W,3) uint8, cls (B,N), bboxes (B,N,4) normalized xywh,
@@ -277,20 +277,34 @@ def collate_batch(samples: list[dict], max_boxes: int = 64):
             kpts[i, :n] = k
         batch["keypoints"] = kpts
     if any(s.get("segments") for s in samples):
-        # overlap-index instance map at proto (stride-4) resolution; instance
-        # value = padded label row + 1 (the loss gathers gt masks by that index)
         import cv2
 
         mh, mw = H // 4, W // 4
-        maps = np.zeros((B, mh, mw), np.float32)
-        for i, s in enumerate(samples):
-            segs = s.get("segments") or []
-            for j, sg in enumerate(segs[:max_boxes]):
-                if sg is None or len(sg) < 3:
-                    continue
-                pts = np.round(sg / 4.0).astype(np.int32)
-                cv2.fillPoly(maps[i], [pts], float(j + 1))
-        batch["masks"] = maps
+        if overlap:
+            # overlap-index instance map at proto (stride-4) resolution; value
+            # = padded label row + 1 (the loss gathers gt masks by that index;
+            # ref overlap_mask=True encoding, data/augment.py Format)
+            maps = np.zeros((B, mh, mw), np.float32)
+            for i, s in enumerate(samples):
+                segs = s.get("segments") or []
+                for j, sg in enumerate(segs[:max_boxes]):
+                    if sg is None or len(sg) < 3:
+                        continue
+                    pts = np.round(sg / 4.0).astype(np.int32)
+                    cv2.fillPoly(maps[i], [pts], float(j + 1))
+            batch["masks"] = maps
+        else:
+            # per-instance binary masks (ref overlap_mask=False): overlapping
+            # instances each keep their full mask; fixed (B, N, mh, mw) uint8
+            maps = np.zeros((B, max_boxes, mh, mw), np.uint8)
+            for i, s in enumerate(samples):
+                segs = s.get("segments") or []
+                for j, sg in enumerate(segs[:max_boxes]):
+                    if sg is None or len(sg) < 3:
+                        continue
+                    pts = np.round(sg / 4.0).astype(np.int32)
+                    cv2.fillPoly(maps[i, j], [pts], 1)
+            batch["masks"] = maps
     return batch
 
 

@@ -371,12 +371,13 @@ class v8SegmentationLoss(v8DetectionLoss):
         loss_dfl = ((dfl * weight) * fg).sum() / target_scores_sum
 
         # --- mask loss over the top-max_fg foreground slots ------------------------
-        gt_masks = batch["masks"].astype(jnp.float32)  # (B, mh, mw) overlap-index map
+        gt_masks = batch["masks"].astype(jnp.float32)  # (B, mh, mw) overlap map OR (B, N, mh, mw) per-instance
+        per_instance = gt_masks.ndim == 4  # overlap_mask=False encoding
         mh, mw = protos.shape[1], protos.shape[2]
-        if gt_masks.shape[1:] != (mh, mw):  # nearest downsample to proto resolution
-            sy = gt_masks.shape[1] // mh
-            sx = gt_masks.shape[2] // mw
-            gt_masks = gt_masks[:, ::sy, ::sx][:, :mh, :mw]
+        if gt_masks.shape[-2:] != (mh, mw):  # nearest downsample to proto resolution
+            sy = gt_masks.shape[-2] // mh
+            sx = gt_masks.shape[-1] // mw
+            gt_masks = gt_masks[..., ::sy, ::sx][..., :mh, :mw]
 
         score_for_rank = jnp.where(fg_mask, target_scores.sum(-1), -1.0)
         _, slot_idx = jax.lax.top_k(score_for_rank, self.max_fg)  # (B, max_fg)
@@ -386,9 +387,14 @@ class v8SegmentationLoss(v8DetectionLoss):
         tb = jnp.take_along_axis(target_bboxes, slot_idx[..., None], axis=1)  # (B, M, 4) px
         tgi = jnp.take_along_axis(target_gt_idx, slot_idx, axis=1)  # (B, M)
 
-        # per-slot gt mask from the overlap map
-        inst = (tgi + 1).astype(jnp.float32)  # overlap encoding is 1-based
-        gt_m = (gt_masks[:, None] == inst[..., None, None]).astype(jnp.float32)  # (B, M, mh, mw)
+        if per_instance:
+            # gather each slot's own binary mask (overlap_mask=False: ref
+            # v8SegmentationLoss masks[target_gt_idx] path)
+            gt_m = jnp.take_along_axis(gt_masks, tgi[..., None, None], axis=1)  # (B, M, mh, mw)
+        else:
+            # per-slot gt mask from the overlap map
+            inst = (tgi + 1).astype(jnp.float32)  # overlap encoding is 1-based
+            gt_m = (gt_masks[:, None] == inst[..., None, None]).astype(jnp.float32)  # (B, M, mh, mw)
 
         proto_flat = protos.reshape(B, mh * mw, self.nm)  # NHWC → (B, hw, nm)
         pred_m = jnp.einsum("bmn,bhn->bmh", coefs, proto_flat).reshape(B, self.max_fg, mh, mw)
