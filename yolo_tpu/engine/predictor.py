@@ -137,7 +137,8 @@ class BasePredictor:
         """Generator over Results (ref: stream_inference:283)."""
         for k, v in kwargs.items():
             setattr(self.args, k, v)
-        frames = _iter_source(source, vid_stride=self.args.vid_stride)
+        frames = _iter_source(source, vid_stride=self.args.vid_stride,
+                              stream_buffer=bool(getattr(self.args, "stream_buffer", False)))
         batch_imgs, batch_meta = [], []
         max_b = max(1, int(self.args.batch)) if self.args.batch and self.args.batch > 0 else 16
         try:
@@ -194,9 +195,27 @@ class BasePredictor:
         if self.args.verbose:
             for r, (path, _) in zip(results, metas):
                 LOGGER.info(f"{path}: {len(r)} dets {r.speed['inference']:.1f}ms")
+        if getattr(self.args, "show", False):
+            self._show_results(results)
         if self.args.save or self.args.save_txt:
             self._write_results(results, metas)
         return results
+
+    def _show_results(self, results):
+        """Live window display (ref: predictor show:368); degrades to a logged
+        warning on headless hosts instead of crashing."""
+        import cv2
+
+        for r in results:
+            try:
+                cv2.imshow("yolo_tpu", r.plot(line_width=self.args.line_width, labels=self.args.show_labels))
+                cv2.waitKey(1)
+            except cv2.error as e:
+                if not getattr(self, "_show_warned", False):
+                    LOGGER.warning(f"show=True unavailable (headless?): {e}")
+                    self._show_warned = True
+                self.args.show = False
+                return
 
     def _write_results(self, results, metas):
         """Persist annotated media / txt labels (ref: predictor write_results:368)."""
@@ -230,12 +249,38 @@ class BasePredictor:
         self._vid_writers = {}
 
 
-def _iter_source(source, vid_stride: int = 1):
-    """Yield (bgr_image, path, frame_idx) from ndarray/list/path/dir/video sources."""
+def _iter_source(source, vid_stride: int = 1, stream_buffer: bool = False):
+    """Yield (bgr_image, path, frame_idx) from ndarray/tensor-batch/list/path/
+    dir/video/stream/webcam/screen sources (ref: build.py load_inference_source
+    routing; stream_buffer keeps every stream frame instead of only the
+    latest, ref data/loaders.py LoadStreams buffer)."""
     import cv2
 
+    if isinstance(source, np.ndarray) and source.ndim == 4:  # tensor batch
+        from yolo_tpu.data.loaders import LoadTensor
+
+        for path, frame, idx in LoadTensor(source):
+            yield frame, path, idx
+        return
     if isinstance(source, np.ndarray):
         yield source, "array", 0
+        return
+    if isinstance(source, str) and ("://" in source or source.isdigit() or source.startswith("screen")):
+        from yolo_tpu.data.loaders import LoadStreams, load_inference_source
+
+        loader = load_inference_source(source, vid_stride=vid_stride, stream_buffer=stream_buffer)
+        if isinstance(loader, LoadStreams):  # yields (sources, frames, infos)
+            idx = 0
+            try:
+                for srcs, frames_, _ in loader:
+                    for j, im in enumerate(frames_):
+                        yield im, str(srcs[j]), idx
+                    idx += 1
+            finally:
+                loader.close()
+        else:
+            for path, frame, idx in loader:
+                yield frame, path, idx
         return
     if isinstance(source, (list, tuple)):
         for i, s in enumerate(source):
