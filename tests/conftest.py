@@ -42,7 +42,7 @@ def add_reference_to_path():
         (dist / "RECORD").write_text("")
         pkg.mkdir(parents=True, exist_ok=True)
         (pkg / "__init__.py").write_text(
-            "__version__ = '0.23.0'\nfrom . import ops\n"
+            "__version__ = '0.23.0'\nfrom . import io, ops, transforms\n"
         )
         (pkg / "ops.py").write_text(
             "import torch\n"
@@ -60,6 +60,29 @@ def add_reference_to_path():
             "        iou = inter/(areas[i]+areas-inter+1e-7)\n"
             "        sup |= iou > iou_threshold\n"
             "    return torch.tensor(keep, dtype=torch.long)\n"
+        )
+        # transformers probes torchvision via importlib.metadata and then
+        # imports torchvision.{transforms,io} at import time — give the stub
+        # enough surface that the probe doesn't explode
+        (pkg / "io.py").write_text(
+            "class VideoReader:\n"
+            "    def __init__(self, *a, **k):\n"
+            "        raise RuntimeError('stub torchvision has no video io')\n"
+            "def read_image(*a, **k):\n"
+            "    raise RuntimeError('stub torchvision has no image io')\n"
+            "def read_video(*a, **k):\n"
+            "    raise RuntimeError('stub torchvision has no video io')\n"
+        )
+        (pkg / "transforms.py").write_text(
+            "from enum import Enum\n"
+            "class InterpolationMode(str, Enum):\n"
+            "    NEAREST = 'nearest'\n"
+            "    NEAREST_EXACT = 'nearest-exact'\n"
+            "    BILINEAR = 'bilinear'\n"
+            "    BICUBIC = 'bicubic'\n"
+            "    BOX = 'box'\n"
+            "    HAMMING = 'hamming'\n"
+            "    LANCZOS = 'lanczos'\n"
         )
     lap_stub = stub_root / "lap.py"
     if not lap_stub.exists():
