@@ -95,9 +95,7 @@ def main():
     ft = FusedDetectTrack(det_model, params, frame_hw=(512, 640), channels=1, chunk=128,
                           conf=0.15, iou=0.6, max_lost_frames=150, min_hits=1, iou_threshold=0.1)
     ft.process_chunk(clip[:128])  # compile
-    from yolo_tpu.kalman.batched import init_state
-
-    ft.state = init_state(ft.n_max)
+    ft.reset()  # clear both track state and the on-device stats accumulator
     n_used = (n_frames // 128) * 128
     t0 = time.time()
     _, stats = ft.run_clip(clip[:n_used])
