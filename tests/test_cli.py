@@ -56,3 +56,28 @@ def test_entrypoint_predict_smoke(tmp_path):
         ["detect", "predict", "model=yolov8n.yaml", f"source={src}", "imgsz=64", "conf=0.9", "verbose=False"]
     )
     assert isinstance(results, list) and len(results) == 1
+
+
+def test_cli_solutions_count(tmp_path, monkeypatch):
+    """`yolo solutions count source=<clip>` processes a video end to end
+    (ref: cfg/__init__.py handle_yolo_solutions:637)."""
+    import cv2
+
+    from yolo_tpu.cfg import entrypoint
+
+    monkeypatch.chdir(tmp_path)
+    vid = tmp_path / "c.mp4"
+    vw = cv2.VideoWriter(str(vid), cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 64))
+    for _ in range(4):
+        vw.write(np.random.default_rng(0).integers(0, 255, (64, 64, 3), np.uint8))
+    vw.release()
+    sol = entrypoint(["solutions", "count", f"source={vid}", "model=yolov8n.yaml", "conf=0.9", "imgsz=64"])
+    assert sol is not None
+    assert (tmp_path / "runs" / "solutions" / "count" / "out.mp4").exists()
+
+
+def test_cli_solutions_usage():
+    from yolo_tpu.cfg import entrypoint
+
+    assert entrypoint(["solutions"]) is None
+    assert entrypoint(["solutions", "nope"]) is None

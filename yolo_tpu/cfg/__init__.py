@@ -10,6 +10,8 @@ from __future__ import annotations
 import difflib
 import shutil
 import sys
+
+import numpy as np
 from pathlib import Path
 from types import SimpleNamespace
 
@@ -41,7 +43,7 @@ CFG_BOOL_KEYS = frozenset(
 )
 
 TASKS = {"detect", "segment", "classify", "pose", "obb"}
-MODES = {"train", "val", "predict", "export", "track", "benchmark"}
+MODES = {"train", "val", "predict", "export", "track", "benchmark", "tune"}
 
 DEFAULT_CFG_DICT = {k: (None if v == "None" else v) for k, v in yaml_load(DEFAULT_CFG_PATH).items()}
 DEFAULT_CFG = IterableSimpleNamespace(**DEFAULT_CFG_DICT)
@@ -193,6 +195,8 @@ def entrypoint(argv: list[str] | None = None):
 
             LOGGER.info(collect_system_info())
             return None
+        elif a == "solutions":
+            return handle_yolo_solutions(args[args.index(a) + 1 :])
         else:
             check_dict_alignment(DEFAULT_CFG_DICT, {a: ""})
 
@@ -201,11 +205,80 @@ def entrypoint(argv: list[str] | None = None):
         raise ValueError(f"invalid mode '{mode}', valid: {MODES}")
     task = task or overrides.pop("task", None)
 
-    from yolo_tpu import YOLO
-
     model = overrides.pop("model", DEFAULT_CFG.model) or "yolov8n.yaml"
-    yolo = YOLO(model, task=task)
+    name = str(model).lower()
+    # family routing (ref: cfg/__init__.py entrypoint model dispatch)
+    if "yolo_nas" in name:
+        from yolo_tpu import NAS as model_cls
+    elif "world" in name:
+        from yolo_tpu import YOLOWorld as model_cls
+    elif "yoloe" in name:
+        from yolo_tpu import YOLOE as model_cls
+    else:
+        from yolo_tpu import YOLO
+
+        yolo = YOLO(model, task=task)
+        return getattr(yolo, mode)(**overrides)
+    yolo = model_cls(model)
     return getattr(yolo, mode)(**overrides)
+
+
+SOLUTIONS_MAP = {
+    "count": "ObjectCounter",
+    "heatmap": "Heatmap",
+    "speed": "SpeedEstimator",
+    "queue": "QueueManager",
+    "blur": "ObjectBlurrer",
+    "crop": "ObjectCropper",
+    "trackzone": "TrackZone",
+    "visioneye": "VisionEye",
+    "isegment": "InstanceSegmentation",
+    "inference": "WebInference",
+}
+
+
+def handle_yolo_solutions(args: list[str]):
+    """`yolo solutions NAME source=... k=v` (ref: cfg/__init__.py
+    handle_yolo_solutions:637): stream a video/camera source through a
+    solution, writing the annotated output next to runs/solutions."""
+    import yolo_tpu.solutions as S
+
+    if not args or args[0] not in SOLUTIONS_MAP:
+        LOGGER.info(f"usage: yolo solutions NAME k=v — names: {sorted(SOLUTIONS_MAP)}")
+        return None
+    name = args[0]
+    kv = dict(parse_key_value_pair(a) for a in args[1:] if "=" in a)
+    source = kv.pop("source", None)
+    if name == "inference":
+        wi = S.WebInference(model=kv.pop("model", "yolov8n.yaml"), source=source or 0, **kv)
+        wi.serve(port=int(kv.pop("port", 8080)))
+        return wi
+    sol = getattr(S, SOLUTIONS_MAP[name])(**kv)
+    if source is None:
+        LOGGER.info("pass source=<video|camera-id>")
+        return sol
+    import cv2
+
+    cap = cv2.VideoCapture(int(source) if str(source).isdigit() else str(source))
+    save_dir = Path("runs") / "solutions" / name
+    save_dir.mkdir(parents=True, exist_ok=True)
+    writer = None
+    n = 0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        out = sol.process(frame)
+        img = out if isinstance(out, np.ndarray) else getattr(out, "plot_im", frame)
+        if writer is None:
+            writer = cv2.VideoWriter(str(save_dir / "out.mp4"), cv2.VideoWriter_fourcc(*"mp4v"), 30, (img.shape[1], img.shape[0]))
+        writer.write(img)
+        n += 1
+    cap.release()
+    if writer:
+        writer.release()
+    LOGGER.info(f"solutions/{name}: {n} frames -> {save_dir / 'out.mp4'}")
+    return sol
 
 
 def copy_default_cfg():
