@@ -508,6 +508,139 @@ class C3:
         return self.cv3(p["cv3"], jnp.concatenate([a, b], axis=-1), ctx, f"{path}/cv3")
 
 
+class C2:
+    """CSP Bottleneck with 2 convolutions (ref: block.py C2:266)."""
+
+    def __init__(self, c1, c2, n=1, shortcut=True, g=1, e=0.5):
+        self.c = int(c2 * e)
+        self.cv1 = ConvBNAct(c1, 2 * self.c, 1, 1)
+        self.cv2 = ConvBNAct(2 * self.c, c2, 1)
+        self.m = [Bottleneck(self.c, self.c, shortcut, g, k=((3, 3), (3, 3)), e=1.0) for _ in range(n)]
+
+    def init(self, rng):
+        return {
+            "cv1": self.cv1.init(rng),
+            "cv2": self.cv2.init(rng),
+            "m": {str(i): m.init(rng) for i, m in enumerate(self.m)},
+        }
+
+    def __call__(self, p, x, ctx, path=""):
+        y = self.cv1(p["cv1"], x, ctx, f"{path}/cv1")
+        a, b = y[..., : self.c], y[..., self.c :]
+        for i, m in enumerate(self.m):
+            a = m(p["m"][str(i)], a, ctx, f"{path}/m/{i}")
+        return self.cv2(p["cv2"], jnp.concatenate([a, b], -1), ctx, f"{path}/cv2")
+
+
+class GhostConv:
+    """Ghost convolution: primary conv + cheap 5x5 depthwise expansion
+    (ref: conv.py GhostConv:331)."""
+
+    def __init__(self, c1, c2, k=1, s=1, g=1, act=True):
+        c_ = c2 // 2
+        self.s = s
+        self.cv1 = ConvBNAct(c1, c_, k, s, None, g, act=act)
+        self.cv2 = ConvBNAct(c_, c_, 5, 1, None, c_, act=act)
+
+    def init(self, rng):
+        return {"cv1": self.cv1.init(rng), "cv2": self.cv2.init(rng)}
+
+    def __call__(self, p, x, ctx, path=""):
+        y = self.cv1(p["cv1"], x, ctx, f"{path}/cv1")
+        return jnp.concatenate([y, self.cv2(p["cv2"], y, ctx, f"{path}/cv2")], -1)
+
+
+class GhostBottleneck:
+    """GhostNet bottleneck (ref: block.py GhostBottleneck:441)."""
+
+    def __init__(self, c1, c2, k=3, s=1):
+        c_ = c2 // 2
+        self.s = s
+        self.conv = [GhostConv(c1, c_, 1, 1), DWConv(c_, c_, k, s, act=False) if s == 2 else None,
+                     GhostConv(c_, c2, 1, 1, act=False)]
+        self.shortcut = [DWConv(c1, c1, k, s, act=False), ConvBNAct(c1, c2, 1, 1, act=False)] if s == 2 else None
+
+    def init(self, rng):
+        p = {"conv": {str(i): m.init(rng) for i, m in enumerate(self.conv) if m is not None}}
+        if self.shortcut:
+            p["shortcut"] = {str(i): m.init(rng) for i, m in enumerate(self.shortcut)}
+        return p
+
+    def __call__(self, p, x, ctx, path=""):
+        y = x
+        for i, m in enumerate(self.conv):
+            if m is not None:
+                y = m(p["conv"][str(i)], y, ctx, f"{path}/conv/{i}")
+        if self.shortcut:
+            sc = x
+            for i, m in enumerate(self.shortcut):
+                sc = m(p["shortcut"][str(i)], sc, ctx, f"{path}/shortcut/{i}")
+        else:
+            sc = x
+        return y + sc
+
+
+class C3Ghost(C3):
+    """C3 with GhostBottleneck inner blocks (ref: block.py C3Ghost:421)."""
+
+    def __init__(self, c1, c2, n=1, shortcut=True, g=1, e=0.5):
+        super().__init__(c1, c2, n, shortcut, g, e)
+        c_ = int(c2 * e)
+        self.m = [GhostBottleneck(c_, c_) for _ in range(n)]
+
+
+class ResNetBlock:
+    """Bottleneck ResNet block (ref: block.py ResNetBlock:530)."""
+
+    def __init__(self, c1, c2, s=1, e=4):
+        c3 = e * c2
+        # torch Conv(act=True) = default SiLU; only the residual join is ReLU
+        self.cv1 = ConvBNAct(c1, c2, 1, 1)
+        self.cv2 = ConvBNAct(c2, c2, 3, s, 1)
+        self.cv3 = ConvBNAct(c2, c3, 1, act=False)
+        self.shortcut = ConvBNAct(c1, c3, 1, s, act=False) if s != 1 or c1 != c3 else None
+
+    def init(self, rng):
+        p = {"cv1": self.cv1.init(rng), "cv2": self.cv2.init(rng), "cv3": self.cv3.init(rng)}
+        if self.shortcut is not None:
+            p["shortcut"] = {"0": self.shortcut.init(rng)}
+        return p
+
+    def __call__(self, p, x, ctx, path=""):
+        y = self.cv3(p["cv3"], self.cv2(p["cv2"], self.cv1(p["cv1"], x, ctx, f"{path}/cv1"), ctx, f"{path}/cv2"), ctx, f"{path}/cv3")
+        sc = self.shortcut(p["shortcut"]["0"], x, ctx, f"{path}/shortcut") if self.shortcut is not None else x
+        return jnp.maximum(y + sc, 0.0)
+
+
+class ResNetLayer:
+    """Stage of ResNet blocks, or the stem conv+maxpool when is_first
+    (ref: block.py ResNetLayer:555). yaml args are explicit [c1, c2, s,
+    is_first, n]; output channels = c2 when is_first else 4*c2."""
+
+    def __init__(self, c1, c2, s=1, is_first=False, n=1, e=4):
+        self.is_first = is_first
+        self.s_total = 4 if is_first else s  # stem = conv s2 + maxpool s2
+        if is_first:
+            self.stem = ConvBNAct(c1, c2, 7, 2, 3)
+            self.pool = MaxPool2d(3, 2, 1)
+            self.blocks = []
+        else:
+            self.blocks = [ResNetBlock(c1, c2, s, e=e)] + [ResNetBlock(e * c2, c2, 1, e=e) for _ in range(n - 1)]
+
+    def init(self, rng):
+        if self.is_first:
+            return {"layer": {"0": self.stem.init(rng)}}
+        return {"layer": {str(i): b.init(rng) for i, b in enumerate(self.blocks)}}
+
+    def __call__(self, p, x, ctx, path=""):
+        if self.is_first:
+            x = self.stem(p["layer"]["0"], x, ctx, f"{path}/layer/0")
+            return self.pool({}, x, ctx, f"{path}/pool")
+        for i, b in enumerate(self.blocks):
+            x = b(p["layer"][str(i)], x, ctx, f"{path}/layer/{i}")
+        return x
+
+
 class NASBottleneck:
     """Two fused-QARepVGG 3x3 convs with a learnable-alpha residual — the
     deploy form of super_gradients' YoloNASBottleneck (ref analog:

@@ -41,7 +41,12 @@ MODULE_MAP = {
     "nn.MaxPool2d": M.MaxPool2d,
     # YOLO11 family
     "C3": M.C3,
+    "C2": M.C2,
     "C3k": M.C3k,
+    "C3Ghost": M.C3Ghost,
+    "GhostConv": M.GhostConv,
+    "GhostBottleneck": M.GhostBottleneck,
+    "ResNetLayer": M.ResNetLayer,
     "NASCSP": M.NASCSP,
     "C3k2": M.C3k2,
     "SCDown": M.SCDown,
@@ -196,12 +201,20 @@ def _parse_rows(d, ch, nc, depth, width, max_channels):
         ]
         n = max(round(n * depth), 1) if n > 1 else n
 
-        if mcls in (M.ConvBNAct, M.DWConv, M.C2f, M.SPPF, M.SPP, M.Bottleneck, M.C3, M.C3k, M.C3k2, M.NASCSP, M.SCDown, M.C2PSA, M.Classify, M.RepConv, M.RepCSP, M.RepNCSPELAN4, M.ELAN1, M.AConv, M.ADown, M.SPPELAN, M.CIB, M.C2fCIB, M.PSA, M.A2C2f, M.ConvTranspose, M.RepC3):
+        if mcls is M.ResNetLayer:
+            c2 = args[1] if args[3] else args[1] * 4  # is_first -> c2 else 4*c2 (ref :1660)
+            layers.append(LayerSpec(i, f, mcls(*args), mname))
+            save.extend(x % i for x in ([f] if isinstance(f, int) else f) if x != -1)
+            if i == 0:
+                ch = []
+            ch.append(c2)
+            continue
+        if mcls in (M.ConvBNAct, M.DWConv, M.C2f, M.SPPF, M.SPP, M.Bottleneck, M.C3, M.C2, M.C3k, M.C3k2, M.NASCSP, M.C3Ghost, M.GhostConv, M.GhostBottleneck, M.SCDown, M.C2PSA, M.Classify, M.RepConv, M.RepCSP, M.RepNCSPELAN4, M.ELAN1, M.AConv, M.ADown, M.SPPELAN, M.CIB, M.C2fCIB, M.PSA, M.A2C2f, M.ConvTranspose, M.RepC3):
             c1, c2 = ch[f], args[0]
             if c2 != nc:
                 c2 = make_divisible(min(c2, max_channels) * width, 8)
             args = [c1, c2, *args[1:]]
-            if mcls in (M.C2f, M.C3, M.C3k, M.C3k2, M.NASCSP, M.C2PSA, M.RepCSP, M.C2fCIB, M.A2C2f, M.RepC3):
+            if mcls in (M.C2f, M.C3, M.C2, M.C3k, M.C3k2, M.NASCSP, M.C3Ghost, M.C2PSA, M.RepCSP, M.C2fCIB, M.A2C2f, M.RepC3):
                 args.insert(2, n)
                 n = 1
             if mcls is M.C3k2 and d.get("scale") in ("m", "l", "x"):
@@ -301,6 +314,10 @@ def _compute_strides(layers):
                     s *= sub.s
         elif isinstance(spec.module, M.HGStem):  # two stride-2 convs
             s = src * 4
+        elif isinstance(spec.module, M.ResNetLayer):
+            s = src * spec.module.s_total
+        elif isinstance(spec.module, (M.GhostConv, M.GhostBottleneck)):
+            s = src * spec.module.s
         elif type(spec.module).__name__ == "RTDETRDecoder":
             s = None  # head; its stride list is preset in __init__
         elif isinstance(spec.module, M.Detect):  # Segment subclasses Detect
