@@ -67,3 +67,20 @@ def test_trainer_direct_smoke(ds, tmp_path):
     t.train()
     assert (tmp_path / "tr" / "weights" / "last.npz").exists()
     assert (tmp_path / "tr" / "results.csv").exists()
+
+
+def test_model_embed_facade():
+    """YOLO(...).embed returns pooled per-image feature vectors
+    (ref: engine/model.py embed:467)."""
+    import numpy as np
+
+    from yolo_tpu import YOLO
+
+    m = YOLO("yolov8n.yaml")
+    imgs = [np.random.default_rng(i).integers(0, 255, (80, 100, 3), np.uint8) for i in range(2)]
+    out = m.embed(imgs, imgsz=64)
+    assert len(out) == 2
+    assert out[0].ndim == 1 and out[0].shape == out[1].shape
+    assert np.isfinite(out[0]).all()
+    # different images give different embeddings
+    assert not np.allclose(out[0], out[1])

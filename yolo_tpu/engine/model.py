@@ -209,8 +209,25 @@ class YOLO:
             LOGGER.info(msg)
         return {"layers": n_layers, "parameters": n_params, "stride": self.model.stride}
 
-    def embed(self, source=None, **kwargs):
-        raise NotImplementedError("embedding extraction lands with the classify task")
+    def embed(self, source=None, layers=None, imgsz: int = 640, **kwargs):
+        """Pooled image embeddings (ref: engine/model.py embed:467 — a predict
+        wrapper returning per-image feature vectors from the neck output by
+        default)."""
+        import jax
+        import jax.numpy as jnp
+
+        from yolo_tpu.engine.predictor import _iter_source
+        from yolo_tpu.nn.modules import Ctx
+        from yolo_tpu.ops.letterbox import LetterBox
+
+        lb = LetterBox((imgsz, imgsz), auto=False)
+        ctx = Ctx(train=False, dtype=jnp.float32)
+        fn = jax.jit(lambda p, x: self.model.embed_features(p, x, ctx, idx=layers))
+        out = []
+        for img, _path, _ in _iter_source(source):
+            x = jnp.asarray(lb(img)[None, ..., ::-1].astype(np.float32) / 255.0)
+            out.append(np.asarray(fn(self.params, x))[0])
+        return out
 
 
 class RTDETR(YOLO):

@@ -370,6 +370,30 @@ class BaseModel:
             x = out if not isinstance(out, list) else x
         return out  # head output
 
+    def embed_features(self, params, x, ctx: M.Ctx, idx=None):
+        """Pooled intermediate embeddings (ref: nn/tasks.py _predict_once embed
+        branch + engine/model.py embed:467): walk the graph, mean-pool the
+        selected layers' NHWC outputs to (B, C), concatenate. Default layer =
+        the second-to-last (the neck output feeding the head)."""
+        idx = sorted(set(idx or [len(self.layers) - 2]))
+        y = {}
+        mp = params["model"]
+        embeds = []
+        for spec in self.layers[: max(idx) + 1]:
+            f = spec.f
+
+            def src(j):
+                return x if j == -1 else y[j if j >= 0 else spec.i + j]
+
+            x_in = [src(j) for j in f] if isinstance(f, list) else src(f)
+            out = spec.module(mp[str(spec.i)], x_in, ctx, f"model/{spec.i}")
+            if spec.i in self.save:
+                y[spec.i] = out
+            if spec.i in idx and not isinstance(out, (list, tuple)):
+                embeds.append(out.mean(axis=(1, 2)) if out.ndim == 4 else out)
+            x = out if not isinstance(out, list) else x
+        return jnp.concatenate(embeds, axis=-1)
+
     def param_count(self, params) -> int:
         return sum(int(p.size) for p in jax.tree_util.tree_leaves(params))
 
