@@ -135,3 +135,18 @@ def test_full_train_state_resume(tiny_dataset, tmp_path):
     rows = list(csv.DictReader(open(run / "results.csv")))
     # resumed run continues at epoch 2 and finishes 4 total
     assert int(rows[0]["epoch"]) == 2 and int(rows[-1]["epoch"]) == 3
+
+
+def test_multi_scale_training(tiny_dataset, tmp_path):
+    """multi_scale=True trains over the static size ladder (bounded jit cache,
+    normalized labels untouched; ref detect/train.py preprocess_batch :105)."""
+    from yolo_tpu import YOLO
+
+    m = YOLO("yolov8n.yaml")
+    m.train(data=tiny_dataset, epochs=2, imgsz=64, batch=4, workers=1, multi_scale=True,
+            project=str(tmp_path), name="ms", val=False, plots=False, amp=False, mosaic=0.0)
+    import csv
+
+    rows = list(csv.DictReader(open(tmp_path / "ms" / "results.csv")))
+    assert len(rows) == 2
+    assert all(np.isfinite(float(r["train/box_loss"])) for r in rows)

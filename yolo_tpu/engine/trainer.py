@@ -361,6 +361,19 @@ class DetectionTrainer:
                 else:
                     lr, mom = lr_epoch, args.momentum
                 dev_batch = {k: v for k, v in batch.items() if k != "meta"}
+                if getattr(args, "multi_scale", False) and "masks" not in dev_batch:
+                    # TPU multi-scale: the reference rescales to a random size
+                    # per batch (detect/train.py :105) — dynamic shapes would
+                    # recompile unboundedly under jit, so sizes come from a
+                    # STATIC ladder (5 entries -> 5 cached executables); labels
+                    # are normalized, only pixels move (host cv2 resize)
+                    import cv2
+
+                    base = dev_batch["img"].shape[1]
+                    ladder = sorted({max(int(base * f) // stride * stride, stride) for f in (0.5, 0.75, 1.0, 1.25, 1.5)})
+                    sz = ladder[np.random.default_rng(ni).integers(len(ladder))]
+                    if sz != base:
+                        dev_batch["img"] = np.stack([cv2.resize(im, (sz, sz)) for im in dev_batch["img"]])
                 if getattr(self.model, "is_rtdetr", False):
                     from yolo_tpu.utils.cdn import make_cdn_batch
 
