@@ -49,6 +49,10 @@ class BasePredictor:
         import jax.numpy as jnp
 
         self.dtype = jnp.bfloat16 if (self.args.half or str(self.args.compute_dtype) == "bfloat16") else jnp.float32
+        if getattr(self.args, "int8", False):  # PTQ inference (nn/quantize.py)
+            from yolo_tpu.nn.quantize import quantize_params
+
+            self.params = quantize_params(model.fuse(self.params) if hasattr(model, "fuse") else self.params)
 
     # --- device program ------------------------------------------------------
 
