@@ -138,3 +138,28 @@ def test_track_glue_assigns_ids():
     assert all(i is not None for i in ids)
     flat = {int(i[0]) for i in ids if i is not None and len(i)}
     assert len(flat) == 1  # one stable id
+
+
+def test_botsort_reid_encoder_path():
+    """BOTSORT with a model-backed ReID encoder (ref: bot_sort.py ReID:252):
+    crops embed through Model.embed and appearance costs gate matching."""
+    from types import SimpleNamespace
+
+    from yolo_tpu.trackers.bot_sort import BOTSORT
+
+    args = SimpleNamespace(
+        tracker_type="botsort", track_high_thresh=0.25, track_low_thresh=0.1,
+        new_track_thresh=0.25, track_buffer=30, match_thresh=0.8, fuse_score=True,
+        gmc_method="none", proximity_thresh=0.5, appearance_thresh=0.8,
+        with_reid=True, model="yolov8n.yaml",
+    )
+    t = BOTSORT(args, frame_rate=30)
+    assert t.encoder is not None
+    img = np.random.default_rng(0).integers(0, 255, (128, 160, 3), np.uint8)
+    for f in range(3):
+        boxes = np.array([[40 + 2 * f, 60, 30, 24]], np.float32)
+        out = t.update(boxes, np.array([0.9], np.float32), np.array([0], np.float32), img=img)
+    assert len(out) == 1
+    trk = t.tracked_stracks[0]
+    assert getattr(trk, "smooth_feat", None) is not None
+    assert abs(float(np.linalg.norm(trk.smooth_feat)) - 1.0) < 1e-3

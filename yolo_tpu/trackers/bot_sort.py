@@ -92,7 +92,12 @@ class BOTSORT(BYTETracker):
         self.gmc = GMC(method=args.gmc_method)
         self.proximity_thresh = args.proximity_thresh
         self.appearance_thresh = args.appearance_thresh
-        self.encoder = None  # ReID encoder attachable; off by default (with_reid: False)
+        # ReID encoder (ref: bot_sort.py ReID:252): model='auto' reuses the
+        # detector's features passed through update(feats=...); a model name
+        # builds a crop-and-embed encoder over our Model.embed facade
+        self.encoder = None
+        if args.with_reid and getattr(args, "model", "auto") != "auto":
+            self.encoder = ReID(args.model)
 
     def get_kalmanfilter(self):
         return KalmanFilterXYWH()
@@ -100,6 +105,8 @@ class BOTSORT(BYTETracker):
     def init_track(self, dets, scores, cls, img=None, feats=None):
         if len(dets) == 0:
             return []
+        if self.args.with_reid and self.encoder is not None and img is not None and feats is None:
+            feats = self.encoder(img, np.asarray(dets)[:, :4])
         if self.args.with_reid and feats is not None:
             return [BOTrack(xywh, s, c, f) for (xywh, s, c, f) in zip(dets, scores, cls, feats)]
         return [BOTrack(xywh, s, c) for (xywh, s, c) in zip(dets, scores, cls)]
@@ -109,7 +116,10 @@ class BOTSORT(BYTETracker):
         dists_mask = dists > (1 - self.proximity_thresh)
         if self.args.fuse_score:
             dists = matching.fuse_score(dists, detections)
-        if self.args.with_reid and self.encoder is not None and len(tracks) and len(detections):
+        # appearance gating applies whenever detections carry features —
+        # from the crop-and-embed encoder or the detector's own feats ('auto')
+        if self.args.with_reid and len(tracks) and len(detections) \
+                and all(getattr(d, "curr_feat", None) is not None for d in detections):
             emb_dists = matching.embedding_distance(tracks, detections) / 2.0
             emb_dists[emb_dists > (1 - self.appearance_thresh)] = 1.0
             emb_dists[dists_mask] = 1.0
@@ -124,3 +134,29 @@ class BOTSORT(BYTETracker):
     def reset(self):
         super().reset()
         self.gmc.reset_params()
+
+
+class ReID:
+    """Crop-and-embed re-identification encoder (ref: bot_sort.py ReID:252 —
+    the reference embeds detection crops with a YOLO model; here the crops go
+    through Model.embed's pooled neck features)."""
+
+    def __init__(self, model: str = "yolov8n.yaml", imgsz: int = 128):
+        from yolo_tpu import YOLO
+
+        self.model = YOLO(model)
+        self.imgsz = imgsz
+
+    def __call__(self, img: np.ndarray, dets_xywh: np.ndarray):
+        """img BGR; dets (N, 4) center xywh → list of L2-normalized embeddings."""
+        h, w = img.shape[:2]
+        crops = []
+        for cx, cy, bw, bh in np.asarray(dets_xywh, np.float32):
+            x1, y1 = max(int(cx - bw / 2), 0), max(int(cy - bh / 2), 0)
+            x2, y2 = min(int(cx + bw / 2), w), min(int(cy + bh / 2), h)
+            if x2 <= x1 or y2 <= y1:
+                crops.append(np.zeros((8, 8, 3), np.uint8))
+            else:
+                crops.append(img[y1:y2, x1:x2])
+        feats = self.model.embed(crops, imgsz=self.imgsz)
+        return [f / max(float(np.linalg.norm(f)), 1e-12) for f in feats]
