@@ -56,3 +56,34 @@ def test_world_parity_with_reference(yaml_name):
     assert y_t.shape == y_j.shape
     assert np.allclose(y_t[:, :4], y_j[:, :4], atol=5e-2), np.abs(y_t[:, :4] - y_j[:, :4]).max()
     assert np.allclose(y_t[:, 4:], y_j[:, 4:], atol=2e-3), np.abs(y_t[:, 4:] - y_j[:, 4:]).max()
+
+
+def test_world_finetune_close_set(tmp_path):
+    """Close-set YOLO-World fine-tuning (ref: world/train.py WorldTrainer):
+    dataset class names embed via the native text tower and the detection
+    loss trains through the region-text head."""
+    import cv2
+
+    from yolo_tpu.engine.model import YOLOWorld
+
+    root = tmp_path / "ds"
+    for sub in ("images/train", "labels/train"):
+        (root / sub).mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        img = rng.integers(0, 255, (64, 64, 3), np.uint8)
+        cv2.rectangle(img, (20, 20), (44, 44), (250, 250, 250), -1)
+        cv2.imwrite(str(root / "images/train" / f"{i}.jpg"), img)
+        (root / "labels/train" / f"{i}.txt").write_text("0 0.5 0.5 0.4 0.4\n")
+    data = root / "d.yaml"
+    data.write_text(f"path: {root}\ntrain: images/train\nval: images/train\nnames:\n  0: bright box\n")
+
+    m = YOLOWorld("yolov8s-world.yaml")
+    m.train(data=str(data), epochs=2, imgsz=64, batch=2, workers=1, mosaic=0.0,
+            project=str(tmp_path), name="w", val=False, plots=False, amp=False)
+    import csv
+
+    rows = list(csv.DictReader(open(tmp_path / "w" / "results.csv")))
+    assert len(rows) == 2
+    assert all(np.isfinite(float(r["train/box_loss"])) for r in rows)
+    assert m.model.nc == 1 and m.model.names == {0: "bright box"}

@@ -92,6 +92,11 @@ class DetectionTrainer:
             self.params = self.model.init(self.args.seed)
         if self.data:
             self.model.names = self.data["names"]
+        if self.data and getattr(self.model, "is_world", False):
+            # world fine-tuning (ref: models/yolo/world/train.py WorldTrainer
+            # preprocess_batch:168): the close-set class names embed once via
+            # the text tower and ride the forward as the region-text guide
+            self.model.set_classes(list(self.data["names"].values()))
 
         self.loss_fn = self._make_loss()
         self.stopper = EarlyStopping(self.args.patience)
