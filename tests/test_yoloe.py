@@ -165,3 +165,33 @@ def test_yoloe_lrpc_prompt_free_parity():
     assert y_sel.shape == y_t.shape, (y_sel.shape, y_t.shape)
     assert np.allclose(y_t[:, :4], y_sel[:, :4], atol=5e-2), np.abs(y_t[:, :4] - y_sel[:, :4]).max()
     assert np.allclose(y_t[:, 4:], y_sel[:, 4:], atol=2e-3), np.abs(y_t[:, 4:] - y_sel[:, 4:]).max()
+
+
+def test_yoloe_finetune_close_set(tmp_path):
+    """YOLOE close-set fine-tuning (ref: yoloe/train.py): class names embed
+    through the text tower + SwiGLU residual; detection loss trains."""
+    import cv2
+
+    from yolo_tpu.engine.model import YOLOE
+
+    root = tmp_path / "ds"
+    for sub in ("images/train", "labels/train"):
+        (root / sub).mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        img = rng.integers(0, 255, (64, 64, 3), np.uint8)
+        cv2.rectangle(img, (20, 20), (44, 44), (250, 250, 250), -1)
+        cv2.imwrite(str(root / "images/train" / f"{i}.jpg"), img)
+        (root / "labels/train" / f"{i}.txt").write_text("0 0.5 0.5 0.4 0.4\n")
+    data = root / "d.yaml"
+    data.write_text(f"path: {root}\ntrain: images/train\nval: images/train\nnames:\n  0: box\n")
+
+    m = YOLOE("yoloe-11n.yaml")
+    m.train(data=str(data), epochs=2, imgsz=64, batch=2, workers=1, mosaic=0.0,
+            project=str(tmp_path), name="e", val=False, plots=False, amp=False)
+    import csv
+
+    rows = list(csv.DictReader(open(tmp_path / "e" / "results.csv")))
+    assert len(rows) == 2
+    assert all(np.isfinite(float(r["train/box_loss"])) for r in rows)
+    assert m.model.nc == 1

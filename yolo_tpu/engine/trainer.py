@@ -97,6 +97,10 @@ class DetectionTrainer:
             # preprocess_batch:168): the close-set class names embed once via
             # the text tower and ride the forward as the region-text guide
             self.model.set_classes(list(self.data["names"].values()))
+        if self.data and getattr(self.model, "is_yoloe", False):
+            # yoloe fine-tuning (ref: models/yolo/yoloe/train.py): text prompts
+            # through the head's SwiGLU residual become the class embeddings
+            self.model.set_classes(list(self.data["names"].values()), params=self.params)
 
         self.loss_fn = self._make_loss()
         self.stopper = EarlyStopping(self.args.patience)
