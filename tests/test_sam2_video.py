@@ -204,3 +204,50 @@ def test_sam2_video_propagation_parity():
         assert agree > 0.999, (f, agree)
         assert np.allclose(ref_scores[f], our_scores[f], atol=5e-2), (f, ref_scores[f], our_scores[f])
         assert np.abs(r - o).max() < 0.5, (f, np.abs(r - o).max(), np.abs(r).max())
+
+
+def test_sam2_video_reverse_propagation_parity():
+    """track_in_reverse parity: backward propagation flips the signed
+    temporal encodings (ref: _prepare_memory_conditioned_features
+    tpos_sign_mul)."""
+    add_reference_to_path()
+    import torch
+
+    from yolo_tpu.models.sam.video import SAM2VideoPredictor
+
+    T = 6
+    ref = _build_ref(num_layers=2)
+    ours = _build_ours()
+    params = _import_params(ref, ours)
+    clip = _clip(T)
+    mean = np.array([123.675, 116.28, 103.53], np.float32)
+    std = np.array([58.395, 57.12, 57.375], np.float32)
+
+    pts = np.array([[[60.0, 60.0]]], np.float32)
+    lbl = np.array([[1]], np.int64)
+    out_dict = {"cond_frame_outputs": {}, "non_cond_frame_outputs": {}}
+    ref_masks = []
+    with torch.no_grad():
+        # prompt the LAST frame, walk backward
+        order = list(range(T - 1, -1, -1))
+        for k, f in enumerate(order):
+            img = torch.tensor(((clip[f] - mean) / std).transpose(2, 0, 1)[None])
+            backbone_out = ref.forward_image(img)
+            _, feats, pos, sizes = ref._prepare_backbone_features(backbone_out)
+            pin = {"point_coords": torch.tensor(pts), "point_labels": torch.tensor(lbl)} if k == 0 else None
+            out = ref.track_step(f, k == 0, feats, pos, sizes, pin, None, out_dict,
+                                 num_frames=T, track_in_reverse=True)
+            (out_dict["cond_frame_outputs"] if k == 0 else out_dict["non_cond_frame_outputs"])[f] = out
+            ref_masks.append(out["pred_masks_high_res"].numpy()[:, 0])
+
+    vp = SAM2VideoPredictor(ours, params, num_frames=T, reverse=True)
+    m0, _ = vp.add_prompt(clip[T - 1], points=pts[0], labels=lbl[0])
+    our_masks = [m0]
+    for f in range(T - 2, -1, -1):
+        m, _ = vp.track(clip[f])
+        our_masks.append(m)
+
+    for k in range(T):
+        r, o = ref_masks[k], np.asarray(our_masks[k])
+        agree = ((r > 0) == (o > 0)).mean()
+        assert agree > 0.999, (k, agree)

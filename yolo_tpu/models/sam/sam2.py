@@ -590,7 +590,7 @@ class SAM2Model:
             "frame_idx": jnp.zeros((), jnp.int32),
         }
 
-    def prepare_memory_conditioned_features(self, p, embed, bank, num_frames: int):
+    def prepare_memory_conditioned_features(self, p, embed, bank, num_frames: int, reverse: bool = False):
         """Fuse current features with the memory bank (ref: :646). embed
         (B, H, W, 256) raw; returns memory-conditioned (B, H, W, 256).
 
@@ -622,9 +622,15 @@ class SAM2Model:
         split = C // self.mem_dim
         ptrs = jnp.concatenate([bank["cond_ptr"][:, None], bank["ptrs"]], axis=1)  # (B, P+1, C)
         ptr_valid = jnp.concatenate([jnp.ones((B, 1), bool), bank["ptr_valid"]], axis=1)
+        # temporal distances are processing-order recency — positive in BOTH
+        # directions (the reference's signed formula (frame_idx - t) *
+        # tpos_sign_mul reduces to +distance forward AND reverse; its non-cond
+        # entries use plain positive t_diff either way), so `reverse` needs no
+        # sign change here — it only documents the frame-feeding order
+        del reverse
         tdiff = jnp.concatenate(
             [(bank["frame_idx"] - bank["cond_idx"])[None], jnp.arange(1, P + 1, dtype=jnp.int32)]
-        ).astype(jnp.float32)  # (P+1,) signed forward-tracking distances
+        ).astype(jnp.float32)  # (P+1,) signed temporal distances
         t_diff_max = max(min(num_frames, self.max_obj_ptrs) - 1, 1)
         if self.sam2_1:
             obj_pos = get_1d_sine_pe(tdiff / t_diff_max, dim=C)  # (P+1, C)

@@ -26,10 +26,14 @@ class SAM2VideoPredictor:
     ...     mask, score = vp.track(frame)
     """
 
-    def __init__(self, model, params, num_frames: int):
+    def __init__(self, model, params, num_frames: int, reverse: bool = False):
+        """reverse=True propagates BACKWARD in video time from the prompt
+        frame (ref: track_step track_in_reverse) — temporal encodings flip
+        sign; feed frames in reverse order."""
         self.model = model
         self.params = params
         self.num_frames = num_frames
+        self.reverse = reverse
         self.bank = None
         self._init_jit = jax.jit(self._init_step, static_argnums=(4,))
         self._track_jit = jax.jit(self._track_frame, donate_argnums=(1,))
@@ -57,7 +61,7 @@ class SAM2VideoPredictor:
         bank = dict(bank)
         bank["frame_idx"] = bank["frame_idx"] + 1
         embed, high_res = m.encode_frame(p, frame)
-        pix = m.prepare_memory_conditioned_features(p, embed, bank, self.num_frames)
+        pix = m.prepare_memory_conditioned_features(p, embed, bank, self.num_frames, reverse=self.reverse)
         # ref _use_multimask: tracking frames (0 points) use multimask with
         # best-IoU selection (multimask_output_for_tracking=True, min_pt=0)
         out = m.forward_sam_heads(p, pix, high_res, multimask_output=True)
