@@ -313,3 +313,36 @@ def test_rtdetr_train_step_with_cdn():
     # gradients reach the denoising class embedding (dn path is live)
     gnorm = float(jnp.abs(grads["model"][str(m.layers[-1].i)]["denoising_class_embed"]["weight"]).sum())
     assert gnorm > 0
+
+
+def test_rtdetr_facade_train_with_cdn(tmp_path):
+    """RT-DETR micro-train through the facade trainer — the cdn batch hook
+    (trainer loop) and the dn loss split run end to end."""
+    import cv2
+
+    from yolo_tpu import RTDETR
+
+    root = tmp_path / "ds"
+    for sub in ("images/train", "labels/train"):
+        (root / sub).mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        img = rng.integers(0, 255, (64, 64, 3), np.uint8)
+        cv2.rectangle(img, (20, 20), (44, 44), (250, 250, 250), -1)
+        cv2.imwrite(str(root / "images/train" / f"{i}.jpg"), img)
+        (root / "labels/train" / f"{i}.txt").write_text("0 0.5 0.5 0.4 0.4\n")
+    data = root / "d.yaml"
+    data.write_text(f"path: {root}\ntrain: images/train\nval: images/train\nnames:\n  0: t\n")
+
+    import yaml
+
+    cfg_path = tmp_path / "rtdetr-mini.yaml"
+    cfg_path.write_text(yaml.safe_dump(_mini_rtdetr_cfg(nc=1)))
+    m = RTDETR(str(cfg_path))
+    m.train(data=str(data), epochs=2, imgsz=64, batch=2, workers=1, mosaic=0.0,
+            project=str(tmp_path), name="r", val=False, plots=False, amp=False)
+    import csv
+
+    rows = list(csv.DictReader(open(tmp_path / "r" / "results.csv")))
+    assert len(rows) == 2
+    assert all(np.isfinite(float(rows[-1][f"train/{c}_loss"])) for c in ("giou", "cls", "l1"))
