@@ -92,6 +92,17 @@ class FusedDetectTrack:
             from yolo_tpu.nn.quantize import quantize_params
 
             params = quantize_params(params)
+        if channels == 1 and not int8:
+            # grayscale stem fold: conv(broadcast(x, 3ch), W) == conv(x, sum_c W)
+            # exactly — frames stay single-channel end to end (no 3x broadcast
+            # materialization in HBM)
+            import numpy as np
+
+            stem = params["model"]["0"]["conv"]
+            if np.asarray(stem["weight"]).shape[2] == 3:
+                params = dict(params)
+                params["model"] = dict(params["model"])
+                params["model"]["0"] = {"conv": {**stem, "weight": np.asarray(stem["weight"]).sum(axis=2, keepdims=True)}}
 
         self.chunk = chunk
         self.d_max = d_max
@@ -100,11 +111,13 @@ class FusedDetectTrack:
         dtype = dtype or jnp.bfloat16
         tracker_step = make_step(n_max, d_max, max_lost_frames, min_hits, iou_threshold)
 
+        gray_folded = channels == 1 and not int8
+
         def fused(p, track_state, stats, frames):
             x = frames.astype(dtype) / 255.0
-            if frames.shape[-1] == 1:
+            if frames.shape[-1] == 1 and not gray_folded:
                 x = jnp.broadcast_to(x, x.shape[:-1] + (3,))
-            else:
+            elif frames.shape[-1] != 1:
                 x = x[..., ::-1]  # BGR→RGB
             preds = model.predict(p, x, dtype=dtype)
             det = non_max_suppression(preds, conf_thres=conf, iou_thres=iou, max_det=d_max, max_nms=256)
