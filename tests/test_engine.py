@@ -84,3 +84,38 @@ def test_model_embed_facade():
     assert np.isfinite(out[0]).all()
     # different images give different embeddings
     assert not np.allclose(out[0], out[1])
+
+
+def test_predict_with_tta():
+    """augment=True runs 3-scale + flip TTA (ref: _predict_augment:445) with
+    anchors merged after tail clipping."""
+    import numpy as np
+
+    from yolo_tpu import YOLO
+
+    m = YOLO("yolov8n.yaml")
+    img = np.random.default_rng(0).integers(0, 255, (128, 128, 3), np.uint8)
+    r = m.predict(img, conf=0.25, imgsz=128, augment=True, verbose=False)
+    assert r[0].boxes.xyxy.shape[1] == 4
+    # anchor count sanity at the model level: sum of 3 clipped passes > single
+    import jax.numpy as jnp
+
+    x = jnp.zeros((1, 128, 128, 3), jnp.float32)
+    single = m.model.predict(m.params, x).shape[-1]
+    tta = m.model.predict_augment(m.params, x).shape[-1]
+    assert tta > single
+
+
+def test_save_crop(tmp_path, monkeypatch):
+    """save_crop writes per-class detection crops (ref: save_one_box:626)."""
+    import numpy as np
+
+    from yolo_tpu import YOLO
+
+    monkeypatch.chdir(tmp_path)
+    m = YOLO("yolov8n.yaml")
+    img = np.random.default_rng(0).integers(0, 255, (96, 96, 3), np.uint8)
+    # very low conf so the random net emits something
+    m.predict(img, conf=1e-5, imgsz=96, max_det=3, save_crop=True, verbose=False)
+    crops = list((tmp_path).rglob("crops/*/*.jpg"))
+    assert crops, "no crops written"

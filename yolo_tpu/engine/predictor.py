@@ -58,7 +58,7 @@ class BasePredictor:
 
     def _predict_fn(self, shape):
         """Build (or fetch) the fused jitted program for a (B, H, W, C) shape."""
-        key = tuple(shape) + (float(self.args.conf), float(self.args.iou), bool(self.args.agnostic_nms))
+        key = tuple(shape) + (float(self.args.conf), float(self.args.iou), bool(self.args.agnostic_nms), bool(getattr(self.args, "augment", False)))
         if key in self._fn_cache:
             return self._fn_cache[key]
         import jax
@@ -101,11 +101,17 @@ class BasePredictor:
             self._fn_cache[key] = fn
             return fn
 
+        augment = bool(getattr(self.args, "augment", False))
+        if augment and (type(model).__name__ != "DetectionModel" or getattr(model.head, "end2end", False)):
+            # ref _predict_augment:445 — TTA only for plain detection models
+            LOGGER.warning("model does not support augment=True, using single-scale prediction")
+            augment = False
+
         @jax.jit
         def fn(params, imgs):
             # imgs: uint8 NHWC BGR (cv2 convention) → RGB fp [0,1]
             x = imgs[..., ::-1].astype(dtype) / 255.0
-            preds = model.predict(params, x, dtype=dtype)
+            preds = model.predict_augment(params, x, dtype=dtype) if augment else model.predict(params, x, dtype=dtype)
             return non_max_suppression(
                 preds, conf_thres=conf, iou_thres=iou, classes=classes, agnostic=agnostic, max_det=max_det
             )
@@ -201,7 +207,7 @@ class BasePredictor:
                 LOGGER.info(f"{path}: {len(r)} dets {r.speed['inference']:.1f}ms")
         if getattr(self.args, "show", False):
             self._show_results(results)
-        if self.args.save or self.args.save_txt:
+        if self.args.save or self.args.save_txt or getattr(self.args, 'save_crop', False):
             self._write_results(results, metas)
         return results
 
@@ -235,6 +241,21 @@ class BasePredictor:
             stem = Path(str(path)).stem or "image"
             if self.args.save_txt:
                 r.save_txt(self.save_dir / "labels" / f"{stem}.txt", save_conf=self.args.save_conf)
+            if getattr(self.args, "save_crop", False):
+                # per-class detection crops (ref: plotting.py save_one_box:626,
+                # gain 1.02 + 10px pad, square off)
+                H, W = r.orig_img.shape[:2]
+                for j, b in enumerate(np.asarray(r.boxes.xyxy)):
+                    cx, cy = (b[0] + b[2]) / 2, (b[1] + b[3]) / 2
+                    side = max(b[2] - b[0], b[3] - b[1]) * 1.02 / 2 + 10
+                    x1, y1 = max(int(cx - side), 0), max(int(cy - side), 0)
+                    x2, y2 = min(int(cx + side), W), min(int(cy + side), H)
+                    if x2 <= x1 or y2 <= y1:
+                        continue
+                    cname = self.names.get(int(r.boxes.cls[j]), str(int(r.boxes.cls[j])))
+                    d = self.save_dir / "crops" / str(cname)
+                    d.mkdir(parents=True, exist_ok=True)
+                    cv2.imwrite(str(d / f"{stem}_{frame_idx}_{j}.jpg"), r.orig_img[y1:y2, x1:x2])
             if self.args.save:
                 annotated = r.plot(line_width=self.args.line_width, labels=self.args.show_labels)
                 suffix = Path(str(path)).suffix.lower().lstrip(".")

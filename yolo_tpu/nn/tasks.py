@@ -440,9 +440,52 @@ class DetectionModel(BaseModel):
             return outs  # decoded inside the head (eval path)
         return self.head.decode(params["model"][str(self.layers[-1].i)], outs)
 
+    def predict_augment(self, params, x, dtype=jnp.float32):
+        """Test-time augmentation: 3 scales x lr-flip merged (ref: nn/tasks.py
+        DetectionModel._predict_augment:445 + _descale_pred:456 +
+        _clip_augmented:478). Each scale is its own static shape, so jit
+        compiles exactly three programs."""
+        H, W = x.shape[1], x.shape[2]
+        gs = int(max(self.stride))
+        scales = (1.0, 0.83, 0.67)
+        flips = (None, "lr", None)
+        ys = []
+        for ratio, fl in zip(scales, flips):
+            xi = x[:, :, ::-1] if fl == "lr" else x
+            xi = _scale_img(xi, ratio, gs)
+            yi = self.predict(params, xi, dtype=dtype)  # (B, 4+nc, A) px xywh
+            bx = yi[:, 0:1] / ratio
+            by = yi[:, 1:2] / ratio
+            bwh = yi[:, 2:4] / ratio
+            if fl == "lr":
+                bx = W - bx
+            ys.append(jnp.concatenate([bx, by, bwh, yi[:, 4:]], axis=1))
+        # clip augmented tails (ref :478): drop the largest-stride anchors of
+        # the full-scale pass and the smallest-stride anchors of the last pass
+        nl = len(self.stride)
+        g = sum(4**k for k in range(nl))
+        i0 = (ys[0].shape[-1] // g) * 1
+        ys[0] = ys[0][..., :-i0]
+        i2 = (ys[-1].shape[-1] // g) * 4 ** (nl - 1)
+        ys[-1] = ys[-1][..., i2:]
+        return jnp.concatenate(ys, axis=-1)
+
     def fuse(self, params):
         """Return params with all Conv+BN folded (exact inference speedup)."""
         return {"model": {str(s.i): _fuse_module(s.module, params["model"][str(s.i)]) for s in self.layers}}
+
+
+def _scale_img(x, ratio: float, gs: int):
+    """Bilinear rescale + pad to a gs-multiple with the 0.447 ImageNet-mean
+    gray (ref: torch_utils.py scale_img). NHWC."""
+    if ratio == 1.0:
+        return x
+    B, H, W, C = x.shape
+    h, w = int(H * ratio), int(W * ratio)
+    xi = jax.image.resize(x, (B, h, w, C), "bilinear")
+    ph = -h % gs
+    pw = -w % gs
+    return jnp.pad(xi, ((0, 0), (0, ph), (0, pw), (0, 0)), constant_values=0.447)
 
 
 def _fuse_module(m, p):
@@ -474,6 +517,9 @@ def _fuse_module(m, p):
             }
         return out
     return p
+
+
+
 
 
 class ClassificationModel(BaseModel):
