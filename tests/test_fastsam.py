@@ -28,9 +28,6 @@ def test_fastsam_bbox_and_point_prompts(fastsam):
     # point prompt with a foreground label
     res_p = fastsam.predict(img, points=[[40, 40]], labels=[1], conf=1e-4, imgsz=64, verbose=False)
     assert res_p[0].masks is None or len(res_p[0]) <= len(res[0]) + 300  # filtered subset, never crashes
-    # text prompts are gated in this zero-egress environment
-    with pytest.raises(NotImplementedError):
-        fastsam.predictor.prompt(res, texts="a photo of a dog")
 
 
 def test_adjust_bboxes_to_border():
@@ -41,3 +38,16 @@ def test_adjust_bboxes_to_border():
     assert out[0, 0] == 0 and out[0, 1] == 0
     assert out[1, 2] == 128  # x2 within 20px of right border snaps
     assert out[1, 3] == 96
+
+
+def test_fastsam_text_prompt_selects_best_crop():
+    """Text prompts route through the native CLIP towers (ref:
+    fastsam/predict.py _clip_inference:152) — one mask per text selected."""
+    from yolo_tpu.models.fastsam import FastSAM
+
+    m = FastSAM("yolov8n-seg.yaml")
+    img = np.random.default_rng(0).integers(0, 255, (64, 64, 3), np.uint8)
+    res = m.predict(img, conf=1e-5, max_det=4, imgsz=64, texts="a bright object", verbose=False)
+    r = res[0]
+    # at most one mask kept per text (argmax over crops)
+    assert len(r) <= 1

@@ -62,11 +62,16 @@ class FastSAMPredictor(SegmentationPredictor):
         """Filter the everything-results by prompts (ref: predict.py prompt:78)."""
         if bboxes is None and points is None and texts is None:
             return results
+        clip = None
         if texts is not None:
-            raise NotImplementedError(
-                "text prompts need CLIP weights, which this zero-egress environment cannot fetch; "
-                "use bbox/point prompts"
-            )
+            # CLIP crop-vs-text similarity (ref: fastsam/predict.py
+            # _clip_inference:152) via the native towers; pass clip_ckpt= or a
+            # prebuilt clip_model= through predict kwargs for released weights
+            from yolo_tpu.nn.text_model import CLIPModel
+
+            clip = self.prompts.pop("clip_model", None) or CLIPModel()
+            if self.prompts.get("clip_ckpt"):
+                clip.load_torch(self.prompts.pop("clip_ckpt"))
         out = []
         if not isinstance(results, list):
             results = [results]
@@ -84,6 +89,22 @@ class FastSAMPredictor(SegmentationPredictor):
                 full_areas = masks.sum((1, 2))
                 union = bbox_areas[:, None] + full_areas[None] - mask_areas
                 idx[np.argmax(mask_areas / np.maximum(union, 1e-7), axis=1)] = True
+            if texts is not None and clip is not None:
+                # best mask per text by crop-text cosine (masks < 100 px skipped)
+                keep_i, crops = [], []
+                boxes_xyxy = np.asarray(r.boxes.xyxy, np.int32)
+                for i, b in enumerate(boxes_xyxy):
+                    if masks[i].sum() <= 100:
+                        continue
+                    x1, y1, x2, y2 = b
+                    if x2 > x1 and y2 > y1:
+                        keep_i.append(i)
+                        crops.append(r.orig_img[y1:y2, x1:x2, ::-1])
+                if crops:
+                    im_e = np.asarray(clip.encode_image(crops))  # (M, D) unit
+                    tx_e = np.asarray(clip.encode_text([texts] if isinstance(texts, str) else list(texts)))
+                    sim = im_e @ tx_e.T  # (M, T)
+                    idx[[keep_i[j] for j in np.argmax(sim, axis=0)]] = True
             if points is not None:
                 pts = np.atleast_2d(np.asarray(points, np.int32))
                 lbl = np.ones(len(pts), np.int32) if labels is None else np.asarray(labels, np.int32)
