@@ -290,3 +290,21 @@ def test_sam2_mask_decoder_parity():
     assert np.allclose(m_r.numpy(), np.asarray(m_j), atol=3e-3), np.abs(m_r.numpy() - np.asarray(m_j)).max()
     assert np.allclose(i_r.numpy(), np.asarray(i_j), atol=1e-3)
     assert np.allclose(o_r.numpy(), np.asarray(o_j), atol=1e-3)
+
+
+def test_sam_generate_everything():
+    """Point-grid segment-everything (ref: predict.py generate:329): grid
+    prompts -> conf/stability filters -> NMS -> Results at original size."""
+    from yolo_tpu.models.sam.build import _build_sam
+
+    model = _build_sam(32, 2, 2, (1,), img_size=128)
+    from yolo_tpu.models.sam.predict import SAMPredictor
+
+    pred = SAMPredictor(model)
+    img = np.random.default_rng(0).integers(0, 255, (96, 128, 3), np.uint8)
+    r = pred.generate(img, points_stride=4, points_batch_size=8,
+                      conf_thres=0.0, stability_score_thresh=0.0, nms_thresh=0.7)
+    assert r.masks is not None
+    if len(r.masks.data):
+        assert r.masks.data.shape[1:] == (96, 128)
+        assert r.boxes.xyxy.shape[0] == len(r.masks.data)

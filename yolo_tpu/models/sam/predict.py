@@ -24,6 +24,7 @@ class SAMPredictor:
         self._scale = None
         self._encode_jit = None
         self._decode_jit = None
+        self._gen_jit = None
 
     # --- image ------------------------------------------------------------------
 
@@ -103,4 +104,91 @@ class SAMPredictor:
         r = Results(np.zeros((h0, w0, 3), np.uint8), "", {0: "object"})
         r.masks = Masks(out, (h0, w0))
         r.iou_scores = iou.reshape(-1)
+        return r
+
+    # --- segment everything -------------------------------------------------------
+
+    def generate(self, img: np.ndarray, points_stride: int = 32, points_batch_size: int = 64,
+                 conf_thres: float = 0.88, stability_score_thresh: float = 0.95,
+                 stability_score_offset: float = 1.0, nms_thresh: float = 0.7):
+        """Segment everything via a point grid (ref: predict.py generate:329,
+        single crop layer). Each grid point prompts the decoder (multimask);
+        masks filter by predicted IoU and stability score, dedupe with box NMS.
+
+        Stability and boxes are computed on the low-res mask grid (the
+        reference interpolates to crop size first — equal up to resampling).
+
+        Returns a Results with .masks (original size), .boxes, and scores.
+        """
+        import cv2
+        import jax
+        import jax.numpy as jnp
+
+        from yolo_tpu.ops.nms import nms_numpy
+
+        self.set_image(img)
+        h0, w0 = self._orig_hw
+        side = points_stride
+        gy, gx = np.meshgrid((np.arange(side) + 0.5) / side, (np.arange(side) + 0.5) / side, indexing="ij")
+        grid = np.stack([gx.reshape(-1) * w0, gy.reshape(-1) * h0], -1).astype(np.float32)  # (P, 2) px
+
+        P = points_batch_size
+        if self._gen_jit is None:
+            def decode(p, feats, coords, labels):
+                return self.model.predict_masks(p, feats, points=(coords, labels), multimask_output=True)
+
+            self._gen_jit = jax.jit(decode)
+
+        thr = self.model.mask_threshold
+        all_masks, all_scores, all_boxes = [], [], []
+        for i in range(0, len(grid), P):
+            chunk = grid[i : i + P]
+            if len(chunk) < P:  # pad to the compiled batch
+                chunk = np.concatenate([chunk, np.zeros((P - len(chunk), 2), np.float32)])
+            coords = jnp.asarray(chunk[:, None] * self._scale)  # (P, 1, 2)
+            labels = jnp.ones((P, 1), jnp.int32)
+            masks, iou = self._gen_jit(self.params, self._features, coords, labels)
+            masks = np.asarray(masks, np.float32).reshape(-1, *masks.shape[-2:])  # (P*3, hs, ws)
+            iou = np.asarray(iou, np.float32).reshape(-1)
+            n_real = (min(len(grid) - i, P)) * 3
+            masks, iou = masks[:n_real], iou[:n_real]
+            keep = iou > conf_thres
+            masks, iou = masks[keep], iou[keep]
+            if not len(masks):
+                continue
+            # stability: IoU of (thr + off/2) vs (thr - off/2) thresholdings
+            hi = (masks > thr + stability_score_offset / 2).sum((1, 2))
+            lo = (masks > thr - stability_score_offset / 2).sum((1, 2))
+            stab = hi / np.maximum(lo, 1)
+            keep = stab > stability_score_thresh
+            masks, iou = masks[keep] > thr, iou[keep]
+            for m, s in zip(masks, iou):
+                ys, xs = np.where(m)
+                if not len(ys):
+                    continue
+                all_boxes.append([xs.min(), ys.min(), xs.max() + 1, ys.max() + 1])
+                all_masks.append(m)
+                all_scores.append(float(s))
+        if not all_masks:
+            r = Results(np.zeros((h0, w0, 3), np.uint8), "", {0: "object"})
+            r.masks = Masks(np.zeros((0, h0, w0), bool), (h0, w0))
+            return r
+        boxes = np.asarray(all_boxes, np.float32)
+        scores = np.asarray(all_scores, np.float32)
+        keep = nms_numpy(boxes, scores, nms_thresh)
+        lowres = self.model.image_encoder.img_size // 4
+        sx = w0 / (lowres * (w0 * self._scale / self.model.image_encoder.img_size))
+        out_masks, out_boxes = [], []
+        crop_h = max(int(round(h0 * self._scale / 4)), 1)
+        crop_w = max(int(round(w0 * self._scale / 4)), 1)
+        for k in keep:
+            m = all_masks[k][:crop_h, :crop_w].astype(np.uint8)
+            out_masks.append(cv2.resize(m, (w0, h0), interpolation=cv2.INTER_NEAREST) > 0)
+            b = boxes[k] * np.array([w0 / crop_w, h0 / crop_h, w0 / crop_w, h0 / crop_h])
+            out_boxes.append(b)
+        r = Results(np.zeros((h0, w0, 3), np.uint8), "", {0: "object"})
+        r.masks = Masks(np.stack(out_masks), (h0, w0))
+        data = np.concatenate([np.asarray(out_boxes, np.float32), scores[keep][:, None],
+                               np.zeros((len(keep), 1), np.float32)], -1)
+        r.update(boxes=data)
         return r
