@@ -154,3 +154,31 @@ def test_v10_postprocess_matches_reference():
     out = np.asarray(jnp.concatenate([b_final, flat_scores[..., None], cls[..., None]], -1))
 
     assert np.allclose(out, ref, atol=1e-5), np.abs(out - ref).max()
+
+
+def test_v10_end2end_training(tmp_path):
+    """v10 dual-branch training via E2EDetectLoss (ref: loss.py E2EDetectLoss
+    :775 — one2many topk=10 + one2one topk=1)."""
+    import cv2
+
+    from yolo_tpu import YOLO
+
+    root = tmp_path / "ds"
+    for sub in ("images/train", "labels/train"):
+        (root / sub).mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        img = rng.integers(0, 255, (64, 64, 3), np.uint8)
+        cv2.rectangle(img, (20, 20), (44, 44), (250, 250, 250), -1)
+        cv2.imwrite(str(root / "images/train" / f"{i}.jpg"), img)
+        (root / "labels/train" / f"{i}.txt").write_text("0 0.5 0.5 0.4 0.4\n")
+    (root / "d.yaml").write_text(f"path: {root}\ntrain: images/train\nval: images/train\nnames:\n  0: t\n")
+
+    m = YOLO("yolov10n.yaml")
+    m.train(data=str(root / "d.yaml"), epochs=2, imgsz=64, batch=2, workers=1, mosaic=0.0,
+            project=str(tmp_path), name="v10", val=False, plots=False, amp=False)
+    import csv
+
+    rows = list(csv.DictReader(open(tmp_path / "v10" / "results.csv")))
+    assert len(rows) == 2
+    assert all(np.isfinite(float(r["train/box_loss"])) for r in rows)

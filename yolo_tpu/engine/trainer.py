@@ -146,6 +146,10 @@ class DetectionTrainer:
             from yolo_tpu.utils.loss import v8OBBLoss
 
             return v8OBBLoss(self.model, self.args)
+        if getattr(getattr(self.model, "head", None), "end2end", False) and type(self.model.head).__name__ == "v10Detect":
+            from yolo_tpu.utils.loss import E2EDetectLoss
+
+            return E2EDetectLoss(self.model, self.args)
         return v8DetectionLoss(self.model, self.args)
 
     # --- optimizer ----------------------------------------------------------------

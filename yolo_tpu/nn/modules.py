@@ -1341,6 +1341,7 @@ class v10Detect(Detect):
     def __init__(self, nc=80, ch=(), legacy=False, max_det=300):
         super().__init__(nc, ch, legacy=True)  # build cv2 first
         self.max_det = max_det
+        self.end2end = True  # NMS-free (ref head.py Detect.end2end)
         c3 = max(ch[0], min(nc, 100))
         self.cv3 = [
             [

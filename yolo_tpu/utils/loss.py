@@ -307,6 +307,23 @@ class v8OBBLoss(v8DetectionLoss):
         return loss.sum() * B, jax.lax.stop_gradient(loss)
 
 
+class E2EDetectLoss:
+    """Dual v10 criterion (ref: utils/loss.py E2EDetectLoss:775): one2many
+    branch with TAL topk=10 + one2one branch with topk=1; total = sum."""
+
+    def __init__(self, model, hyp):
+        self.one2many = v8DetectionLoss(model, hyp, tal_topk=10)
+        self.one2one = v8DetectionLoss(model, hyp, tal_topk=1)
+
+    def __call__(self, preds, batch):
+        import jax
+
+        many, one = preds
+        l_many, c_many = self.one2many(many, batch)
+        l_one, c_one = self.one2one(one, batch)
+        return l_many + l_one, jax.lax.stop_gradient(c_many + c_one)
+
+
 class v8SegmentationLoss(v8DetectionLoss):
     """Detection loss + prototype-mask BCE (ref: utils/loss.py v8SegmentationLoss:302).
 
