@@ -264,6 +264,48 @@ def test_c2_ghost_resnet_module_parity():
         assert np.allclose(y_t, y_j, atol=2e-3), (type(ref).__name__, np.abs(y_t - y_j).max())
 
 
+def test_every_shipped_model_yaml_builds():
+    """Every model yaml shipped in yolo_tpu/cfg/models builds standalone —
+    no reference checkout required (the inventory is a superset of the
+    reference's cfg/models tree minus nothing)."""
+    from pathlib import Path
+
+    from yolo_tpu.nn.tasks import model_class_for
+    from yolo_tpu.utils import yaml_load
+
+    root = Path(__file__).resolve().parents[1] / "yolo_tpu" / "cfg" / "models"
+    fails = []
+    for f in sorted(root.rglob("*.yaml")):
+        cfg = yaml_load(f)
+        cfg["scale"] = cfg.get("scale") or (sorted(cfg["scales"])[0] if cfg.get("scales") else "")
+        try:
+            model_class_for(cfg)(dict(cfg))
+        except Exception as e:
+            fails.append((f.name, f"{type(e).__name__}: {e}"))
+    assert not fails, fails
+
+
+def test_torchvision_resnet18_cls_forward():
+    """yolo11-cls-resnet18 (native TorchVision resnet18 backbone) runs a
+    jitted classification forward at the expected logit shape."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_tpu.nn.tasks import model_class_for
+    from yolo_tpu.utils import yaml_load
+
+    from pathlib import Path
+
+    f = Path(__file__).resolve().parents[1] / "yolo_tpu" / "cfg" / "models" / "11" / "yolo11-cls-resnet18.yaml"
+    cfg = yaml_load(f)
+    cfg["nc"] = 7
+    model = model_class_for(cfg)(dict(cfg))
+    params = model.init(seed=0)
+    x = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    y = jax.jit(lambda p, z: model.predict(p, z))(params, x)
+    assert y.shape == (2, 7)
+
+
 @pytest.mark.skipif(not reference_available(), reason="reference oracle not present")
 def test_every_reference_model_yaml_builds():
     """Completeness sweep: every model yaml shipped by the reference builds

@@ -641,6 +641,92 @@ class ResNetLayer:
         return x
 
 
+class _TVBasicBlock:
+    """torchvision ResNet BasicBlock: 3x3(s)-BN-ReLU, 3x3-BN, + shortcut, ReLU."""
+
+    def __init__(self, c1, c2, s=1):
+        self.cv1 = ConvBNAct(c1, c2, 3, s, 1, act="relu")
+        self.cv2 = ConvBNAct(c2, c2, 3, 1, 1, act=False)
+        self.down = ConvBNAct(c1, c2, 1, s, act=False) if s != 1 or c1 != c2 else None
+
+    def init(self, rng):
+        p = {"cv1": self.cv1.init(rng), "cv2": self.cv2.init(rng)}
+        if self.down is not None:
+            p["down"] = self.down.init(rng)
+        return p
+
+    def __call__(self, p, x, ctx, path=""):
+        y = self.cv2(p["cv2"], self.cv1(p["cv1"], x, ctx, f"{path}/cv1"), ctx, f"{path}/cv2")
+        sc = self.down(p["down"], x, ctx, f"{path}/down") if self.down is not None else x
+        return jnp.maximum(y + sc, 0.0)
+
+
+class TorchVision:
+    """TPU-native stand-in for the reference's generic torchvision backbone
+    wrapper (ref: nn/modules/block.py TorchVision:1624, used by
+    cfg/models/11/yolo11-cls-resnet18.yaml). The reference loads an arbitrary
+    torchvision model via torch hub; here the supported backbones are built
+    natively in JAX with the torchvision graph layout (7x7/2 stem + maxpool,
+    BasicBlock/Bottleneck stages, ReLU). `weights="DEFAULT"` has no effect in
+    this zero-egress build — weights come from init or a checkpoint import.
+
+    Yaml args mirror the reference: [c2, model, weights, unwrap, truncate,
+    split]. unwrap=True with truncate=2 drops avgpool+fc and returns the
+    stride-32 feature map; truncate=0 / unwrap=False additionally applies
+    global average pooling (the classifier fc is task-head territory here).
+    """
+
+    _STAGES = {  # name -> (block depths, bottleneck?)
+        "resnet18": ([2, 2, 2, 2], False),
+        "resnet34": ([3, 4, 6, 3], False),
+        "resnet50": ([3, 4, 6, 3], True),
+        "resnet101": ([3, 4, 23, 3], True),
+    }
+
+    def __init__(self, c2, model="resnet18", weights="DEFAULT", unwrap=True, truncate=2, split=False):
+        if model not in self._STAGES:
+            raise NotImplementedError(
+                f"TorchVision: only native ResNet backbones {sorted(self._STAGES)} are supported, got '{model}'"
+            )
+        if split:
+            raise NotImplementedError("TorchVision: split=True (multi-output) is not supported")
+        depths, bottleneck = self._STAGES[model]
+        self.pool_out = not (unwrap and truncate >= 2)  # keep avgpool unless truncated away
+        self.s_total = 32
+        self.stem = ConvBNAct(3, 64, 7, 2, 3, act="relu")
+        self.pool = MaxPool2d(3, 2, 1)
+        self.stages = []
+        c_in = 64
+        for si, (n, width) in enumerate(zip(depths, (64, 128, 256, 512))):
+            s = 1 if si == 0 else 2
+            if bottleneck:
+                blocks = [ResNetBlock(c_in, width, s)] + [ResNetBlock(4 * width, width, 1) for _ in range(n - 1)]
+                c_in = 4 * width
+            else:
+                blocks = [_TVBasicBlock(c_in, width, s)] + [_TVBasicBlock(width, width, 1) for _ in range(n - 1)]
+                c_in = width
+            self.stages.append(blocks)
+        self.c_out = c_in
+
+    def init(self, rng):
+        return {
+            "stem": self.stem.init(rng),
+            "stages": {
+                str(si): {str(bi): b.init(rng) for bi, b in enumerate(blocks)}
+                for si, blocks in enumerate(self.stages)
+            },
+        }
+
+    def __call__(self, p, x, ctx, path=""):
+        x = self.pool({}, self.stem(p["stem"], x, ctx, f"{path}/stem"), ctx, f"{path}/pool")
+        for si, blocks in enumerate(self.stages):
+            for bi, b in enumerate(blocks):
+                x = b(p["stages"][str(si)][str(bi)], x, ctx, f"{path}/stages/{si}/{bi}")
+        if self.pool_out:
+            x = x.mean(axis=(1, 2), keepdims=True)
+        return x
+
+
 class NASBottleneck:
     """Two fused-QARepVGG 3x3 convs with a learnable-alpha residual — the
     deploy form of super_gradients' YoloNASBottleneck (ref analog:

@@ -47,6 +47,7 @@ MODULE_MAP = {
     "GhostConv": M.GhostConv,
     "GhostBottleneck": M.GhostBottleneck,
     "ResNetLayer": M.ResNetLayer,
+    "TorchVision": M.TorchVision,
     "NASCSP": M.NASCSP,
     "C3k2": M.C3k2,
     "SCDown": M.SCDown,
@@ -209,6 +210,14 @@ def _parse_rows(d, ch, nc, depth, width, max_channels):
                 ch = []
             ch.append(c2)
             continue
+        if mcls is M.TorchVision:
+            c2 = args[0]  # declared output channels, not width-scaled (ref :1682)
+            layers.append(LayerSpec(i, f, mcls(*args), mname))
+            save.extend(x % i for x in ([f] if isinstance(f, int) else f) if x != -1)
+            if i == 0:
+                ch = []
+            ch.append(c2)
+            continue
         if mcls in (M.ConvBNAct, M.DWConv, M.C2f, M.SPPF, M.SPP, M.Bottleneck, M.C3, M.C2, M.C3k, M.C3k2, M.NASCSP, M.C3Ghost, M.GhostConv, M.GhostBottleneck, M.SCDown, M.C2PSA, M.Classify, M.RepConv, M.RepCSP, M.RepNCSPELAN4, M.ELAN1, M.AConv, M.ADown, M.SPPELAN, M.CIB, M.C2fCIB, M.PSA, M.A2C2f, M.ConvTranspose, M.RepC3):
             c1, c2 = ch[f], args[0]
             if c2 != nc:
@@ -314,7 +323,7 @@ def _compute_strides(layers):
                     s *= sub.s
         elif isinstance(spec.module, M.HGStem):  # two stride-2 convs
             s = src * 4
-        elif isinstance(spec.module, M.ResNetLayer):
+        elif isinstance(spec.module, (M.ResNetLayer, M.TorchVision)):
             s = src * spec.module.s_total
         elif isinstance(spec.module, (M.GhostConv, M.GhostBottleneck)):
             s = src * spec.module.s
