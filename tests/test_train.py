@@ -150,3 +150,76 @@ def test_multi_scale_training(tiny_dataset, tmp_path):
     rows = list(csv.DictReader(open(tmp_path / "ms" / "results.csv")))
     assert len(rows) == 2
     assert all(np.isfinite(float(r["train/box_loss"])) for r in rows)
+
+
+def test_remat_grads_match_and_memory_drops():
+    """remat=True must be numerically transparent (same loss and grads) while
+    reducing the compiled train-forward's live-memory footprint."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_tpu.nn.modules import Ctx
+    from yolo_tpu.nn.tasks import DetectionModel
+    from yolo_tpu.utils.loss import v8DetectionLoss
+    from yolo_tpu.cfg import get_cfg
+
+    cfg = {
+        "nc": 1,
+        "scale": "n",
+        "backbone": [
+            [-1, 1, "Conv", [16, 3, 2]],
+            [-1, 1, "Conv", [32, 3, 2]],
+            [-1, 1, "C2f", [32, True]],
+            [-1, 1, "Conv", [64, 3, 2]],
+            [-1, 1, "C2f", [64, True]],
+            [-1, 1, "SPPF", [64, 5]],
+        ],
+        "head": [[[2, 4, 5], 1, "Detect", ["nc"]]],
+    }
+    model = DetectionModel(dict(cfg))
+    params = model.init(seed=0)
+    args = get_cfg(overrides={"imgsz": 64})
+    loss_fn = v8DetectionLoss(model, args)
+    rng = np.random.default_rng(0)
+    batch = {
+        "img": jnp.asarray(rng.integers(0, 255, (2, 64, 64, 3)), jnp.float32),
+        "cls": jnp.zeros((2, 4), jnp.float32),
+        "bboxes": jnp.asarray(rng.uniform(0.3, 0.6, (2, 4, 4)), jnp.float32),
+        "mask_gt": jnp.asarray([[1, 1, 0, 0], [1, 0, 0, 0]], jnp.float32),
+    }
+
+    def loss_of(p, remat):
+        ctx = Ctx(train=True, dtype=jnp.float32, remat=remat)
+        feats = model.forward_features(p, batch["img"] / 255.0, ctx)
+        total, _ = loss_fn(feats, batch)
+        return total
+
+    g_plain = jax.grad(lambda p: loss_of(p, False))(params)
+    g_remat = jax.grad(lambda p: loss_of(p, True))(params)
+    l_plain = float(loss_of(params, False))
+    l_remat = float(loss_of(params, True))
+    assert abs(l_plain - l_remat) < 1e-4 * max(1.0, abs(l_plain))
+    flat_p = jax.tree_util.tree_leaves(g_plain)
+    flat_r = jax.tree_util.tree_leaves(g_remat)
+    for a, b in zip(flat_p, flat_r):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4), "remat changed gradients"
+
+    # memory check needs activation-dominated shapes (at 64px the temp pool is
+    # all fusion scratch): 4x256x256 — remat halves temp bytes (292 -> 142 MB)
+    big = {**batch, "img": jnp.asarray(rng.integers(0, 255, (4, 256, 256, 3)), jnp.float32),
+           "cls": jnp.zeros((4, 4), jnp.float32),
+           "bboxes": jnp.asarray(rng.uniform(0.3, 0.6, (4, 4, 4)), jnp.float32),
+           "mask_gt": jnp.ones((4, 4), jnp.float32)}
+
+    def loss_big(p, remat):
+        ctx = Ctx(train=True, dtype=jnp.float32, remat=remat)
+        feats = model.forward_features(p, big["img"] / 255.0, ctx)
+        return loss_fn(feats, big)[0]
+
+    def mem(remat):
+        c = jax.jit(jax.grad(lambda p: loss_big(p, remat))).lower(params).compile()
+        return c.memory_analysis().temp_size_in_bytes
+
+    # CPU's scheduler keeps most temps either way (~3% saved); the TPU backend
+    # shows the real effect (292 -> 142 MB) — assert direction, not magnitude
+    assert mem(True) < mem(False), "remat did not reduce temp memory"

@@ -39,6 +39,7 @@ CFG_BOOL_KEYS = frozenset(
         "save_conf", "save_crop", "save_frames", "show_labels", "show_conf", "visualize",
         "augment", "agnostic_nms", "retina_masks", "show_boxes", "keras", "optimize",
         "dynamic", "simplify", "nms", "profile", "multi_scale", "stream_buffer", "donate",
+        "remat",
     }
 )
 

@@ -193,7 +193,7 @@ class DetectionTrainer:
         def forward_loss(params, batch):
             from yolo_tpu.nn.modules import Ctx
 
-            ctx = Ctx(train=True, dtype=dtype)
+            ctx = Ctx(train=True, dtype=dtype, remat=bool(getattr(self.args, "remat", False)))
             if "dn_cls" in batch:  # RT-DETR contrastive denoising (utils/cdn.py)
                 from yolo_tpu.utils.cdn import cdn_attn_mask
 

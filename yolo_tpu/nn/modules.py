@@ -42,6 +42,9 @@ class Ctx:
     train: bool = False
     dtype: Any = jnp.float32  # activation/compute dtype
     stats: dict = field(default_factory=dict)  # path -> (batch_mean, batch_var, n)
+    # rematerialize per-layer activations in the backward pass (jax.checkpoint)
+    # — trades recompute FLOPs for HBM, enabling larger batch/imgsz training
+    remat: bool = False
     # open-vocab guide state (YOLO-World): text embeddings threaded to
     # C2fAttn/WorldDetect; ImagePoolingAttn refreshes `guide` mid-walk while
     # WorldDetect always reads the original `guide0` (ref: tasks.py WorldModel:908)

@@ -373,11 +373,38 @@ class BaseModel:
                 return x if j == -1 else y[j if j >= 0 else spec.i + j]
 
             x_in = [src(j) for j in f] if isinstance(f, list) else src(f)
-            out = spec.module(mp[str(spec.i)], x_in, ctx, f"model/{spec.i}")
+            out = self._apply_layer(spec, mp[str(spec.i)], x_in, ctx)
             if spec.i in self.save:
                 y[spec.i] = out
             x = out if not isinstance(out, list) else x
         return out  # head output
+
+    def _apply_layer(self, spec, p, x_in, ctx: M.Ctx):
+        """Apply one graph layer; under ctx.remat, checkpoint the layer so its
+        activations are recomputed (not stored) for the backward pass.
+
+        Heads and guide-mutating modules stay un-checkpointed: heads are the
+        loss boundary (nothing downstream to save memory for) and
+        ImagePoolingAttn rewrites ctx.guide, a traced value that cannot escape
+        a remat region through the Python context object."""
+        import jax
+
+        path = f"model/{spec.i}"
+        skip = isinstance(spec.module, (M.Detect, M.ImagePoolingAttn)) or type(spec.module).__name__ == "RTDETRDecoder"
+        if not (ctx.remat and ctx.train) or skip:
+            return spec.module(p, x_in, ctx, path)
+
+        static_n = {}  # BN counts are trace-time Python ints; escape via closure
+
+        def layer_fn(lp, xin):
+            sub = M.Ctx(train=ctx.train, dtype=ctx.dtype, guide=ctx.guide, guide0=ctx.guide0, dn=ctx.dn)
+            o = spec.module(lp, xin, sub, path)
+            static_n.update({k: v[2] for k, v in sub.stats.items()})
+            return o, {k: (v[0], v[1]) for k, v in sub.stats.items()}
+
+        out, stats = jax.checkpoint(layer_fn)(p, x_in)
+        ctx.stats.update({k: (m, v, static_n[k]) for k, (m, v) in stats.items()})
+        return out
 
     def embed_features(self, params, x, ctx: M.Ctx, idx=None):
         """Pooled intermediate embeddings (ref: nn/tasks.py _predict_once embed
