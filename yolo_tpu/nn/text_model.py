@@ -278,12 +278,28 @@ class CLIPText:
 
 
 def build_text_model(variant: str = "clip:ViT-B/32", bpe_path=None):
-    """Factory mirroring the reference's build_text_model (text_model.py:~360)."""
-    name = variant.split(":", 1)[-1]
+    """Factory mirroring the reference's build_text_model (text_model.py:362,
+    variants "clip:<size>" and "mobileclip:<size>").
+
+    MobileCLIP-B/BLT's text tower (the one YOLOE ships with, ref
+    MobileCLIPTS:278) is a standard CLIP-layout text transformer
+    (512-wide, 12 layers, 77-token context) and is served by the same
+    native encoder — load an exported mobileclip_b(lt) state_dict via
+    `load_torch`. The s0/s1/s2 text towers are Apple's 4-layer hybrid
+    architecture with no importable oracle in this environment and raise.
+    """
+    base, _, name = variant.partition(":")
+    if base == "mobileclip" and name in ("s0", "s1", "s2"):
+        raise NotImplementedError(
+            "mobileclip s0/s1/s2 text towers are not supported natively — use "
+            "'mobileclip:b'/'mobileclip:blt' (CLIP-layout) or 'clip:ViT-B/32'"
+        )
     cfg = {
         "ViT-B/32": dict(width=512, layers=12, heads=8, embed_dim=512),
         "ViT-B/16": dict(width=512, layers=12, heads=8, embed_dim=512),
         "ViT-L/14": dict(width=768, layers=12, heads=12, embed_dim=768),
+        "b": dict(width=512, layers=12, heads=8, embed_dim=512),
+        "blt": dict(width=512, layers=12, heads=8, embed_dim=512),
     }.get(name, dict(width=512, layers=12, heads=8, embed_dim=512))
     return CLIPText(**cfg, bpe_path=bpe_path)
 
