@@ -168,5 +168,5 @@ def pytest_collection_modifyitems(config, items):
         return
     skip = pytest.mark.skip(reason="slow suite — opt in with --slow")
     for item in items:
-        if Path(str(item.fspath)).stem in SLOW_MODULES:
+        if Path(str(item.fspath)).stem in SLOW_MODULES or item.get_closest_marker("heavy"):
             item.add_marker(skip)

@@ -56,6 +56,7 @@ def test_predictor_save_outputs(ds, tmp_path):
         assert (tmp_path / "pred" / "labels" / "0.txt").exists()
 
 
+@pytest.mark.heavy
 def test_trainer_direct_smoke(ds, tmp_path):
     from yolo_tpu.engine.trainer import DetectionTrainer
 
@@ -86,6 +87,7 @@ def test_model_embed_facade():
     assert not np.allclose(out[0], out[1])
 
 
+@pytest.mark.heavy
 def test_predict_with_tta():
     """augment=True runs 3-scale + flip TTA (ref: _predict_augment:445) with
     anchors merged after tail clipping."""

@@ -156,6 +156,7 @@ def test_v10_postprocess_matches_reference():
     assert np.allclose(out, ref, atol=1e-5), np.abs(out - ref).max()
 
 
+@pytest.mark.heavy
 def test_v10_end2end_training(tmp_path):
     """v10 dual-branch training via E2EDetectLoss (ref: loss.py E2EDetectLoss
     :775 — one2many topk=10 + one2one topk=1)."""

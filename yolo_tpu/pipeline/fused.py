@@ -169,7 +169,9 @@ class FusedDetectTrack:
             return track_state, stats, packed
 
         self._fused = jax.jit(fused, donate_argnums=(1, 2))
-        self.params = params
+        # stage params in HBM once — otherwise every chunk re-uploads the whole
+        # parameter tree through the (slow) host link, dwarfing the frame upload
+        self.params = jax.device_put(params)
         self.state = init_state(n_max)
         self.stats = init_stats(n_max)
 
