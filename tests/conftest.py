@@ -17,6 +17,9 @@ if "host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: repeat suite runs skip XLA recompilation entirely
+jax.config.update("jax_compilation_cache_dir", os.environ.get("JAX_TEST_CACHE", "/tmp/jax_cache_tests"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 ROOT = Path(__file__).resolve().parents[1]
 if str(ROOT) not in sys.path:

@@ -71,3 +71,18 @@ def test_grounding_dataset(tmp_path):
     assert np.allclose(lb["bboxes"][0], [20 / 96, 16 / 64, 20 / 96, 12 / 64], atol=1e-6)
     item = ds[0]
     assert "texts" in item and item["img"].shape[0] == 64
+
+
+def test_shipped_dataset_yaml_registry():
+    """Bare dataset names resolve against the shipped cfg/datasets registry
+    (ref: data/utils.py check_det_dataset's DATASETS_DIR lookup)."""
+    from yolo_tpu.data.dataset import check_det_dataset
+
+    d = check_det_dataset("coco8.yaml")
+    assert d["nc"] == 80 and d["names"][0] == "person" and d["names"][79] == "toothbrush"
+    p = check_det_dataset("coco8-pose.yaml")
+    assert list(p["kpt_shape"]) == [17, 3] and len(p["flip_idx"]) == 17
+    o = check_det_dataset("dota8.yaml")
+    assert o["nc"] == 15
+    ir = check_det_dataset("ir-small-target.yaml")
+    assert ir["nc"] == 1 and ir["names"][0] == "aircraft"

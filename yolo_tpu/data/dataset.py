@@ -23,6 +23,11 @@ def check_det_dataset(data) -> dict:
     if isinstance(data, dict):
         d = dict(data)
     else:
+        p = Path(data)
+        if not p.exists() and p.suffix in (".yaml", ".yml") and len(p.parts) == 1:
+            shipped = Path(__file__).resolve().parents[1] / "cfg" / "datasets" / p.name
+            if shipped.exists():  # registry lookup, like the reference's checks
+                data = shipped
         d = yaml_load(data)
         d.setdefault("yaml_file", str(data))
     root = Path(d.get("path") or Path(d.get("yaml_file", ".")).parent)
