@@ -78,3 +78,23 @@ def test_benchmark_formats(tmp_path):
     for fmt, r in by_fmt.items():
         assert r["status"] == "✅", (fmt, r)
         assert r["fps"] > 0
+
+
+def test_profile_per_layer_table():
+    """Per-layer profile rows cover every graph node with sane numbers."""
+    from yolo_tpu.nn.tasks import DetectionModel
+    from yolo_tpu.utils.profilers import profile_per_layer
+
+    cfg = {
+        "nc": 1, "scale": "n",
+        "backbone": [[-1, 1, "Conv", [16, 3, 2]], [-1, 1, "Conv", [32, 3, 2]], [-1, 1, "C2f", [32, True]],
+                      [-1, 1, "Conv", [64, 3, 2]], [-1, 1, "SPPF", [64, 5]]],
+        "head": [[[2, 4], 1, "Detect", ["nc"]]],
+    }
+    model = DetectionModel(dict(cfg))
+    params = model.init(seed=0)
+    rows = profile_per_layer(model, params, imgsz=64, n=1, verbose=False)
+    assert len(rows) == len(model.layers)
+    assert all(r["ms"] >= 0 for r in rows)
+    assert sum(r["params"] for r in rows) == model.param_count(params)
+    assert any(r["gflops"] > 0 for r in rows)

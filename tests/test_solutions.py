@@ -220,3 +220,15 @@ def test_plot_images_and_labels(tmp_path):
     kp = np.concatenate([rng.uniform(5, 60, (17, 2)), np.ones((17, 1))], -1)
     a.kpts(kp)
     assert a.result().any()
+
+
+def test_solution_config_rejects_unknown_keys():
+    """SolutionConfig.update raises on typos (ref: solutions/config.py)."""
+    import pytest as _pytest
+
+    from yolo_tpu.solutions.config import SolutionConfig
+
+    cfg = SolutionConfig().update(conf=0.5, region=[(0, 0), (1, 1)])
+    assert cfg.conf == 0.5
+    with _pytest.raises(ValueError, match="unknown solution argument"):
+        SolutionConfig().update(confidnce=0.5)

@@ -11,7 +11,14 @@ class BaseSolution:
 
     def __init__(self, model="yolov8n.yaml", region=None, classes=None, conf: float = 0.25, iou: float = 0.7, imgsz: int = 640, show: bool = False, **kwargs):
         from yolo_tpu import YOLO
+        from yolo_tpu.solutions.config import SolutionConfig
 
+        # typed config: unknown kwargs raise instead of being swallowed
+        # (ref: solutions/config.py SolutionConfig.update)
+        self.cfg = SolutionConfig().update(
+            region=region, classes=classes, conf=conf, iou=iou, imgsz=imgsz, show=show,
+            **({"model": model} if isinstance(model, str) else {}), **kwargs,
+        )
         self.model = YOLO(model) if isinstance(model, str) else model
         self.names = self.model.names
         self.region = region  # list of (x, y) points

@@ -72,6 +72,74 @@ def model_info(model, params, imgsz=640, verbose: bool = True) -> dict:
     return info
 
 
+def profile_per_layer(model, params, imgsz=640, batch: int = 1, dtype=None, n: int = 3, verbose: bool = True):
+    """Per-layer wall time + FLOPs + params table (ref: nn/tasks.py
+    _profile_one_layer:199 and torch_utils.py profile_ops:819).
+
+    One eager graph walk captures each layer's live inputs; each layer is then
+    jitted and timed in isolation (compile excluded), with FLOPs from XLA's
+    cost analysis of the per-layer program. Returns a list of row dicts
+    [{i, type, ms, gflops, params}] sorted by graph order.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from yolo_tpu.nn import modules as M
+
+    h, w = (imgsz, imgsz) if isinstance(imgsz, int) else imgsz
+    dtype = dtype or jnp.float32
+    ctx = M.Ctx(train=False, dtype=dtype)
+    x = jnp.zeros((batch, h, w, 3), dtype)
+    mp = params["model"]
+
+    # eager walk, recording each layer's input(s)
+    inputs, y = {}, {}
+    for spec in model.layers:
+        f = spec.f
+
+        def src(j):
+            return x if j == -1 else y[j if j >= 0 else spec.i + j]
+
+        x_in = [src(j) for j in f] if isinstance(f, list) else src(f)
+        inputs[spec.i] = x_in
+        out = spec.module(mp[str(spec.i)], x_in, ctx, f"model/{spec.i}")
+        if spec.i in model.save:
+            y[spec.i] = out
+        x = out if not isinstance(out, list) else x
+
+    rows = []
+    for spec in model.layers:
+        lp, x_in = mp[str(spec.i)], inputs[spec.i]
+        fn = jax.jit(lambda p, z, m=spec.module, i=spec.i: m(p, z, M.Ctx(train=False, dtype=dtype), f"model/{i}"))
+        try:
+            lowered = fn.lower(lp, x_in)
+            cost = lowered.compile().cost_analysis()
+            if isinstance(cost, list):
+                cost = cost[0]
+            gflops = float(cost.get("flops", 0.0)) / 1e9
+        except Exception:
+            gflops = 0.0
+        r = fn(lp, x_in)  # compile + warm
+        jax.block_until_ready(r)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            r = fn(lp, x_in)
+        jax.block_until_ready(r)
+        ms = (time.perf_counter() - t0) / n * 1e3
+        n_par = sum(int(np.prod(np.shape(a))) for a in jax.tree_util.tree_leaves(lp))
+        rows.append({"i": spec.i, "type": spec.type, "ms": round(ms, 3), "gflops": round(gflops, 3), "params": n_par})
+    if verbose:
+        LOGGER.info(f"{'idx':>4} {'ms':>9} {'GFLOPs':>8} {'params':>10}  type")
+        for row in rows:
+            LOGGER.info(f"{row['i']:>4} {row['ms']:>9.3f} {row['gflops']:>8.3f} {row['params']:>10,}  {row['type']}")
+        LOGGER.info(f"{'':>4} {sum(r['ms'] for r in rows):>9.3f} {sum(r['gflops'] for r in rows):>8.3f} "
+                    f"{sum(r['params'] for r in rows):>10,}  TOTAL (per-layer, excludes fusion wins)")
+    return rows
+
+
 def autobatch(model, params, imgsz: int = 640, start: int = 8, max_batch: int = 512) -> int:
     """Largest power-of-two batch that compiles+runs (ref: autobatch.py:46).
 
