@@ -81,3 +81,36 @@ def test_cli_solutions_usage():
 
     assert entrypoint(["solutions"]) is None
     assert entrypoint(["solutions", "nope"]) is None
+
+
+def test_settings_manager(tmp_path, monkeypatch):
+    """SettingsManager: defaults, persistence, update, reset, corruption reset
+    (ref: utils/__init__.py SettingsManager:1264, cfg handle_yolo_settings:594)."""
+    import yolo_tpu.utils.settings as S
+
+    f = tmp_path / "settings.json"
+    s = S.SettingsManager(file=f)
+    assert f.is_file() and s["settings_version"] == S.SETTINGS_VERSION
+    s.update({"runs_dir": str(tmp_path / "r")})
+    s.save()
+    s2 = S.SettingsManager(file=f)
+    assert s2["runs_dir"] == str(tmp_path / "r")
+    try:
+        s2.update({"bogus_key": 1})
+        raise AssertionError("unknown key accepted")
+    except KeyError:
+        pass
+    s2.reset()
+    assert S.SettingsManager(file=f)["runs_dir"] == s2.defaults["runs_dir"]
+    f.write_text("{not json")  # corrupted file resets instead of raising
+    s3 = S.SettingsManager(file=f)
+    assert s3["settings_version"] == S.SETTINGS_VERSION
+
+    # CLI surface routes through the persistent manager
+    monkeypatch.setattr(S, "_SETTINGS", None)
+    monkeypatch.setattr(S, "SETTINGS_FILE", f)
+    from yolo_tpu.cfg import handle_yolo_settings
+
+    out = handle_yolo_settings([f"weights_dir={tmp_path / 'w'}"])
+    assert out["weights_dir"] == str(tmp_path / "w")
+    assert S.SettingsManager(file=f)["weights_dir"] == str(tmp_path / "w")

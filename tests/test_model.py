@@ -94,3 +94,33 @@ def test_numeric_parity_with_reference_oracle(yaml_name, ref_dir, our_dir):
     nc = ours.nc
     assert np.allclose(y_t[:, :4], y_j[:, :4], atol=5e-2), np.abs(y_t[:, :4] - y_j[:, :4]).max()
     assert np.allclose(y_t[:, 4 : 4 + nc], y_j[:, 4 : 4 + nc], atol=1e-3), np.abs(y_t[:, 4:] - y_j[:, 4:]).max()
+
+
+def test_ensemble_nms_concat(tmp_path):
+    """Ensemble concatenates member predictions on the anchor axis and runs
+    through the YOLO facade end to end (ref: nn/tasks.py Ensemble:1267)."""
+    import numpy as np
+
+    from yolo_tpu import YOLO
+    from yolo_tpu.nn.tasks import Ensemble
+
+    a = DetectionModel("yolov8n.yaml")
+    b = DetectionModel("yolov8s.yaml")
+    ens = Ensemble([(a, a.init(0)), (b, b.init(1))])
+    params = (a.init(0), b.init(1))
+    x = np.random.default_rng(0).normal(size=(1, 64, 64, 3)).astype("float32")
+    ya = np.asarray(a.predict(params[0], x))
+    yb = np.asarray(b.predict(params[1], x))
+    ye = np.asarray(ens.predict(params, x))
+    assert ye.shape[-1] == ya.shape[-1] + yb.shape[-1]
+    np.testing.assert_allclose(ye[..., : ya.shape[-1]], ya, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(ye[..., ya.shape[-1] :], yb, rtol=1e-5, atol=1e-5)
+
+    # facade: a weight list builds an ensemble and predicts
+    pa, pb = tmp_path / "a.npz", tmp_path / "b.npz"
+    YOLO("yolov8n.yaml").save(pa)
+    YOLO("yolov8s.yaml").save(pb)
+    m = YOLO([pa, pb])
+    img = np.random.default_rng(1).integers(0, 255, (96, 96, 3), dtype=np.uint8)
+    res = m.predict(img, imgsz=64, conf=0.01, verbose=False)
+    assert len(res) == 1 and res[0].boxes is not None

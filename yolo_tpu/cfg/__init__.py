@@ -187,10 +187,7 @@ def entrypoint(argv: list[str] | None = None):
             LOGGER.info(__version__)
             return None
         elif a == "settings":
-            from yolo_tpu.utils import yaml_print
-
-            yaml_print(DEFAULT_CFG_DICT)
-            return None
+            return handle_yolo_settings(args[args.index(a) + 1 :])
         elif a == "checks":
             from yolo_tpu.utils.checks import collect_system_info
 
@@ -236,6 +233,27 @@ SOLUTIONS_MAP = {
     "isegment": "InstanceSegmentation",
     "inference": "WebInference",
 }
+
+
+def handle_yolo_settings(args: list[str]):
+    """`yolo settings [reset | key=value ...]` — view/update/reset the persisted
+    user settings JSON (ref: cfg/__init__.py handle_yolo_settings:594)."""
+    from yolo_tpu.utils.settings import get_settings
+
+    settings = get_settings()
+    if args:
+        if args[0] == "reset":
+            settings.reset()
+            LOGGER.info("Settings reset successfully")
+        else:
+            new = dict(parse_key_value_pair(a) for a in args)
+            check_dict_alignment(dict(settings), new)
+            settings.update(new)
+            settings.save()
+            for k, v in new.items():
+                LOGGER.info(f"Updated '{k}={v}'")
+    LOGGER.info("\n".join(f"{k}={v}" for k, v in settings.items()))
+    return settings
 
 
 def handle_yolo_solutions(args: list[str]):

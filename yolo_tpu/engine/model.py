@@ -23,6 +23,9 @@ class YOLO:
     """User-facing model handle."""
 
     def __init__(self, model="yolov8n.yaml", task: str | None = None, verbose: bool = False):
+        if isinstance(model, (list, tuple)):  # weight list → NMS ensemble (ref: nn/tasks.py attempt_load_weights + Ensemble:1267)
+            self._load_ensemble([str(m) for m in model], task=task)
+            return
         model = str(model)
         self.task = task or (
             "classify"
@@ -75,6 +78,23 @@ class YOLO:
         self.params = self.model.init(0)
         self.overrides["model"] = cfg
         self.overrides["task"] = self.task
+
+    def _load_ensemble(self, weights: list, task: str | None = None):
+        """Build an NMS ensemble from several checkpoints/yamls (ref Ensemble:1267)."""
+        from yolo_tpu.nn.tasks import Ensemble
+
+        members = []
+        for w in weights:
+            m = YOLO(w, task=task)
+            members.append((m.model, m.params))
+        self.task = task or getattr(members[0][0], "task", "detect")
+        self.overrides = {"model": ",".join(weights), "task": self.task}
+        self.predictor = None
+        self.trainer = None
+        self.metrics = None
+        self.ckpt_path = None
+        self.model = Ensemble(members)
+        self.params = tuple(p for _, p in members)
 
     def _load(self, weights: str):
         path = Path(weights)

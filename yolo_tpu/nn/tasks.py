@@ -870,3 +870,37 @@ def model_class_for(cfg: dict, task: str | None = None):
         "pose": PoseModel,
         "obb": OBBModel,
     }.get(task, DetectionModel)
+
+
+class Ensemble:
+    """NMS-ensemble of detection models (ref: nn/tasks.py Ensemble:1267).
+
+    The reference concatenates each member's decoded predictions along the
+    anchor axis and lets NMS merge them ("nms ensemble", ref :1305). Members
+    must share nc; strides/names come from the first member. The params pytree
+    is a tuple of member param trees, so the whole ensemble jits as one
+    program through the standard predictor path.
+    """
+
+    def __init__(self, members):
+        assert members, "Ensemble needs at least one (model, params) member"
+        self.models = [m for m, _ in members]
+        ncs = {getattr(m, "nc", None) for m in self.models}
+        assert len(ncs) == 1, f"ensemble members disagree on nc: {ncs}"
+        first = self.models[0]
+        self.nc = first.nc
+        self.names = first.names
+        self.task = getattr(first, "task", "detect")
+        # predictor snaps imgsz to the coarsest stride across members
+        self.stride = [max(int(max(m.stride)) for m in self.models)]
+        self.yaml = first.yaml
+
+    def init(self, seed: int = 0):
+        return tuple(m.init(seed + i) for i, m in enumerate(self.models))
+
+    def fuse(self, params):
+        return tuple(m.fuse(p) for m, p in zip(self.models, params))
+
+    def predict(self, params, x, dtype=jnp.float32):
+        ys = [m.predict(p, x, dtype=dtype) for m, p in zip(self.models, params)]
+        return jnp.concatenate(ys, axis=-1)  # (B, 4+nc, sum A)

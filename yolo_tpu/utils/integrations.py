@@ -200,9 +200,18 @@ _FACTORIES = {
 
 
 def attach(callbacks: dict) -> dict:
-    """Register every integration whose SDK imports (ref: base.py
-    add_integration_callbacks:~190)."""
+    """Register every integration whose SDK imports AND whose persisted
+    settings flag is on (ref: base.py add_integration_callbacks:~190; each
+    reference callback module gates on SETTINGS[name] is True)."""
+    try:
+        from yolo_tpu.utils.settings import get_settings
+
+        flags = get_settings()
+    except Exception:
+        flags = {}
     for name, factory in _FACTORIES.items():
+        if not flags.get(name, True):
+            continue
         try:
             for hook, fn in factory().items():
                 callbacks.setdefault(hook, []).append(fn)
