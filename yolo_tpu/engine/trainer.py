@@ -254,13 +254,18 @@ class DetectionTrainer:
 
             repl = NamedSharding(mesh, P())
             data = NamedSharding(mesh, P("batch"))
+            # donation audit: params/opt_state/ema_params alias their outputs
+            # (in-place update, halves peak param memory); ema_updates (3) is a
+            # clean scalar alias; the batch (4) is fresh every step and never
+            # read after the call, so its HBM is freed for scratch during the
+            # step instead of surviving until the next upload
             return jax.jit(
                 train_step,
                 in_shardings=(repl, repl, repl, repl, data, None, None),
                 out_shardings=(repl, repl, repl, repl, repl),
-                donate_argnums=(0, 1, 2) if self.args.donate else (),
+                donate_argnums=(0, 1, 2, 3, 4) if self.args.donate else (),
             )
-        return jax.jit(train_step, donate_argnums=(0, 1, 2) if self.args.donate else ())
+        return jax.jit(train_step, donate_argnums=(0, 1, 2, 3, 4) if self.args.donate else ())
 
     # --- training loop ---------------------------------------------------------------
 
