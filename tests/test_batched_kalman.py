@@ -51,3 +51,37 @@ def test_scan_frames_matches_stepwise():
         emit_step = np.asarray(t2.state["active"])
     assert np.array_equal(np.asarray(t1.state["x"]), np.asarray(t2.state["x"]))
     assert np.array_equal(np.asarray(t1.state["track_num"]), np.asarray(t2.state["track_num"]))
+
+
+def test_batched_fuzz_parity_heavy_churn():
+    """Adversarial parity fuzz for the optimized step: random bursts of
+    detections, dropouts and near-duplicate boxes force simultaneous
+    creations, slot reuse, re-acquisition and pruning in the same frame.
+    Exercises the dense association/placement rewrite against the reference
+    semantics of the per-object manager."""
+    rng = np.random.default_rng(42)
+    ours = BatchedMultiTargetTracker(max_lost_frames=20, min_hits=1, iou_threshold=0.1, n_max=24, d_max=8)
+    ref = EnhancedMultiTargetTracker(max_lost_frames=20, min_hits=1, iou_threshold=0.1)
+
+    centers = rng.uniform(50, 450, (6, 2))
+    vels = rng.uniform(-3, 3, (6, 2))
+    for f in range(150):
+        dets = []
+        for k in range(6):
+            # each target flickers with its own duty cycle; bursts add clones
+            if (f + 5 * k) % (7 + k) < 4 + (k % 3):
+                c = centers[k] + vels[k] * f
+                w, h = 14 + 2 * k, 12 + k
+                x1, y1 = float(c[0] - w / 2), float(c[1] - h / 2)
+                dets.append([x1, y1, x1 + w, y1 + h, 0.9])
+                if f % 13 == k:  # near-duplicate → association conflict
+                    dets.append([x1 + 3, y1 + 2, x1 + w + 3, y1 + h + 2, 0.8])
+        rng.shuffle(dets)
+        a = {t["track_id"]: t for t in ours.update([list(d) for d in dets])}
+        b = {t["track_id"]: t for t in ref.update([list(d) for d in dets])}
+        assert set(a) == set(b), (f, set(a), set(b))
+        for tid in a:
+            assert a[tid]["status"] == b[tid]["status"], (f, tid)
+            assert a[tid]["time_since_update"] == b[tid]["time_since_update"], (f, tid)
+            assert np.allclose(a[tid]["bbox"], b[tid]["bbox"], atol=1e-2), (f, tid, a[tid]["bbox"], b[tid]["bbox"])
+            assert abs(a[tid]["confidence"] - b[tid]["confidence"]) < 1e-2, (f, tid)
