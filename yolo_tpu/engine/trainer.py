@@ -265,7 +265,9 @@ class DetectionTrainer:
                 out_shardings=(repl, repl, repl, repl, repl),
                 donate_argnums=(0, 1, 2, 3, 4) if self.args.donate else (),
             )
-        return jax.jit(train_step, donate_argnums=(0, 1, 2, 3, 4) if self.args.donate else ())
+        # no-mesh path: the batch arrives as host numpy (not donatable — jax
+        # would warn every compile), so only the state args are donated here
+        return jax.jit(train_step, donate_argnums=(0, 1, 2, 3) if self.args.donate else ())
 
     # --- training loop ---------------------------------------------------------------
 

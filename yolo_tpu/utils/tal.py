@@ -71,11 +71,15 @@ class TaskAlignedAssigner:
         return tl, tb, target_scores, fg_mask > 0, target_gt_idx
 
     def _candidates_in_gts(self, anc_points, gt_bboxes, eps: float = 1e-9):
-        """(B, N, A) bool: anchor center strictly inside gt box."""
-        lt = gt_bboxes[..., None, :2]  # (B, N, 1, 2)
-        rb = gt_bboxes[..., None, 2:]
-        deltas = jnp.concatenate([anc_points[None, None] - lt, rb - anc_points[None, None]], axis=-1)
-        return jnp.min(deltas, axis=-1) > eps
+        """(B, N, A) bool: anchor center strictly inside gt box.
+
+        Written as four fused comparisons instead of materializing the
+        (B, N, A, 4) delta tensor the reference builds (ref :268) — min-of-
+        concat costs 2x the HBM traffic of the equivalent boolean AND chain."""
+        ax, ay = anc_points[None, None, :, 0], anc_points[None, None, :, 1]  # (1, 1, A)
+        x1, y1 = gt_bboxes[..., None, 0], gt_bboxes[..., None, 1]  # (B, N, 1)
+        x2, y2 = gt_bboxes[..., None, 2], gt_bboxes[..., None, 3]
+        return (ax - x1 > eps) & (ay - y1 > eps) & (x2 - ax > eps) & (y2 - ay > eps)
 
     def _box_metrics(self, pd_scores, pd_bboxes, gt_labels, gt_bboxes, mask):
         """align metric + CIoU overlaps, zeroed outside mask."""
