@@ -103,37 +103,31 @@ def main():
     bufs = [jax.device_put(clip[i * chunk : (i + 1) * chunk]) for i in range(n_dev_chunks)]
     _ = [np.asarray(b[0, 0, 0]) for b in bufs]  # real barrier (block_until_ready
     # is not a true barrier through this environment's tunneled transport)
-    ft.reset()
-    params_dev = jax.device_put(ft.params)  # exclude param re-upload from timing
-    state, st = ft.state, ft.stats
-    packed = None
-    # warm twice (compile, then donated-buffer steady state)
-    for b in bufs[:2]:
-        state, st, packed = ft._fused(params_dev, state, st, b)
-        _ = int(np.asarray(st["frames"]))
-    t0 = time.perf_counter()
-    for b in bufs:
-        state, st, packed = ft._fused(params_dev, state, st, b)
-    _ = int(np.asarray(st["frames"]))  # tiny fetch depending on every chunk
-    dev_dt = time.perf_counter() - t0
-    dev_fps = n_dev_chunks * chunk / dev_dt
 
-    # --- int8 PTQ variant: device-resident fps with int8 MXU convs ---
+    def measure_device_fps(pipe):
+        """fps with frames already in HBM: warm twice (compile, then the
+        donated-buffer steady state), then time the chunk loop with ONE tiny
+        drain that depends on every chunk. Params are already staged in HBM
+        by FusedDetectTrack.__init__."""
+        pipe.reset()
+        state, st = pipe.state, pipe.stats
+        for b in bufs[:2]:
+            state, st, _packed = pipe._fused(pipe.params, state, st, b)
+            _ = int(np.asarray(st["frames"]))
+        t0 = time.perf_counter()
+        for b in bufs:
+            state, st, _packed = pipe._fused(pipe.params, state, st, b)
+        _ = int(np.asarray(st["frames"]))
+        return n_dev_chunks * chunk / (time.perf_counter() - t0)
+
+    dev_fps = measure_device_fps(ft)
+    # int8 PTQ variant: device-resident fps with int8 MXU convs
     ft8 = FusedDetectTrack(
         model, params, frame_hw=(h, w), channels=1, chunk=chunk,
         conf=0.15, iou=0.6, max_lost_frames=150, min_hits=1, iou_threshold=0.1,
         n_max=64, d_max=16, int8=True,
     )
-    params8_dev = jax.device_put(ft8.params)
-    s8, t8 = ft8.state, ft8.stats
-    for bb in bufs[:2]:
-        s8, t8, pk8 = ft8._fused(params8_dev, s8, t8, bb)
-        _ = int(np.asarray(t8["frames"]))
-    t0 = time.perf_counter()
-    for bb in bufs:
-        s8, t8, pk8 = ft8._fused(params8_dev, s8, t8, bb)
-    _ = int(np.asarray(t8["frames"]))
-    dev_fps_int8 = n_dev_chunks * chunk / (time.perf_counter() - t0)
+    dev_fps_int8 = measure_device_fps(ft8)
 
     # --- transport: measured H2D bandwidth → fps ceiling from upload alone ---
     # pipelined the same way run_clip uploads (issue all puts, one barrier at

@@ -182,4 +182,5 @@ def test_v10_end2end_training(tmp_path):
 
     rows = list(csv.DictReader(open(tmp_path / "v10" / "results.csv")))
     assert len(rows) == 2
-    assert all(np.isfinite(float(r["train/box_loss"])) for r in rows)
+    # dual branches are logged separately (ref E2EDetectLoss returns concatenated comps)
+    assert all(np.isfinite(float(r["train/box_o2m_loss"])) and np.isfinite(float(r["train/box_o2o_loss"])) for r in rows)

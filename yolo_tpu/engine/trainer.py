@@ -92,15 +92,16 @@ class DetectionTrainer:
             self.params = self.model.init(self.args.seed)
         if self.data:
             self.model.names = self.data["names"]
+        clip_ckpt = getattr(self.args, "clip_ckpt", None)  # real CLIP weights if provided (else a loud random-tower warning)
         if self.data and getattr(self.model, "is_world", False):
             # world fine-tuning (ref: models/yolo/world/train.py WorldTrainer
             # preprocess_batch:168): the close-set class names embed once via
             # the text tower and ride the forward as the region-text guide
-            self.model.set_classes(list(self.data["names"].values()))
+            self.model.set_classes(list(self.data["names"].values()), clip_ckpt=clip_ckpt)
         if self.data and getattr(self.model, "is_yoloe", False):
             # yoloe fine-tuning (ref: models/yolo/yoloe/train.py): text prompts
             # through the head's SwiGLU residual become the class embeddings
-            self.model.set_classes(list(self.data["names"].values()), params=self.params)
+            self.model.set_classes(list(self.data["names"].values()), params=self.params, clip_ckpt=clip_ckpt)
 
         self.loss_fn = self._make_loss()
         self.stopper = EarlyStopping(self.args.patience)
@@ -351,6 +352,10 @@ class DetectionTrainer:
         }.get(task, ["box", "cls", "dfl"])
         if getattr(self.model, "is_rtdetr", False):
             comp_names = ["giou", "cls", "l1"]
+        from yolo_tpu.utils.loss import E2EDetectLoss
+
+        if isinstance(self.loss_fn, E2EDetectLoss):  # v10 dual branches logged separately (ref E2EDetectLoss:790)
+            comp_names = [f"{n}_o2m" for n in comp_names] + [f"{n}_o2o" for n in comp_names]
         n_comp = len(comp_names)
         last_comps = np.zeros(n_comp)
         for epoch in range(self.start_epoch, args.epochs):
@@ -389,11 +394,16 @@ class DetectionTrainer:
                     # are normalized, only pixels move (host cv2 resize)
                     import cv2
 
-                    base = dev_batch["img"].shape[1]
-                    ladder = sorted({max(int(base * f) // stride * stride, stride) for f in (0.5, 0.75, 1.0, 1.25, 1.5)})
-                    sz = ladder[np.random.default_rng(ni).integers(len(ladder))]
-                    if sz != base:
-                        dev_batch["img"] = np.stack([cv2.resize(im, (sz, sz)) for im in dev_batch["img"]])
+                    bh, bw = dev_batch["img"].shape[1], dev_batch["img"].shape[2]
+                    # one uniform scale factor per batch (ref detect/train.py:105
+                    # sf = sz / max(shape)) — both dims scale together, stride-
+                    # rounded per dim, so rectangular batches keep their aspect
+                    ladder = sorted({f for f in (0.5, 0.75, 1.0, 1.25, 1.5)})
+                    sf = ladder[np.random.default_rng(ni).integers(len(ladder))]
+                    nh = max(int(bh * sf) // stride * stride, stride)
+                    nw = max(int(bw * sf) // stride * stride, stride)
+                    if (nh, nw) != (bh, bw):
+                        dev_batch["img"] = np.stack([cv2.resize(im, (nw, nh)) for im in dev_batch["img"]])
                 if getattr(self.model, "is_rtdetr", False):
                     from yolo_tpu.utils.cdn import make_cdn_batch
 

@@ -296,7 +296,9 @@ def make_step(n_max: int = 64, d_max: int = 16, max_lost_frames: int = 150, min_
         # motion analysis feeds ONLY the long-term extrapolation of tracks lost
         # for >1 frame — on frames with none (the common case) skip the whole
         # ring-buffer reorder + trig pass (outputs are provably unused then)
-        need_ma = jnp.any(s["is_lost"] & (s["lost_frames"] > 1))
+        # active-gated: pruned slots keep stale is_lost/lost_frames until reuse
+        # and would otherwise disarm the skip for the rest of the clip
+        need_ma = jnp.any(s["active"] & s["is_lost"] & (s["lost_frames"] > 1))
         conf_m, avg_v = jax.lax.cond(
             need_ma,
             lambda vh, vc: _motion_analysis(vh, vc)[:2],

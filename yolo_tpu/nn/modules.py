@@ -1460,9 +1460,14 @@ class v10Detect(Detect):
         return p
 
     def __call__(self, p, xs, ctx, path=""):
-        """Train: (one2many outs, one2one outs); eval: decoded (B, max_det, 6)."""
+        """Train: (one2many outs, one2one outs); eval: decoded (B, max_det, 6).
+
+        The one2one branch consumes DETACHED features (ref: head.py
+        forward_end2end:139 `x_detach`) — consistent-dual-assignment training
+        lets only the one2many loss shape the backbone/neck."""
         if ctx.train:
-            return super().__call__(p, xs, ctx, path), self.one2one_forward(p, xs, ctx, path)
+            xs_detached = [jax.lax.stop_gradient(x) for x in xs]
+            return super().__call__(p, xs, ctx, path), self.one2one_forward(p, xs_detached, ctx, path)
         return self.decode_end2end(p, xs, ctx)
 
     def one2one_forward(self, p, xs, ctx, path=""):

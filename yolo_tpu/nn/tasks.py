@@ -657,6 +657,12 @@ class WorldModel(DetectionModel):
         tm = text_model or build_text_model()
         if clip_ckpt:
             tm.load_torch(clip_ckpt)
+        elif text_model is None:
+            LOGGER.warning(
+                "set_classes: no text_model/clip_ckpt supplied — embedding class names with a "
+                "RANDOMLY-initialized CLIP text tower. The pipeline runs, but open-vocab alignment "
+                "is meaningless until real CLIP weights are loaded (pass clip_ckpt=... or text_model=...)."
+            )
         feats = np.asarray(tm.encode_text(list(text)), np.float32)[None]  # (1, n, 512)
         self.set_text_features(feats)
         self.names = dict(enumerate(text))
@@ -703,6 +709,12 @@ class YOLOEModel(DetectionModel):
         tm = text_model or build_text_model()
         if clip_ckpt:
             tm.load_torch(clip_ckpt)
+        elif text_model is None:
+            LOGGER.warning(
+                "set_classes: no text_model/clip_ckpt supplied — embedding class names with a "
+                "RANDOMLY-initialized CLIP text tower. The pipeline runs, but open-vocab alignment "
+                "is meaningless until real CLIP weights are loaded (pass clip_ckpt=... or text_model=...)."
+            )
         feats = np.asarray(tm.encode_text(list(text)), np.float32)[None]
         self.set_text_features(params, feats)
         self.names = dict(enumerate(text))

@@ -325,7 +325,10 @@ class E2EDetectLoss:
         many, one = preds
         l_many, c_many = self.one2many(many, batch)
         l_one, c_one = self.one2one(one, batch)
-        return l_many + l_one, jax.lax.stop_gradient(c_many + c_one)
+        # components stay per-branch observable (ref returns
+        # torch.cat((loss_one2many[1], loss_one2one[1])), ref :790) — a branch
+        # regression would be invisible in a summed 3-vector
+        return l_many + l_one, jax.lax.stop_gradient(jnp.concatenate([c_many, c_one]))
 
 
 class v8SegmentationLoss(v8DetectionLoss):

@@ -56,7 +56,7 @@ class SettingsManager(dict):
         self.file = Path(file if file is not None else SETTINGS_FILE)
         self.version = version
         self.defaults = _defaults(self.file)
-        self.update(self.defaults)
+        super().update(self.defaults)  # bootstrap without persisting (file not read yet)
         try:
             if self.file.is_file():
                 stored = json.loads(self.file.read_text())
@@ -82,11 +82,16 @@ class SettingsManager(dict):
         self.file.parent.mkdir(parents=True, exist_ok=True)
         self.file.write_text(json.dumps(dict(self), indent=2))
 
-    def update(self, *args, **kwargs):  # persist on explicit update() calls
-        unknown = {k for k in dict(*args, **kwargs) if k not in self.defaults} if self.defaults else set()
+    def update(self, *args, **kwargs):
+        """Validated update that persists immediately (reference behavior —
+        JSONDict.update saves on every mutation, ref SettingsManager:1264)."""
+        new = dict(*args, **kwargs)
+        unknown = {k for k in new if k not in self.defaults} if self.defaults else set()
         if unknown:
             raise KeyError(f"unknown settings key(s) {sorted(unknown)}; valid: {sorted(self.defaults)}")
-        super().update(*args, **kwargs)
+        super().update(new)
+        if self.defaults and new:  # skip the pre-defaults bootstrap call
+            self.save()
 
     def reset(self):
         self.clear()
