@@ -121,3 +121,42 @@ def test_save_crop(tmp_path, monkeypatch):
     m.predict(img, conf=1e-5, imgsz=96, max_det=3, save_crop=True, verbose=False)
     crops = list((tmp_path).rglob("crops/*/*.jpg"))
     assert crops, "no crops written"
+
+
+def test_predictor_cache_key_includes_classes_and_max_det(tmp_path):
+    """Changing classes/max_det on a reused predictor must compile a fresh
+    program, not serve the stale one (review finding: silent wrong output)."""
+    import numpy as np
+
+    from yolo_tpu import YOLO
+
+    m = YOLO("yolov8n.yaml")
+    img = np.random.default_rng(0).integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    m.predict(img, imgsz=64, verbose=False)
+    n0 = len(m.predictor._fn_cache)
+    m.predict(img, imgsz=64, classes=[0], verbose=False)
+    n1 = len(m.predictor._fn_cache)
+    m.predict(img, imgsz=64, classes=[0], max_det=7, verbose=False)
+    n2 = len(m.predictor._fn_cache)
+    assert n1 == n0 + 1 and n2 == n1 + 1
+
+
+def test_int8_survives_predictor_reuse():
+    """int8=True must stay quantized across facade predict calls (review
+    finding: params refresh silently reverted to float)."""
+    import numpy as np
+
+    from yolo_tpu import YOLO
+
+    m = YOLO("yolov8n.yaml")
+    img = np.random.default_rng(0).integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    m.predict(img, imgsz=64, int8=True, verbose=False)
+
+    def has_int8(tree):
+        if isinstance(tree, dict):
+            return "w_int8" in tree or any(has_int8(v) for v in tree.values())
+        return False
+
+    assert has_int8(m.predictor.params)
+    m.predict(img, imgsz=64, verbose=False)  # reuse path refreshes params
+    assert has_int8(m.predictor.params)

@@ -93,3 +93,39 @@ def test_stream_buffer_keeps_all_frames(tmp_path):
     diffs = np.diff([g // 10 for g in got])
     assert (diffs >= 0).all(), got  # in-order, no rewinds
     assert len(got) >= n // 2  # buffered mode keeps (at least most of) the frames
+
+
+def test_screen_prefix_is_not_hijacked(tmp_path):
+    """Paths merely starting with 'screen' are files, not screen captures."""
+    import cv2
+    import numpy as np
+
+    from yolo_tpu.data.loaders import LoadImagesAndVideos, load_inference_source
+
+    d = tmp_path / "screenshots"
+    d.mkdir()
+    cv2.imwrite(str(d / "img.png"), np.zeros((8, 8, 3), np.uint8))
+    loader = load_inference_source(str(d / "img.png"))
+    assert isinstance(loader, LoadImagesAndVideos)
+    items = list(loader)
+    assert len(items) == 1 and items[0][1].shape == (8, 8, 3)
+
+
+def test_missing_source_raises(tmp_path):
+    import pytest
+
+    from yolo_tpu.data.loaders import load_inference_source
+
+    with pytest.raises(FileNotFoundError):
+        load_inference_source(str(tmp_path / "nope.png"))
+
+
+def test_jax_tensor_batch_routes_to_loadtensor():
+    import jax.numpy as jnp
+
+    from yolo_tpu.data.loaders import LoadTensor, load_inference_source
+
+    x = jnp.zeros((2, 8, 8, 3), jnp.uint8)
+    loader = load_inference_source(x)
+    assert isinstance(loader, LoadTensor)
+    assert len(list(loader)) == 2

@@ -124,6 +124,8 @@ class LoadImagesAndVideos:
             files = [p]
         else:
             files = sorted(Path(p.parent).glob(p.name))
+            if not files:
+                raise FileNotFoundError(f"source not found: {path}")
         self.files = files
         self.vid_stride = vid_stride
         self._vid_formats = VID_FORMATS
@@ -229,15 +231,24 @@ class LoadTensor:
 
 
 def load_inference_source(source, vid_stride: int = 1, stream_buffer: bool = False):
-    """Route a source spec to its loader (ref: data/build.py:267)."""
+    """Route a source spec to its loader (ref: data/build.py:267).
+
+    This is the single routing authority — the predictor's frame iterator
+    delegates here for every non-trivial source type, so webcams (int or str),
+    screen specs, tensor batches (numpy/jax/torch), stream lists, files, dirs
+    and globs all behave identically from the API and the CLI."""
     import numpy as np
 
-    if isinstance(source, str) and source.startswith("screen"):
+    # exactly "screen" or "screen <args>" — NOT any path that merely starts
+    # with the word (e.g. "screenshots/img.png" is a file)
+    if isinstance(source, str) and (source == "screen" or source.startswith("screen ")):
         return LoadScreenshots(source)
     if isinstance(source, np.ndarray) and source.ndim == 4:
         return LoadTensor(source)
-    if type(source).__module__.startswith(("jax", "torch")) and hasattr(source, "ndim") and source.ndim == 4:
-        return LoadTensor(source)
+    if type(source).__module__.startswith(("jax", "torch")) and getattr(source, "ndim", 0) == 4:
+        return LoadTensor(np.asarray(source))
+    if isinstance(source, int):  # webcam index (the CLI's smart_value yields int 0)
+        return LoadStreams(str(source), vid_stride=vid_stride, buffer=stream_buffer)
     if isinstance(source, (list, tuple)) and all(isinstance(s, str) and ("://" in s or str(s).isdigit()) for s in source):
         return LoadStreams(source, vid_stride=vid_stride, buffer=stream_buffer)
     if isinstance(source, str) and ("://" in source or source.isdigit()):

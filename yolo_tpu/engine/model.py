@@ -158,7 +158,8 @@ class YOLO:
             for k, v in kwargs.items():
                 if k in DEFAULT_CFG_DICT:
                     setattr(self.predictor.args, k, v)
-            self.predictor.params = self.params
+            # args are updated above BEFORE set_params so an int8 toggle is honored
+            self.predictor.set_params(self.params)
         return self.predictor(source, stream=stream)
 
     def track(self, source=None, stream: bool = False, persist: bool = False, **kwargs):

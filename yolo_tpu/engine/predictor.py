@@ -49,16 +49,37 @@ class BasePredictor:
         import jax.numpy as jnp
 
         self.dtype = jnp.bfloat16 if (self.args.half or str(self.args.compute_dtype) == "bfloat16") else jnp.float32
+        self.set_params(params)
+
+    def set_params(self, params):
+        """Install (raw) params, re-applying PTQ quantization when int8 is on —
+        callers that refresh params on a reused predictor (engine/model.py
+        predict) must not silently revert an int8 predictor to float."""
+        self._raw_params = params
         if getattr(self.args, "int8", False):  # PTQ inference (nn/quantize.py)
             from yolo_tpu.nn.quantize import quantize_params
 
-            self.params = quantize_params(model.fuse(self.params) if hasattr(model, "fuse") else self.params)
+            params = quantize_params(self.model.fuse(params) if hasattr(self.model, "fuse") else params)
+        self.params = params
 
     # --- device program ------------------------------------------------------
 
     def _predict_fn(self, shape):
-        """Build (or fetch) the fused jitted program for a (B, H, W, C) shape."""
-        key = tuple(shape) + (float(self.args.conf), float(self.args.iou), bool(self.args.agnostic_nms), bool(getattr(self.args, "augment", False)))
+        """Build (or fetch) the fused jitted program for a (B, H, W, C) shape.
+
+        The cache key carries EVERY argument the closure bakes in — conf, iou,
+        agnostic, augment, classes, max_det — so changing any of them on a
+        reused predictor compiles a fresh program instead of silently serving
+        stale results."""
+        classes_key = tuple(self.args.classes) if self.args.classes is not None else None
+        key = tuple(shape) + (
+            float(self.args.conf),
+            float(self.args.iou),
+            bool(self.args.agnostic_nms),
+            bool(getattr(self.args, "augment", False)),
+            classes_key,
+            int(self.args.max_det),
+        )
         if key in self._fn_cache:
             return self._fn_cache[key]
         import jax
@@ -274,45 +295,36 @@ class BasePredictor:
         self._vid_writers = {}
 
 
-def _iter_source(source, vid_stride: int = 1, stream_buffer: bool = False):
-    """Yield (bgr_image, path, frame_idx) from ndarray/tensor-batch/list/path/
-    dir/video/stream/webcam/screen sources (ref: build.py load_inference_source
-    routing; stream_buffer keeps every stream frame instead of only the
-    latest, ref data/loaders.py LoadStreams buffer)."""
-    import cv2
+def _drain_loader(loader):
+    """Adapt any data.loaders loader to the (bgr_image, path, frame_idx) shape."""
+    from yolo_tpu.data.loaders import LoadStreams
 
-    if isinstance(source, np.ndarray) and source.ndim == 4:  # tensor batch
-        from yolo_tpu.data.loaders import LoadTensor
-
-        for path, frame, idx in LoadTensor(source):
+    if isinstance(loader, LoadStreams):  # yields (sources, frames, infos) per tick
+        idx = 0
+        try:
+            for srcs, frames_, _ in loader:
+                for j, im in enumerate(frames_):
+                    yield im, str(srcs[j]), idx
+                idx += 1
+        finally:
+            loader.close()
+    else:
+        for path, frame, idx in loader:
             yield frame, path, idx
-        return
-    if isinstance(source, np.ndarray):
-        yield source, "array", 0
-        return
-    if isinstance(source, str) and ("://" in source or source.isdigit() or source.startswith("screen")):
-        from yolo_tpu.data.loaders import LoadStreams, load_inference_source
 
-        loader = load_inference_source(source, vid_stride=vid_stride, stream_buffer=stream_buffer)
-        if isinstance(loader, LoadStreams):  # yields (sources, frames, infos)
-            idx = 0
-            try:
-                for srcs, frames_, _ in loader:
-                    for j, im in enumerate(frames_):
-                        yield im, str(srcs[j]), idx
-                    idx += 1
-            finally:
-                loader.close()
-        else:
-            for path, frame, idx in loader:
-                yield frame, path, idx
-        return
-    if isinstance(source, (list, tuple)):
-        for i, s in enumerate(source):
-            if isinstance(s, np.ndarray):
-                yield s, f"array{i}", 0
-            else:
-                yield from _iter_source(s, vid_stride)
+
+def _iter_source(source, vid_stride: int = 1, stream_buffer: bool = False):
+    """Yield (bgr_image, path, frame_idx) from any source.
+
+    In-memory single frames (ndarray/PIL) and mixed lists are unwrapped here;
+    EVERYTHING else — tensor batches (numpy/jax/torch), paths, dirs, globs,
+    videos, webcams (int or digit-string), URLs, stream lists, screen specs —
+    routes through data.loaders.load_inference_source (ref: build.py:267), the
+    single routing authority, so the API and CLI behave identically."""
+    from yolo_tpu.data.loaders import load_inference_source
+
+    if isinstance(source, np.ndarray) and source.ndim != 4:
+        yield source, "array", 0
         return
     try:
         from PIL import Image
@@ -322,26 +334,15 @@ def _iter_source(source, vid_stride: int = 1, stream_buffer: bool = False):
             return
     except ImportError:
         pass
-    path = Path(str(source))
-    if path.is_dir():
-        for p in sorted(path.iterdir()):
-            if p.suffix.lower().lstrip(".") in IMG_FORMATS | VID_FORMATS:
-                yield from _iter_source(p, vid_stride)
+    if isinstance(source, (list, tuple)):
+        all_streams = len(source) > 0 and all(isinstance(s, str) and ("://" in s or str(s).isdigit()) for s in source)
+        if all_streams:  # parallel multi-stream loader, not sequential starvation
+            yield from _drain_loader(load_inference_source(list(source), vid_stride=vid_stride, stream_buffer=stream_buffer))
+            return
+        for i, s in enumerate(source):
+            if isinstance(s, np.ndarray) and s.ndim != 4:
+                yield s, f"array{i}", 0
+            else:
+                yield from _iter_source(s, vid_stride, stream_buffer)
         return
-    suffix = path.suffix.lower().lstrip(".")
-    if suffix in VID_FORMATS:
-        cap = cv2.VideoCapture(str(path))
-        idx = 0
-        while True:
-            ok, frame = cap.read()
-            if not ok:
-                break
-            if idx % vid_stride == 0:
-                yield frame, str(path), idx
-            idx += 1
-        cap.release()
-    else:
-        img = cv2.imread(str(path))
-        if img is None:
-            raise FileNotFoundError(f"could not read image {path}")
-        yield img, str(path), 0
+    yield from _drain_loader(load_inference_source(source, vid_stride=vid_stride, stream_buffer=stream_buffer))

@@ -57,6 +57,7 @@ class _ModelLane:
         self.conf, self.iou, self.imgsz, self.max_det = conf, iou, imgsz, max_det
         self.queue: list = []
         self.predictor = None
+        self.error: str | None = None  # set if build()/warmup failed (lane out of service)
 
     def build(self):
         from yolo_tpu.engine.predictor import BasePredictor
@@ -86,8 +87,12 @@ class DetectionServer:
     def _worker(self):
         LOGGER.info("warming up device program(s)...")
         for mid, lane in self.lanes.items():
-            lane.build()
-            LOGGER.info(f"model {mid} ready ({lane.yolo.overrides.get('model')})")
+            try:
+                lane.build()
+                LOGGER.info(f"model {mid} ready ({lane.yolo.overrides.get('model')})")
+            except Exception as e:  # one broken lane must not brick the server
+                lane.error = f"model {mid} failed to build: {e}"
+                LOGGER.warning(lane.error)
         LOGGER.info("server ready")
         while not self._stop:
             self._event.wait(timeout=0.1)
@@ -122,9 +127,26 @@ class DetectionServer:
             buf += chunk
         return buf
 
-    def _send_error(self, conn, status: int, msg: str):
+    def _send_error(self, conn, status: int, msg: str, version: int = PROTOCOL_VERSION):
+        """Error response in the CLIENT's framing. The v1 protocol has no
+        status field, so a v1 client gets a valid zero-detection frame (and
+        the error is logged server-side) — sending v2 error frames would be
+        parsed as a detection count and desync the stream."""
+        if version == 1:
+            LOGGER.warning(f"v1 client error (reported as empty result): {msg}")
+            conn.sendall(MAGIC_RES + struct.pack("<I", 0))
+            return
         data = msg.encode()
         conn.sendall(MAGIC_RES + struct.pack("<HHI", PROTOCOL_VERSION, status, len(data)) + data)
+
+    def _drain_payload(self, conn, h: int, w: int, c: int):
+        """Consume a rejected request's frame bytes so the stream stays in
+        sync for the next request (recoverable-error semantics). Absurd
+        geometries are unbounded — close instead of draining gigabytes."""
+        n = h * w * c
+        if n > 8192 * 8192 * 4:
+            raise ValueError(f"unrecoverable geometry {h}x{w}x{c}")
+        self._recv_exact(conn, n)
 
     def _handle_client(self, conn, addr):
         LOGGER.info(f"client {addr} connected")
@@ -136,17 +158,23 @@ class DetectionServer:
                 elif magic == MAGIC_REQ_V2:
                     version, mid = struct.unpack("<HH", self._recv_exact(conn, 4))
                     if version != PROTOCOL_VERSION:
+                        h, w, c = struct.unpack("<III", self._recv_exact(conn, 12))
+                        self._drain_payload(conn, h, w, c)
                         self._send_error(conn, STATUS_BAD_REQUEST, f"unsupported protocol version {version}")
                         continue
                 else:
                     raise ValueError(f"bad magic {magic!r}")
                 h, w, c = struct.unpack("<III", self._recv_exact(conn, 12))
                 if not (0 < h <= 8192 and 0 < w <= 8192 and c in (1, 3)):
-                    self._send_error(conn, STATUS_BAD_REQUEST, f"bad frame geometry {h}x{w}x{c}")
+                    self._drain_payload(conn, h, w, c)
+                    self._send_error(conn, STATUS_BAD_REQUEST, f"bad frame geometry {h}x{w}x{c}", version)
                     continue
                 raw = self._recv_exact(conn, h * w * c)
                 if mid not in self.lanes:
-                    self._send_error(conn, STATUS_BAD_MODEL, f"unknown model id {mid} (have {sorted(self.lanes)})")
+                    self._send_error(conn, STATUS_BAD_MODEL, f"unknown model id {mid} (have {sorted(self.lanes)})", version)
+                    continue
+                if self.lanes[mid].error:
+                    self._send_error(conn, STATUS_INTERNAL, self.lanes[mid].error, version)
                     continue
                 frame = np.frombuffer(raw, np.uint8).reshape(h, w, c)
                 if c == 1:
@@ -155,10 +183,12 @@ class DetectionServer:
                 with self._lock:
                     self.lanes[mid].queue.append((frame, done, out))
                     self._event.set()
-                done.wait()
+                if not done.wait(timeout=300.0):  # worker died/stuck — fail the request, keep the stream
+                    self._send_error(conn, STATUS_INTERNAL, "inference timed out", version)
+                    continue
                 status, payload = out[0]
                 if status != STATUS_OK:
-                    self._send_error(conn, status, str(payload))
+                    self._send_error(conn, status, str(payload), version)
                     continue
                 dets = payload.astype(np.float32)
                 if version == 1:  # legacy framing: no version/status fields
