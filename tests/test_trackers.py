@@ -163,3 +163,30 @@ def test_botsort_reid_encoder_path():
     trk = t.tracked_stracks[0]
     assert getattr(trk, "smooth_feat", None) is not None
     assert abs(float(np.linalg.norm(trk.smooth_feat)) - 1.0) < 1e-3
+
+
+def test_botsort_reid_feats_follow_conf_split():
+    """Review finding: feats must be subset like the detections across the
+    high/low-conf split, and the track glue must pass the frame through so
+    ReID/GMC see pixels."""
+    import numpy as np
+
+    from yolo_tpu.trackers.bot_sort import BOTSORT
+    from yolo_tpu.trackers.track import load_tracker_cfg
+
+    cfg = load_tracker_cfg("botsort.yaml")
+    cfg.with_reid = True
+    cfg.model = "auto"  # reuse detection feats
+    t = BOTSORT(args=cfg, frame_rate=30)
+    img = np.zeros((64, 64, 3), np.uint8)
+    # det 1 is low-conf → only dets 0 and 2 reach the first stage; their feats
+    # must be f0 and f2 (not f0 and f1)
+    boxes = np.array([[10, 10, 8, 8], [30, 30, 8, 8], [50, 50, 8, 8]], np.float32)
+    scores = np.array([0.9, 0.2, 0.8], np.float32)
+    cls = np.zeros(3, np.float32)
+    f = np.eye(3, 8, dtype=np.float32)  # distinguishable embeddings
+    t.update(boxes, scores, cls, img=img, feats=f)
+    by_pos = {round(float(tr.tlwh[0])): tr for tr in t.tracked_stracks}
+    assert 6 in by_pos and 46 in by_pos  # tlwh x = cx - w/2
+    assert np.argmax(np.abs(by_pos[6].curr_feat)) == 0
+    assert np.argmax(np.abs(by_pos[46].curr_feat)) == 2

@@ -59,7 +59,12 @@ class DetectionTrainer:
         self.args = get_cfg(overrides=overrides)
         self.save_dir = get_save_dir(self.args)
         self.wdir = self.save_dir / "weights"
-        self.callbacks = dict(default_callbacks())
+        from yolo_tpu.utils.callbacks import add_integration_callbacks
+
+        # TB + experiment-tracker integrations (ref: trainer.py:~150
+        # callbacks.add_integration_callbacks(self)); guarded imports make
+        # missing SDKs a no-op
+        self.callbacks = add_integration_callbacks(dict(default_callbacks()))
         self.metrics = None
         self.best_fitness = 0.0
         self.best_params = None
@@ -341,6 +346,9 @@ class DetectionTrainer:
             params, opt_state, ema_params = replicate((params, opt_state, ema_params), mesh)
 
         nw = max(round(args.warmup_epochs * nb), 100) if args.warmup_epochs > 0 else -1
+        # integrations (wandb/mlflow/clearml/comet/dvc) initialize their runs
+        # on this hook (ref: every callbacks/*.py registers on_pretrain_routine_start)
+        run_callbacks(self.callbacks, "on_pretrain_routine_start", self)
         run_callbacks(self.callbacks, "on_train_start", self)
         csv_rows = []
         t_train = time.time()

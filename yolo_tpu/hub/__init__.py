@@ -42,7 +42,8 @@ def smart_request(method: str, url: str, *, payload: dict | None = None, data: b
             LOGGER.warning(f"hub: {url} -> {r.status_code}, retry {attempt + 1}/{retries}")
         except Exception as e:
             LOGGER.warning(f"hub: {url} failed ({e}), retry {attempt + 1}/{retries}")
-        time.sleep(2**attempt)
+        if attempt + 1 < retries:  # no dead-time sleep after the final attempt
+            time.sleep(2**attempt)
     return None
 
 
@@ -66,7 +67,11 @@ class Auth:
                 return False
             self.id_token = r.json().get("token")
             return True
-        self.id_token = f"local-{hash(self.api_key) & 0xFFFFFFFF:08x}"
+        import hashlib
+
+        # hashlib, not hash(): Python's str hash is salted per process
+        # (PYTHONHASHSEED), which would break the documented determinism
+        self.id_token = f"local-{hashlib.sha256(self.api_key.encode()).hexdigest()[:8]}"
         return True
 
     @property
@@ -125,11 +130,12 @@ class HUBTrainingSession:
     def upload_model(self, epoch: int, weights_path, is_best: bool = False, final: bool = False):
         self._emit("model", {"epoch": epoch, "weights": str(weights_path), "best": is_best, "final": final})
         if self.api_root and Path(weights_path).exists():
-            smart_request(
-                "POST", f"{self.api_root}/v1/models/{self.model_id}/upload",
-                data=Path(weights_path).read_bytes(),
-                headers={**self.auth.header, "x-epoch": str(epoch), "x-final": str(final).lower()},
-            )
+            with open(weights_path, "rb") as f:  # stream — no whole-checkpoint RAM spike
+                smart_request(
+                    "POST", f"{self.api_root}/v1/models/{self.model_id}/upload",
+                    data=f,
+                    headers={**self.auth.header, "x-epoch": str(epoch), "x-final": str(final).lower()},
+                )
 
     def stop(self):
         self.alive = False

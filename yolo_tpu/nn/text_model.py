@@ -60,6 +60,65 @@ def _whitespace_clean(text: str) -> str:
     return " ".join(text.split())
 
 
+
+def _ln(p, x):
+    """CLIP LayerNorm (eps 1e-5)."""
+    import jax
+
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + 1e-5) * p["weight"] + p["bias"]
+
+
+def _resblock_params(rng, w):
+    """One transformer resblock's params (shared text/vision layout)."""
+
+    def lin(ci, co):
+        return {"weight": rng.normal(0, ci**-0.5, (co, ci)).astype(np.float32),
+                "bias": np.zeros((co,), np.float32)}
+
+    def ln():
+        return {"weight": np.ones((w,), np.float32), "bias": np.zeros((w,), np.float32)}
+
+    return {
+        "attn": {
+            "in_proj_weight": rng.normal(0, w**-0.5, (3 * w, w)).astype(np.float32),
+            "in_proj_bias": np.zeros((3 * w,), np.float32),
+            "out_proj": lin(w, w),
+        },
+        "ln_1": ln(),
+        "mlp": {"c_fc": lin(w, 4 * w), "c_proj": lin(4 * w, w)},
+        "ln_2": ln(),
+    }
+
+
+def _resblock(p, x, nh, mask=None):
+    """Pre-LN attention + QuickGELU MLP resblock — ONE implementation for both
+    towers (text passes the causal mask; vision passes none) so precision or
+    epsilon tweaks can never diverge between them."""
+    import jax
+    import jax.numpy as jnp
+
+    B, L, w = x.shape
+    hd = w // nh
+    h = _ln(p["ln_1"], x)
+    qkv = h @ p["attn"]["in_proj_weight"].T + p["attn"]["in_proj_bias"]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
+    logits = q @ k.transpose(0, 1, 3, 2) / jnp.sqrt(jnp.float32(hd))
+    if mask is not None:
+        logits = jnp.where(mask[None, None], logits, -jnp.inf)
+    att = jax.nn.softmax(logits, axis=-1) @ v
+    att = att.transpose(0, 2, 1, 3).reshape(B, L, w)
+    x = x + att @ p["attn"]["out_proj"]["weight"].T + p["attn"]["out_proj"]["bias"]
+    h = _ln(p["ln_2"], x)
+    h = h @ p["mlp"]["c_fc"]["weight"].T + p["mlp"]["c_fc"]["bias"]
+    h = h * jax.nn.sigmoid(1.702 * h)  # QuickGELU
+    return x + h @ p["mlp"]["c_proj"]["weight"].T + p["mlp"]["c_proj"]["bias"]
+
+
 class SimpleTokenizer:
     """CLIP byte-level BPE. Exact CLIP ids when given the released merge table;
     byte-level fallback otherwise (documented divergence: ids differ, the
@@ -187,18 +246,7 @@ class CLIPTextEncoder:
         def ln():
             return {"weight": np.ones((w,), np.float32), "bias": np.zeros((w,), np.float32)}
 
-        blocks = {}
-        for i in range(self.layers):
-            blocks[str(i)] = {
-                "attn": {
-                    "in_proj_weight": rng.normal(0, w**-0.5, (3 * w, w)).astype(np.float32),
-                    "in_proj_bias": np.zeros((3 * w,), np.float32),
-                    "out_proj": lin(w, w),
-                },
-                "ln_1": ln(),
-                "mlp": {"c_fc": lin(w, 4 * w), "c_proj": lin(4 * w, w)},
-                "ln_2": ln(),
-            }
+        blocks = {str(i): _resblock_params(rng, w) for i in range(self.layers)}
         return {
             "token_embedding": {"weight": rng.normal(0, 0.02, (self.vocab_size, w)).astype(np.float32)},
             "positional_embedding": rng.normal(0, 0.01, (self.context, w)).astype(np.float32),
@@ -210,38 +258,15 @@ class CLIPTextEncoder:
     def encode_text(self, params, tokens, normalize: bool = True):
         """tokens (B, 77) int32 → (B, embed_dim) features (unit-norm when
         normalize). EOT pooling = feature at argmax(token id) like CLIP."""
-        import jax
         import jax.numpy as jnp
-
-        def _ln(p, x):
-            mu = x.mean(-1, keepdims=True)
-            var = ((x - mu) ** 2).mean(-1, keepdims=True)
-            return (x - mu) * jax.lax.rsqrt(var + 1e-5) * p["weight"] + p["bias"]
 
         tokens = jnp.asarray(tokens)
         B, L = tokens.shape
-        w, nh = self.width, self.heads
         x = params["token_embedding"]["weight"][tokens] + params["positional_embedding"][:L]
         x = x.astype(jnp.float32)
         causal = jnp.tril(jnp.ones((L, L), bool))
         for i in range(self.layers):
-            p = params["transformer"]["resblocks"][str(i)]
-            h = _ln(p["ln_1"], x)
-            qkv = h @ p["attn"]["in_proj_weight"].T + p["attn"]["in_proj_bias"]
-            q, k, v = jnp.split(qkv, 3, axis=-1)
-            hd = w // nh
-            q = q.reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
-            k = k.reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
-            v = v.reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
-            logits = q @ k.transpose(0, 1, 3, 2) / jnp.sqrt(jnp.float32(hd))
-            logits = jnp.where(causal[None, None], logits, -jnp.inf)
-            att = jax.nn.softmax(logits, axis=-1) @ v
-            att = att.transpose(0, 2, 1, 3).reshape(B, L, w)
-            x = x + att @ p["attn"]["out_proj"]["weight"].T + p["attn"]["out_proj"]["bias"]
-            h = _ln(p["ln_2"], x)
-            h = h @ p["mlp"]["c_fc"]["weight"].T + p["mlp"]["c_fc"]["bias"]
-            h = h * jax.nn.sigmoid(1.702 * h)  # QuickGELU
-            x = x + h @ p["mlp"]["c_proj"]["weight"].T + p["mlp"]["c_proj"]["bias"]
+            x = _resblock(params["transformer"]["resblocks"][str(i)], x, self.heads, mask=causal)
         x = _ln(params["ln_final"], x)
         eot = jnp.argmax(tokens, axis=-1)
         feats = x[jnp.arange(B), eot] @ params["text_projection"]
@@ -332,18 +357,7 @@ class CLIPVisionEncoder:
         def ln():
             return {"weight": np.ones((w,), np.float32), "bias": np.zeros((w,), np.float32)}
 
-        blocks = {}
-        for i in range(self.layers):
-            blocks[str(i)] = {
-                "attn": {
-                    "in_proj_weight": rng.normal(0, w**-0.5, (3 * w, w)).astype(np.float32),
-                    "in_proj_bias": np.zeros((3 * w,), np.float32),
-                    "out_proj": lin(w, w),
-                },
-                "ln_1": ln(),
-                "mlp": {"c_fc": lin(w, 4 * w), "c_proj": lin(4 * w, w)},
-                "ln_2": ln(),
-            }
+        blocks = {str(i): _resblock_params(rng, w) for i in range(self.layers)}
         return {
             "conv1": {"weight": rng.normal(0, 0.02, (self.patch, self.patch, 3, w)).astype(np.float32)},
             "class_embedding": rng.normal(0, w**-0.5, (w,)).astype(np.float32),
@@ -358,11 +372,6 @@ class CLIPVisionEncoder:
         import jax
         import jax.numpy as jnp
 
-        def _ln(p, x):
-            mu = x.mean(-1, keepdims=True)
-            var = ((x - mu) ** 2).mean(-1, keepdims=True)
-            return (x - mu) * jax.lax.rsqrt(var + 1e-5) * p["weight"] + p["bias"]
-
         x = (jnp.asarray(images, jnp.float32) - self.MEAN) / self.STD
         x = jax.lax.conv_general_dilated(
             x, params["conv1"]["weight"].astype(jnp.float32), (self.patch, self.patch), "VALID",
@@ -373,23 +382,8 @@ class CLIPVisionEncoder:
         cls_tok = jnp.broadcast_to(params["class_embedding"].astype(jnp.float32)[None, None], (B, 1, w))
         x = jnp.concatenate([cls_tok, x], axis=1) + params["positional_embedding"]
         x = _ln(params["ln_pre"], x)
-        L = x.shape[1]
-        nh, hd = self.heads, w // self.heads
         for i in range(self.layers):
-            p = params["transformer"]["resblocks"][str(i)]
-            h = _ln(p["ln_1"], x)
-            qkv = h @ p["attn"]["in_proj_weight"].T + p["attn"]["in_proj_bias"]
-            q, k, v = jnp.split(qkv, 3, axis=-1)
-            q = q.reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
-            k = k.reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
-            v = v.reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
-            att = jax.nn.softmax(q @ k.transpose(0, 1, 3, 2) / jnp.sqrt(jnp.float32(hd)), -1) @ v
-            att = att.transpose(0, 2, 1, 3).reshape(B, L, w)
-            x = x + att @ p["attn"]["out_proj"]["weight"].T + p["attn"]["out_proj"]["bias"]
-            h = _ln(p["ln_2"], x)
-            h = h @ p["mlp"]["c_fc"]["weight"].T + p["mlp"]["c_fc"]["bias"]
-            h = h * jax.nn.sigmoid(1.702 * h)  # QuickGELU
-            x = x + h @ p["mlp"]["c_proj"]["weight"].T + p["mlp"]["c_proj"]["bias"]
+            x = _resblock(params["transformer"]["resblocks"][str(i)], x, self.heads)
         feats = _ln(params["ln_post"], x[:, 0]) @ params["proj"]
         if normalize:
             feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)

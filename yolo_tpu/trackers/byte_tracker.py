@@ -197,7 +197,13 @@ class BYTETracker:
         )
         dets = boxes_with_idx[remain_inds]
         dets_second = boxes_with_idx[inds_second]
-        detections = self.init_track(dets, scores[remain_inds], cls[remain_inds], img, feats)
+        # feats must be subset the same way as the detections — passing the
+        # full array would zip detection k with feature j != k after the
+        # high/low-conf split (wrong embeddings → bogus ReID distances)
+        feats = np.asarray(feats) if feats is not None else None
+        detections = self.init_track(
+            dets, scores[remain_inds], cls[remain_inds], img, feats[remain_inds] if feats is not None else None
+        )
 
         unconfirmed, tracked_stracks = [], []
         for track in self.tracked_stracks:
@@ -223,7 +229,9 @@ class BYTETracker:
                 refind.append(track)
 
         # second association: low-score dets rescue leftover tracked tracks
-        detections_second = self.init_track(dets_second, scores[inds_second], cls[inds_second], img, feats)
+        detections_second = self.init_track(
+            dets_second, scores[inds_second], cls[inds_second], img, feats[inds_second] if feats is not None else None
+        )
         r_tracked = [strack_pool[i] for i in u_track if strack_pool[i].state == TrackState.Tracked]
         dists = matching.iou_distance(r_tracked, detections_second)
         matches, u_track, _ = matching.linear_assignment(dists, thresh=0.5)

@@ -55,7 +55,9 @@ def attach_tracker(model, results, persist: bool = False, stream: bool = False, 
         if len(det) == 0:
             return r
         xywh = np.asarray(xyxy2xywh(det.xyxy))
-        tracks = tracker.update(xywh, det.conf, det.cls)
+        # pass the frame through (ref: track.py:95 update(det, result.orig_img,
+        # feats)) — BOT-SORT's GMC and crop-and-embed ReID both need pixels
+        tracks = tracker.update(xywh, det.conf, det.cls, img=getattr(r, "orig_img", None), feats=getattr(r, "feats", None))
         if len(tracks) == 0:
             r.update(boxes=np.zeros((0, 7), np.float32))
             return r

@@ -20,25 +20,21 @@ from __future__ import annotations
 
 import numpy as np
 
-
-def _xywh2xyxy(b):
-    out = b.copy()
-    out[..., :2] = b[..., :2] - b[..., 2:] / 2
-    out[..., 2:] = b[..., :2] + b[..., 2:] / 2
-    return out
-
-
-def _xyxy2xywh(b):
-    out = b.copy()
-    out[..., :2] = (b[..., :2] + b[..., 2:]) / 2
-    out[..., 2:] = b[..., 2:] - b[..., :2]
-    return out
+from yolo_tpu.ops.boxes import xywh2xyxy as _xywh2xyxy, xyxy2xywh as _xyxy2xywh
 
 
 def cdn_attn_mask(num_group: int, n: int, num_queries: int) -> np.ndarray:
     """Static (tgt, tgt) bool mask, True = blocked — verbatim reference
     semantics (ops.py :295-307): match queries cannot see dn queries, dn
-    groups cannot see each other."""
+    groups cannot see each other.
+
+    Parity note: the reference's mask blocks are CONSECUTIVE COPY PAIRS
+    (rows [2n·i, 2n·(i+1))), while its query layout places all G positive
+    copies first and all G negative copies second — so for G>1 its "groups"
+    pair two positive copies together rather than each positive with its
+    negative (upstream quirk). We reproduce it bit-exactly
+    (tests/test_rtdetr_train.py::test_cdn_attn_mask_exact_parity) rather than
+    "fix" it, since training parity is the contract."""
     num_dn = 2 * num_group * n
     tgt = num_dn + num_queries
     m = np.zeros((tgt, tgt), bool)

@@ -41,7 +41,7 @@ def _wandb_callbacks():
 
         state["run"] = wandb.run or wandb.init(
             project=str(getattr(trainer.args, "project", None) or "yolo_tpu"),
-            name=str(getattr(trainer.args, "name", None) or None),
+            name=str(n) if (n := getattr(trainer.args, "name", None)) else None,  # None lets wandb auto-name
             config=vars(trainer.args),
         )
 
