@@ -103,3 +103,30 @@ def test_multi_image_score_interleaving():
     # ranks: FP, TP, TP → precision at recall .5 = 1/2, at 1.0 = 2/3; envelope → 2/3 everywhere
     expect = (51 * (2 / 3) + 50 * (2 / 3)) / 101
     assert abs(r["mAP50"] - 2 / 3) < 1e-9, r["mAP50"]
+
+
+def test_false_positive_on_empty_category():
+    """Review finding: a detection on an (image, category) with no gts used to
+    crash on `~g_ignore` over an empty float64 array."""
+    from yolo_tpu.utils.coco_eval import coco_evaluate
+
+    gt = {
+        "images": [{"id": 1}],
+        "annotations": [
+            {"id": 1, "image_id": 1, "category_id": 1, "bbox": [10, 10, 20, 20], "iscrowd": 0, "area": 400}
+        ],
+        "categories": [{"id": 1}, {"id": 2}],
+    }
+    dt = [
+        {"image_id": 1, "category_id": 1, "bbox": [10, 10, 20, 20], "score": 0.9},
+        {"image_id": 1, "category_id": 2, "bbox": [50, 50, 10, 10], "score": 0.8},  # FP on empty cat
+    ]
+    out = coco_evaluate(gt, dt)
+    assert out["mAP50"] == 1.0  # cat 1 perfect; cat 2 has no gts → not averaged
+
+
+def test_coco91_category_mapping():
+    from yolo_tpu.utils.coco_eval import coco80_to_coco91_class
+
+    m = coco80_to_coco91_class()
+    assert len(m) == 80 and m[0] == 1 and m[11] == 13 and m[-1] == 90

@@ -338,6 +338,7 @@ class GroundingDataset(YOLODataset):
         self.im_files, self.labels = self._load_grounding(json_file, img_path, fraction)
         if not self.im_files:
             raise FileNotFoundError(f"no annotated images found via {json_file}")
+        self.names = {i: t[0] for i, t in enumerate(self.labels[0]["texts"])}  # global span vocabulary
         if augment and hyp is not None:
             from yolo_tpu.data.augment import TrainTransforms
 
@@ -360,6 +361,12 @@ class GroundingDataset(YOLODataset):
             img_to_anns[int(ann["image_id"])].append(ann)
 
         im_files, labels = [], []
+        # ONE dataset-global class-id space (span text -> id). Per-image id
+        # spaces would be corrupted by any multi-image augmentation (mosaic/
+        # mixup concatenate cls arrays across images), silently assigning
+        # boxes to the wrong caption span.
+        cat2id: dict = {}
+        texts: list = []
         for img_id, anns in sorted(img_to_anns.items()):
             img = images[img_id]
             h, w = img["height"], img["width"]
@@ -367,8 +374,6 @@ class GroundingDataset(YOLODataset):
             if not im_file.exists():
                 continue
             caption = img.get("caption", "")
-            cat2id: dict = {}
-            texts: list = []
             cls, boxes = [], []
             for ann in anns:
                 if ann.get("iscrowd"):
@@ -394,7 +399,7 @@ class GroundingDataset(YOLODataset):
                 "segments": None,
                 "keypoints": None,
                 "obb": None,
-                "texts": texts,
+                "texts": texts,  # the shared global list — ids index into it
             })
         n = max(1, int(len(im_files) * fraction)) if im_files else 0
         return im_files[:n], labels[:n]

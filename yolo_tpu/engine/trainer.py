@@ -306,7 +306,9 @@ class DetectionTrainer:
             except Exception as e:
                 LOGGER.warning(f"label plot failed: {e}")
         self.train_loader = build_dataloader(
-            trainset, args.batch, workers=args.workers, shuffle=True, seed=args.seed, drop_last=len(trainset) > args.batch
+            trainset, args.batch, workers=args.workers, shuffle=True, seed=args.seed,
+            drop_last=len(trainset) > args.batch,
+            overlap_mask=bool(getattr(args, "overlap_mask", True)),  # seg gt encoding (ref Format overlap)
         )
         nb = max(len(self.train_loader), 1)
         iterations = nb * args.epochs

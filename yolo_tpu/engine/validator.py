@@ -44,7 +44,7 @@ class DetectionValidator:
         stride = int(max(model.stride))
         dataset = build_yolo_dataset(self.args, split, self.args.batch, data, mode="val", stride=stride)
         batch_size = min(int(self.args.batch) if self.args.batch and self.args.batch > 0 else 16, len(dataset))
-        loader = build_dataloader(dataset, batch_size, workers=self.args.workers, shuffle=False, drop_last=False)
+        loader = build_dataloader(dataset, batch_size, workers=self.args.workers, shuffle=False, drop_last=False, overlap_mask=bool(getattr(self.args, 'overlap_mask', True)))
 
         conf, iou, max_det = float(self.args.conf), float(self.args.iou), int(self.args.max_det)
         dtype = jnp.bfloat16 if self.args.half else jnp.float32
@@ -60,6 +60,15 @@ class DetectionValidator:
         self._json_dets = []  # COCO-style rows when save_json (ref: detect/val.py pred_to_json)
         n_img = 0
         t0 = time.time()
+        # COCO-91 category remap for COCO-style datasets (ref: detect/val.py
+        # is_coco + converter.py coco80_to_coco91_class)
+        is_coco = bool(data) and data.get("nc", 0) == 80 and "coco" in str(data.get("path", "")).lower()
+        if is_coco:
+            from yolo_tpu.utils.coco_eval import coco80_to_coco91_class
+
+            cat_map = coco80_to_coco91_class()
+        else:
+            cat_map = None
         last_shape = None
         for batch in loader:
             imgs = batch["img"]
@@ -88,13 +97,23 @@ class DetectionValidator:
                 metrics.update(tp, pconf, pcls, gt_cls)
                 cm.process_batch(pboxes, pconf, pcls, gt_boxes, gt_cls)
                 if self.args.save_json:
+                    # COCO-json rows match pycocotools conventions (ref:
+                    # detect/val.py pred_to_json): numeric-stem image ids,
+                    # boxes rescaled to ORIGINAL image pixels, and COCO-91
+                    # category ids for COCO datasets — otherwise the
+                    # cross-check below can never match the GT file
                     from yolo_tpu.ops.boxes import xyxy2xywh
 
-                    for b, s, c in zip(np.asarray(xyxy2xywh(pboxes)), pconf, pcls):
+                    stem = Path(str(meta.get("im_file") or n_img)).stem
+                    image_id = int(stem) if stem.isnumeric() else stem
+                    jb = pboxes
+                    if meta.get("shape"):
+                        jb = np.asarray(scale_boxes((H, W), np.array(pboxes, np.float64), meta["shape"], meta.get("ratio_pad")))
+                    for b, s, c in zip(np.asarray(xyxy2xywh(jb)), pconf, pcls):
                         self._json_dets.append(
                             {
-                                "image_id": meta.get("im_file") or n_img,
-                                "category_id": int(c),
+                                "image_id": image_id,
+                                "category_id": cat_map[int(c)] if cat_map else int(c),
                                 "bbox": [round(float(v), 3) for v in [b[0] - b[2] / 2, b[1] - b[3] / 2, b[2], b[3]]],
                                 "score": round(float(s), 5),
                             }
@@ -120,7 +139,7 @@ class DetectionValidator:
             # optional cross-check against the vendored COCOeval protocol
             # (ref: detect/val.py coco_evaluate:433; pycocotools absent here)
             anno = Path(data.get("path", ".")) / "annotations" / "instances_val2017.json"
-            if anno and anno.exists():
+            if anno.exists():
                 from yolo_tpu.utils.coco_eval import coco_evaluate
 
                 stats = coco_evaluate(str(anno), self._json_dets)
@@ -155,7 +174,7 @@ class OBBValidator(DetectionValidator):
         args = get_cfg(overrides={**vars(self.args), "task": "obb"})
         dataset = build_yolo_dataset(args, split, self.args.batch, data, mode="val", stride=stride)
         batch_size = min(int(self.args.batch) if self.args.batch and self.args.batch > 0 else 16, len(dataset))
-        loader = build_dataloader(dataset, batch_size, workers=self.args.workers, shuffle=False, drop_last=False)
+        loader = build_dataloader(dataset, batch_size, workers=self.args.workers, shuffle=False, drop_last=False, overlap_mask=bool(getattr(self.args, 'overlap_mask', True)))
 
         conf, iou, max_det = float(self.args.conf), float(self.args.iou), int(self.args.max_det)
         dtype = jnp.bfloat16 if self.args.half else jnp.float32
@@ -219,7 +238,7 @@ class PoseValidator(DetectionValidator):
         args = get_cfg(overrides={**vars(self.args), "task": "pose"})
         dataset = build_yolo_dataset(args, split, self.args.batch, data, mode="val", stride=stride)
         batch_size = min(int(self.args.batch) if self.args.batch and self.args.batch > 0 else 16, len(dataset))
-        loader = build_dataloader(dataset, batch_size, workers=self.args.workers, shuffle=False, drop_last=False)
+        loader = build_dataloader(dataset, batch_size, workers=self.args.workers, shuffle=False, drop_last=False, overlap_mask=bool(getattr(self.args, 'overlap_mask', True)))
 
         nkpt, ndim = model.head.kpt_shape
         sigma = OKS_SIGMA if (nkpt, ndim) == (17, 3) else np.ones(nkpt) / nkpt
@@ -296,7 +315,7 @@ class SegmentationValidator(DetectionValidator):
         stride = int(max(model.stride))
         dataset = build_yolo_dataset(self.args, split, self.args.batch, data, mode="val", stride=stride)
         batch_size = min(int(self.args.batch) if self.args.batch and self.args.batch > 0 else 16, len(dataset))
-        loader = build_dataloader(dataset, batch_size, workers=self.args.workers, shuffle=False, drop_last=False)
+        loader = build_dataloader(dataset, batch_size, workers=self.args.workers, shuffle=False, drop_last=False, overlap_mask=bool(getattr(self.args, 'overlap_mask', True)))
 
         conf, iou, max_det = float(self.args.conf), float(self.args.iou), int(self.args.max_det)
         dtype = jnp.bfloat16 if self.args.half else jnp.float32
@@ -382,7 +401,7 @@ class RTDETRValidator(DetectionValidator):
         stride = int(max(model.stride))
         dataset = build_yolo_dataset(self.args, split, self.args.batch, data, mode="val", stride=stride)
         batch_size = min(int(self.args.batch) if self.args.batch and self.args.batch > 0 else 16, len(dataset))
-        loader = build_dataloader(dataset, batch_size, workers=self.args.workers, shuffle=False, drop_last=False)
+        loader = build_dataloader(dataset, batch_size, workers=self.args.workers, shuffle=False, drop_last=False, overlap_mask=bool(getattr(self.args, 'overlap_mask', True)))
 
         conf = float(self.args.conf)
         dtype = jnp.bfloat16 if self.args.half else jnp.float32

@@ -32,6 +32,11 @@ class VisualAISearch:
         self.clip = clip_model or CLIPModel()
         if clip_ckpt:
             self.clip.load_torch(clip_ckpt)
+        elif clip_model is None:
+            LOGGER.warning(
+                "VisualAISearch: no clip_model/clip_ckpt supplied — indexing with RANDOMLY-initialized "
+                "CLIP towers. Queries return noise until real CLIP weights are loaded."
+            )
         self.data_dir = Path(data)
         self.batch = batch
         self.files: list[str] = []
@@ -52,7 +57,9 @@ class VisualAISearch:
                 if im is None:
                     continue
                 ims.append(im[..., ::-1])  # BGR→RGB
-                self.files.append(f.name)
+                # path relative to the index root: unique across subdirs and
+                # locatable on disk (bare basenames collide)
+                self.files.append(str(f.relative_to(self.data_dir)))
             if ims:
                 embs.append(np.asarray(self.clip.encode_image(ims)))
         self.index = np.concatenate(embs, 0) if embs else np.zeros((0, self.clip.vision.embed_dim), np.float32)

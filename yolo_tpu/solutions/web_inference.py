@@ -45,19 +45,26 @@ class WebInference:
 
         from yolo_tpu import YOLO
 
-        model = YOLO(self.model_source)
-        fn = model.track if self.track else model.predict
-        n = 0
-        for r in fn(self.source, stream=True, conf=self.conf, iou=self.iou, verbose=False):
-            frame = r.plot()
-            ok, jpg = cv2.imencode(".jpg", frame, [cv2.IMWRITE_JPEG_QUALITY, 80])
-            if ok:
-                with self._jpeg_lock:
-                    self._jpeg = jpg.tobytes()
-            n += 1
-            if self._stop or (self.max_frames and n >= self.max_frames):
-                break
-        self._stop = True
+        try:
+            model = YOLO(self.model_source)
+            fn = model.track if self.track else model.predict
+            n = 0
+            for r in fn(self.source, stream=True, conf=self.conf, iou=self.iou, verbose=False):
+                frame = r.plot()
+                ok, jpg = cv2.imencode(".jpg", frame, [cv2.IMWRITE_JPEG_QUALITY, 80])
+                if ok:
+                    with self._jpeg_lock:
+                        self._jpeg = jpg.tobytes()
+                n += 1
+                if self._stop or (self.max_frames and n >= self.max_frames):
+                    break
+        except Exception as e:
+            # surface the error and release serve() — a dead worker must not
+            # leave the server streaming a blank page forever
+            self.error = e
+            LOGGER.warning(f"web inference worker failed: {e}")
+        finally:
+            self._stop = True
 
     # --- http -------------------------------------------------------------------
     def serve(self, host: str = "127.0.0.1", port: int = 8080, ready_event=None):
@@ -96,11 +103,14 @@ class WebInference:
         LOGGER.info(f"web inference at http://{host}:{self.port}")
         if ready_event is not None:
             ready_event.set()
+        httpd.timeout = 0.25  # handle_request returns periodically so _stop/shutdown take effect
         try:
             while not self._stop:
                 httpd.handle_request()
         finally:
             httpd.server_close()
+        if getattr(self, "error", None) is not None:
+            raise RuntimeError(f"web inference worker failed: {self.error}") from self.error
 
     def shutdown(self):
         self._stop = True

@@ -45,18 +45,22 @@ def _iou_ltwh(dt: np.ndarray, gt: np.ndarray, iscrowd: np.ndarray) -> np.ndarray
     return np.where(union > 0, inter / union, 0.0)
 
 
-def _evaluate_img(dts, gts, area_rng, max_det):
-    """pycocotools COCOeval.evaluateImg for one (image, category)."""
+def coco80_to_coco91_class() -> list[int]:
+    """Contiguous 80-class index → original COCO-91 category id (ref:
+    data/converter.py coco80_to_coco91_class:126). The 91-id space skips the
+    11 unused ids below."""
+    unused = {12, 26, 29, 30, 45, 66, 68, 69, 71, 83, 91}
+    return [i for i in range(1, 92) if i not in unused]
+
+
+def _prep_img(dts, gts, max_det):
+    """Area-independent per-(image, category) work, done ONCE: score-sort +
+    truncate dts, and the (D, G) IoU matrix in ORIGINAL gt order (pycocotools
+    computes self.ious once and reuses them across area ranges)."""
     if not dts and not gts:
         return None
-    g_ignore = np.array([g["_ignore"] or not (area_rng[0] <= g["area"] <= area_rng[1]) for g in gts])
-    # sort gts: non-ignored first (pycocotools gtind ordering)
-    g_order = np.argsort(g_ignore, kind="stable")
-    gts = [gts[i] for i in g_order]
-    g_ignore = g_ignore[g_order]
-    iscrowd = np.array([bool(g.get("iscrowd", 0)) for g in gts])
     dts = sorted(dts, key=lambda d: -d["score"])[:max_det]
-
+    iscrowd = np.array([bool(g.get("iscrowd", 0)) for g in gts], bool)
     D, G = len(dts), len(gts)
     ious = (
         _iou_ltwh(np.array([d["bbox"] for d in dts], np.float64).reshape(D, 4),
@@ -64,6 +68,24 @@ def _evaluate_img(dts, gts, area_rng, max_det):
         if D and G
         else np.zeros((D, G))
     )
+    return dts, gts, iscrowd, ious
+
+
+def _evaluate_img(prep, area_rng):
+    """pycocotools COCOeval.evaluateImg for one (image, category, area range)."""
+    if prep is None:
+        return None
+    dts, gts, iscrowd0, ious0 = prep
+    g_ignore = np.array(
+        [g["_ignore"] or not (area_rng[0] <= g["area"] <= area_rng[1]) for g in gts], bool
+    )
+    # sort gts: non-ignored first (pycocotools gtind ordering)
+    g_order = np.argsort(g_ignore, kind="stable")
+    g_ignore = g_ignore[g_order]
+    iscrowd = iscrowd0[g_order]
+    ious = ious0[:, g_order]
+
+    D, G = len(dts), len(gts)
     T = len(IOU_THRS)
     dt_m = np.zeros((T, D), np.int64) - 1  # matched gt index (local), -1 = none
     gt_m = np.zeros((T, G), np.int64) - 1
@@ -117,14 +139,19 @@ def coco_evaluate(gt, dt, max_det: int = 100):
     for d in dt:
         dts_by.setdefault((d["image_id"], d["category_id"]), []).append(d)
 
+    # IoUs + score-sorted dts once per (image, category); area ranges reuse them
+    preps = {
+        (i, cid): _prep_img(dts_by.get((i, cid), []), gts_by.get((i, cid), []), max_det)
+        for cid in cat_ids
+        for i in img_ids
+    }
+
     results = {}
     T, R = len(IOU_THRS), len(REC_THRS)
     for area_name, rng in AREA_RNG.items():
         ap = np.full((T, R, len(cat_ids)), -1.0)
         for k, cid in enumerate(cat_ids):
-            evals = [
-                _evaluate_img(dts_by.get((i, cid), []), gts_by.get((i, cid), []), rng, max_det) for i in img_ids
-            ]
+            evals = [_evaluate_img(preps[(i, cid)], rng) for i in img_ids]
             evals = [e for e in evals if e is not None]
             if not evals:
                 continue
