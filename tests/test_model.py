@@ -124,3 +124,31 @@ def test_ensemble_nms_concat(tmp_path):
     img = np.random.default_rng(1).integers(0, 255, (96, 96, 3), dtype=np.uint8)
     res = m.predict(img, imgsz=64, conf=0.01, verbose=False)
     assert len(res) == 1 and res[0].boxes is not None
+
+
+def test_fuse_preserves_all_head_groups():
+    """Review finding: fuse() used to crash on v10Detect and silently drop
+    Segment's proto / extra param groups; the generic walk must keep every
+    group and fold every BN."""
+    import jax
+    import numpy as np
+
+    from yolo_tpu.nn.tasks import SegmentationModel
+
+    m = DetectionModel("yolov10n.yaml")
+    fp = m.fuse(m.init(0))  # used to raise AttributeError
+    head = fp["model"][str(m.layers[-1].i)]
+    assert "one2one_cv2" in head and "one2one_cv3" in head
+
+    s = SegmentationModel("yolov8n-seg.yaml")
+    sf = s.fuse(s.init(0))
+    shead = sf["model"][str(s.layers[-1].i)]
+    assert "proto" in shead and "cv4" in shead
+
+    n = DetectionModel("yolo_nas_s.yaml")
+    nf = n.fuse(n.init(0))
+    bn_left = sum(
+        1 for path, _ in jax.tree_util.tree_leaves_with_path(nf)
+        if any(getattr(k, "key", "") == "bn" for k in path)
+    )
+    assert bn_left == 0, f"{bn_left} unfused BN leaves"

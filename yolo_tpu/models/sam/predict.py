@@ -134,6 +134,14 @@ class SAMPredictor:
 
         P = points_batch_size
         if self._gen_jit is None:
+            import inspect
+
+            if "high_res" in inspect.signature(self.model.predict_masks).parameters:
+                raise NotImplementedError(
+                    "generate() (segment-everything) currently supports SAM1/MobileSAM predictors; "
+                    "SAM2's predict_masks takes the high-res feature pyramid — use point/box prompts"
+                )
+
             def decode(p, feats, coords, labels):
                 return self.model.predict_masks(p, feats, points=(coords, labels), multimask_output=True)
 
@@ -156,9 +164,11 @@ class SAMPredictor:
             masks, iou = masks[keep], iou[keep]
             if not len(masks):
                 continue
-            # stability: IoU of (thr + off/2) vs (thr - off/2) thresholdings
-            hi = (masks > thr + stability_score_offset / 2).sum((1, 2))
-            lo = (masks > thr - stability_score_offset / 2).sum((1, 2))
+            # stability: IoU of (thr + off) vs (thr - off) thresholdings
+            # (ref: models/sam/amg.py calculate_stability_score — full offset,
+            # not half; half made the filter systematically more lenient)
+            hi = (masks > thr + stability_score_offset).sum((1, 2))
+            lo = (masks > thr - stability_score_offset).sum((1, 2))
             stab = hi / np.maximum(lo, 1)
             keep = stab > stability_score_thresh
             masks, iou = masks[keep] > thr, iou[keep]
@@ -176,8 +186,6 @@ class SAMPredictor:
         boxes = np.asarray(all_boxes, np.float32)
         scores = np.asarray(all_scores, np.float32)
         keep = nms_numpy(boxes, scores, nms_thresh)
-        lowres = self.model.image_encoder.img_size // 4
-        sx = w0 / (lowres * (w0 * self._scale / self.model.image_encoder.img_size))
         out_masks, out_boxes = [], []
         crop_h = max(int(round(h0 * self._scale / 4)), 1)
         crop_w = max(int(round(w0 * self._scale / 4)), 1)

@@ -595,11 +595,13 @@ class C3Ghost(C3):
 class ResNetBlock:
     """Bottleneck ResNet block (ref: block.py ResNetBlock:530)."""
 
-    def __init__(self, c1, c2, s=1, e=4):
+    def __init__(self, c1, c2, s=1, e=4, act=True):
         c3 = e * c2
-        # torch Conv(act=True) = default SiLU; only the residual join is ReLU
-        self.cv1 = ConvBNAct(c1, c2, 1, 1)
-        self.cv2 = ConvBNAct(c2, c2, 3, s, 1)
+        # ref block.py ResNetBlock uses Conv(act=True) = default SiLU and only
+        # the residual join is ReLU; TorchVision passes act="relu" for true
+        # torchvision-Bottleneck numerics (real-weight import)
+        self.cv1 = ConvBNAct(c1, c2, 1, 1, act=act)
+        self.cv2 = ConvBNAct(c2, c2, 3, s, 1, act=act)
         self.cv3 = ConvBNAct(c2, c3, 1, act=False)
         self.shortcut = ConvBNAct(c1, c3, 1, s, act=False) if s != 1 or c1 != c3 else None
 
@@ -703,7 +705,7 @@ class TorchVision:
         for si, (n, width) in enumerate(zip(depths, (64, 128, 256, 512))):
             s = 1 if si == 0 else 2
             if bottleneck:
-                blocks = [ResNetBlock(c_in, width, s)] + [ResNetBlock(4 * width, width, 1) for _ in range(n - 1)]
+                blocks = [ResNetBlock(c_in, width, s, act="relu")] + [ResNetBlock(4 * width, width, 1, act="relu") for _ in range(n - 1)]
                 c_in = 4 * width
             else:
                 blocks = [_TVBasicBlock(c_in, width, s)] + [_TVBasicBlock(width, width, 1) for _ in range(n - 1)]

@@ -358,25 +358,36 @@ class BaseModel:
         rng = np.random.default_rng(seed)
         return {"model": {str(spec.i): spec.module.init(rng) for spec in self.layers}}
 
-    def forward_features(self, params, x, ctx: M.Ctx):
-        """Graph walk with skip connections (ref: nn/tasks.py _predict_once:159).
+    def _walk(self, params, x, ctx: M.Ctx, upto: int | None = None, collect=None):
+        """THE graph walk with skip connections (ref: nn/tasks.py
+        _predict_once:159) — single implementation shared by
+        forward_features / embed_features / _head_inputs so remat, guide
+        threading and save-list semantics can never diverge.
 
         Negative `from` entries are relative (-1 = previous layer's output held
-        in `x`, -2 and below resolve through the save dict, like the reference)."""
+        in `x`, -2 and below resolve through the save dict, like the reference).
+        Returns (last_out, save_dict, {i: out for i in collect})."""
         y = {}
         mp = params["model"]
         out = None
-        for spec in self.layers:
+        collected = {}
+        for spec in self.layers if upto is None else self.layers[:upto]:
             f = spec.f
 
-            def src(j):
+            def src(j, x=x, spec=spec):
                 return x if j == -1 else y[j if j >= 0 else spec.i + j]
 
             x_in = [src(j) for j in f] if isinstance(f, list) else src(f)
             out = self._apply_layer(spec, mp[str(spec.i)], x_in, ctx)
             if spec.i in self.save:
                 y[spec.i] = out
+            if collect and spec.i in collect:
+                collected[spec.i] = out
             x = out if not isinstance(out, list) else x
+        return out, y, collected
+
+    def forward_features(self, params, x, ctx: M.Ctx):
+        out, _, _ = self._walk(params, x, ctx)
         return out  # head output
 
     def _apply_layer(self, spec, p, x_in, ctx: M.Ctx):
@@ -412,22 +423,12 @@ class BaseModel:
         selected layers' NHWC outputs to (B, C), concatenate. Default layer =
         the second-to-last (the neck output feeding the head)."""
         idx = sorted(set(idx or [len(self.layers) - 2]))
-        y = {}
-        mp = params["model"]
-        embeds = []
-        for spec in self.layers[: max(idx) + 1]:
-            f = spec.f
-
-            def src(j):
-                return x if j == -1 else y[j if j >= 0 else spec.i + j]
-
-            x_in = [src(j) for j in f] if isinstance(f, list) else src(f)
-            out = spec.module(mp[str(spec.i)], x_in, ctx, f"model/{spec.i}")
-            if spec.i in self.save:
-                y[spec.i] = out
-            if spec.i in idx and not isinstance(out, (list, tuple)):
-                embeds.append(out.mean(axis=(1, 2)) if out.ndim == 4 else out)
-            x = out if not isinstance(out, list) else x
+        _, _, col = self._walk(params, x, ctx, upto=max(idx) + 1, collect=set(idx))
+        embeds = [
+            (o.mean(axis=(1, 2)) if o.ndim == 4 else o)
+            for i in idx
+            if not isinstance((o := col[i]), (list, tuple))
+        ]
         return jnp.concatenate(embeds, axis=-1)
 
     def param_count(self, params) -> int:
@@ -524,35 +525,37 @@ def _scale_img(x, ratio: float, gs: int):
     return jnp.pad(xi, ((0, 0), (0, ph), (0, pw), (0, 0)), constant_values=0.447)
 
 
+def _fuse_child(m, k: str):
+    """Resolve a params key to the owning module's child: attribute name,
+    sequence index (lists/tuples), or a _Seq/_SeqN `.mods` slot."""
+    if m is None:
+        return None
+    if k.isdigit():
+        seq = getattr(m, "mods", m if isinstance(m, (list, tuple)) else None)
+        if seq is not None and int(k) < len(seq):
+            return seq[int(k)]
+        return None
+    return getattr(m, k, None)
+
+
 def _fuse_module(m, p):
-    """Recursively fold BN into convs across the module tree."""
-    if isinstance(m, M.ConvBNAct):
+    """Recursively fold BN into convs across the module tree.
+
+    GENERIC walk instead of a per-class registry (the registry silently left
+    new block types unfused and dropped extra head param groups like
+    Segment's proto / v10's one2one branches): modules that define `fuse`
+    (ConvBNAct, RepConv) fold themselves; every other params key recurses
+    into the structurally-matching child and unknown groups pass through
+    verbatim."""
+    if callable(getattr(m, "fuse", None)):
         return m.fuse(p)
-    if isinstance(m, M.Bottleneck):
-        return {"cv1": m.cv1.fuse(p["cv1"]), "cv2": m.cv2.fuse(p["cv2"])}
-    if isinstance(m, M.C2f):
-        return {
-            "cv1": m.cv1.fuse(p["cv1"]),
-            "cv2": m.cv2.fuse(p["cv2"]),
-            "m": {k: _fuse_module(m.m[int(k)], v) for k, v in p["m"].items()},
-        }
-    if isinstance(m, M.SPPF):
-        return {"cv1": m.cv1.fuse(p["cv1"]), "cv2": m.cv2.fuse(p["cv2"])}
-    if isinstance(m, M.Detect):
-        out = {"cv2": {}, "cv3": {}, "dfl": p["dfl"]}
-        for l in range(m.nl):
-            out["cv2"][str(l)] = {
-                "0": m.cv2[l][0].fuse(p["cv2"][str(l)]["0"]),
-                "1": m.cv2[l][1].fuse(p["cv2"][str(l)]["1"]),
-                "2": p["cv2"][str(l)]["2"],
-            }
-            out["cv3"][str(l)] = {
-                "0": m.cv3[l][0].fuse(p["cv3"][str(l)]["0"]),
-                "1": m.cv3[l][1].fuse(p["cv3"][str(l)]["1"]),
-                "2": p["cv3"][str(l)]["2"],
-            }
-        return out
-    return p
+    if not isinstance(p, dict):
+        return p
+    out = {}
+    for k, v in p.items():
+        child = _fuse_child(m, k)
+        out[k] = _fuse_module(child, v) if child is not None else v
+    return out
 
 
 
@@ -731,18 +734,7 @@ class YOLOEModel(DetectionModel):
 
     def _head_inputs(self, params, x, ctx):
         """Walk the graph up to (not including) the head → its input features."""
-        y = {}
-        xx = x
-        for spec in self.layers[:-1]:
-            f = spec.f
-
-            def src(j, xx=xx, spec=spec):
-                return xx if j == -1 else y[j if j >= 0 else spec.i + j]
-
-            x_in = [src(j) for j in f] if isinstance(f, list) else src(f)
-            xx = spec.module(params["model"][str(spec.i)], x_in, ctx, "")
-            if spec.i in self.save:
-                y[spec.i] = xx
+        _, y, _ = self._walk(params, x, ctx, upto=len(self.layers) - 1)
         return [y[j] for j in self.layers[-1].f]
 
     def get_visual_pe(self, params, x, vp, dtype=jnp.float32):
