@@ -208,16 +208,20 @@ def entrypoint(argv: list[str] | None = None):
     # family routing (ref: cfg/__init__.py entrypoint model dispatch)
     if "yolo_nas" in name:
         from yolo_tpu import NAS as model_cls
+
+        yolo = model_cls(model)
     elif "world" in name:
         from yolo_tpu import YOLOWorld as model_cls
+
+        yolo = model_cls(model)
     elif "yoloe" in name:
         from yolo_tpu import YOLOE as model_cls
+
+        yolo = model_cls(model)
     else:
         from yolo_tpu import YOLO
 
         yolo = YOLO(model, task=task)
-        return getattr(yolo, mode)(**overrides)
-    yolo = model_cls(model)
     return getattr(yolo, mode)(**overrides)
 
 
@@ -269,8 +273,9 @@ def handle_yolo_solutions(args: list[str]):
     kv = dict(parse_key_value_pair(a) for a in args[1:] if "=" in a)
     source = kv.pop("source", None)
     if name == "inference":
+        port = int(kv.pop("port", 8080))  # pop BEFORE construction — not a WebInference kwarg
         wi = S.WebInference(model=kv.pop("model", "yolov8n.yaml"), source=source or 0, **kv)
-        wi.serve(port=int(kv.pop("port", 8080)))
+        wi.serve(port=port)
         return wi
     sol = getattr(S, SOLUTIONS_MAP[name])(**kv)
     if source is None:

@@ -243,7 +243,15 @@ class YOLO:
 
         lb = LetterBox((imgsz, imgsz), auto=False)
         ctx = Ctx(train=False, dtype=jnp.float32)
-        fn = jax.jit(lambda p, x: self.model.embed_features(p, x, ctx, idx=layers))
+        # cache the jitted program per (layers, imgsz) — a fresh jit wrapper
+        # per call would recompile the full forward every invocation
+        key = (tuple(layers) if layers else None, imgsz)
+        cache = getattr(self, "_embed_cache", None) or {}
+        fn = cache.get(key)
+        if fn is None:
+            fn = jax.jit(lambda p, x: self.model.embed_features(p, x, ctx, idx=layers))
+            cache[key] = fn
+            self._embed_cache = cache
         out = []
         for img, _path, _ in _iter_source(source):
             x = jnp.asarray(lb(img)[None, ..., ::-1].astype(np.float32) / 255.0)

@@ -97,6 +97,14 @@ class DetectionTrainer:
             self.params = self.model.init(self.args.seed)
         if self.data:
             self.model.names = self.data["names"]
+        self.loss_fn = self._make_loss()
+        self.stopper = EarlyStopping(self.args.patience)
+        self.start_epoch = 0
+        self._check_resume()
+
+        # AFTER resume — _check_resume may replace self.model/self.params with
+        # the checkpoint's (whose constructor installs placeholder txt_feats),
+        # which would discard embeddings applied earlier
         clip_ckpt = getattr(self.args, "clip_ckpt", None)  # real CLIP weights if provided (else a loud random-tower warning)
         if self.data and getattr(self.model, "is_world", False):
             # world fine-tuning (ref: models/yolo/world/train.py WorldTrainer
@@ -107,11 +115,6 @@ class DetectionTrainer:
             # yoloe fine-tuning (ref: models/yolo/yoloe/train.py): text prompts
             # through the head's SwiGLU residual become the class embeddings
             self.model.set_classes(list(self.data["names"].values()), params=self.params, clip_ckpt=clip_ckpt)
-
-        self.loss_fn = self._make_loss()
-        self.stopper = EarlyStopping(self.args.patience)
-        self.start_epoch = 0
-        self._check_resume()
 
     def _check_resume(self):
         """Resume params/epoch from last.npz (ref: trainer.py check_resume:762).
@@ -407,13 +410,14 @@ class DetectionTrainer:
                     bh, bw = dev_batch["img"].shape[1], dev_batch["img"].shape[2]
                     # one uniform scale factor per batch (ref detect/train.py:105
                     # sf = sz / max(shape)) — both dims scale together, stride-
-                    # rounded per dim, so rectangular batches keep their aspect
-                    ladder = sorted({f for f in (0.5, 0.75, 1.0, 1.25, 1.5)})
+                    # rounded per dim, so rectangular batches keep their aspect.
+                    # NOTE: names must not shadow `nw` (the warmup horizon).
+                    ladder = (0.5, 0.75, 1.0, 1.25, 1.5)  # static → bounded jit cache
                     sf = ladder[np.random.default_rng(ni).integers(len(ladder))]
-                    nh = max(int(bh * sf) // stride * stride, stride)
-                    nw = max(int(bw * sf) // stride * stride, stride)
-                    if (nh, nw) != (bh, bw):
-                        dev_batch["img"] = np.stack([cv2.resize(im, (nw, nh)) for im in dev_batch["img"]])
+                    sh = max(int(bh * sf) // stride * stride, stride)
+                    sw = max(int(bw * sf) // stride * stride, stride)
+                    if (sh, sw) != (bh, bw):
+                        dev_batch["img"] = np.stack([cv2.resize(im, (sw, sh)) for im in dev_batch["img"]])
                 if getattr(self.model, "is_rtdetr", False):
                     from yolo_tpu.utils.cdn import make_cdn_batch
 

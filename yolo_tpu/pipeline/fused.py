@@ -31,7 +31,9 @@ import numpy as np
 
 from yolo_tpu.kalman.batched import STATUS_DETECTED, STATUS_NONE, STATUS_PREDICTED, init_state, make_step
 
-# packed (T, N, 12) column layout
+# packed (T, N, 12) column layout. track_num rides an f32 column: ids stay
+# exact up to 2^24 (~16.7M created tracks per uninterrupted stream) — beyond
+# that, reset() the pipeline or consume ids from the on-device state instead.
 _COLS = dict(bbox=slice(0, 4), confidence=4, emit=5, status=6, time_since_update=7, track_num=8, velocity=slice(9, 11), det_count=11)
 
 
@@ -102,7 +104,11 @@ class FusedDetectTrack:
             if np.asarray(stem["weight"]).shape[2] == 3:
                 params = dict(params)
                 params["model"] = dict(params["model"])
-                params["model"]["0"] = {"conv": {**stem, "weight": np.asarray(stem["weight"]).sum(axis=2, keepdims=True)}}
+                # keep sibling groups (an unfused stem still carries "bn")
+                params["model"]["0"] = {
+                    **params["model"]["0"],
+                    "conv": {**stem, "weight": np.asarray(stem["weight"]).sum(axis=2, keepdims=True)},
+                }
 
         self.chunk = chunk
         self.d_max = d_max
