@@ -1,6 +1,7 @@
 """Solutions apps over a stubbed tracking model (no weights needed)."""
 
 import numpy as np
+from pathlib import Path
 import pytest
 
 from yolo_tpu.engine.results import Results
@@ -232,3 +233,49 @@ def test_solution_config_rejects_unknown_keys():
     assert cfg.conf == 0.5
     with _pytest.raises(ValueError, match="unknown solution argument"):
         SolutionConfig().update(confidnce=0.5)
+
+
+@pytest.mark.heavy
+def test_example_interactive_tracking(tmp_path, monkeypatch):
+    """Headless drive of examples/interactive_tracking.py via --click."""
+    import cv2
+    import numpy as np
+
+    vid = tmp_path / "clip.mp4"
+    vw = cv2.VideoWriter(str(vid), cv2.VideoWriter_fourcc(*"mp4v"), 30, (160, 128))
+    for f in range(6):
+        fr = np.full((128, 160, 3), 20, np.uint8)
+        cv2.circle(fr, (40 + 4 * f, 64), 10, (255, 255, 255), -1)
+        vw.write(fr)
+    vw.release()
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("it_ex", Path(__file__).parents[1] / "examples" / "interactive_tracking.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.chdir(tmp_path)
+    sel, n = mod.main(["--source", str(vid), "--model", "yolov8n.yaml", "--conf", "0.0001", "--click", "44,64", "--max-frames", "4"])
+    assert n == 4 and (tmp_path / "interactive_tracker_output.mp4").exists()
+
+
+@pytest.mark.heavy
+def test_example_action_recognition(tmp_path, monkeypatch):
+    """Headless drive of examples/action_recognition.py (random CLIP towers)."""
+    import cv2
+    import numpy as np
+
+    vid = tmp_path / "clip.mp4"
+    vw = cv2.VideoWriter(str(vid), cv2.VideoWriter_fourcc(*"mp4v"), 30, (160, 128))
+    for f in range(6):
+        fr = np.full((128, 160, 3), 20, np.uint8)
+        cv2.rectangle(fr, (60, 30), (100, 110), (255, 255, 255), -1)
+        vw.write(fr)
+    vw.release()
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("ar_ex", Path(__file__).parents[1] / "examples" / "action_recognition.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.chdir(tmp_path)
+    actions, n = mod.main(["--source", str(vid), "--model", "yolov8n.yaml", "--conf", "0.0001", "--window", "2", "--max-frames", "4"])
+    assert n == 4 and (tmp_path / "action_recognition_output.mp4").exists()

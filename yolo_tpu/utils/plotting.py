@@ -24,6 +24,27 @@ def color_for(idx: int):
     return _COLORS[int(idx) % len(_COLORS)]
 
 
+class Colors:
+    """Deterministic color palette keyed by index (ref: utils/plotting.py
+    Colors:20 — same hex set, so plots match the reference visually)."""
+
+    def __init__(self):
+        hexs = (
+            "FF3838", "FF9D97", "FF701F", "FFB21D", "CFD231", "48F90A", "92CC17",
+            "3DDB86", "1A9334", "00D4BB", "2C99A8", "00C2FF", "344593", "6473FF",
+            "0018EC", "8438FF", "520085", "CB38FF", "FF95C8", "FF37C7",
+        )
+        self.palette = [tuple(int(h[i : i + 2], 16) for i in (0, 2, 4)) for h in hexs]
+        self.n = len(self.palette)
+
+    def __call__(self, i, bgr: bool = False):
+        c = self.palette[int(i) % self.n]
+        return (c[2], c[1], c[0]) if bgr else c
+
+
+colors = Colors()
+
+
 class Annotator:
     """Box/label drawer on a BGR image (subset of the reference Annotator)."""
 
