@@ -40,8 +40,9 @@ class GlobalMotionDetector:
         """→ (is_motion, magnitude, vector, should_reset)."""
         import cv2
 
-        if self.prev_frame is None:
-            self.prev_frame = frame.copy()
+        if self.prev_gray is None:
+            # only the grayscale previous frame is ever read — the reference
+            # also copies the full color frame each call, pure dead weight
             self.prev_gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
             return False, 0.0, np.array([0.0, 0.0]), False
 
@@ -53,8 +54,7 @@ class GlobalMotionDetector:
         else:
             result = self._detect_by_hybrid_method(curr_gray)
 
-        self.prev_frame = frame.copy()
-        self.prev_gray = curr_gray.copy()
+        self.prev_gray = curr_gray
 
         self.stats["total_detections"] += 1
         is_motion, magnitude, _, should_reset = result
@@ -104,12 +104,15 @@ class GlobalMotionDetector:
         import cv2
 
         none = (False, 0.0, np.array([0.0, 0.0]), False)
-        orb = cv2.ORB_create(nfeatures=500)
+        if not hasattr(self, "_orb"):  # build detector/matcher once, not per frame
+            self._orb = cv2.ORB_create(nfeatures=500)
+            self._bf = cv2.BFMatcher(cv2.NORM_HAMMING, crossCheck=True)
+        orb = self._orb
         kp1, des1 = orb.detectAndCompute(self.prev_gray, None)
         kp2, des2 = orb.detectAndCompute(curr_gray, None)
         if des1 is None or des2 is None or len(des1) < 20 or len(des2) < 20:
             return none
-        bf = cv2.BFMatcher(cv2.NORM_HAMMING, crossCheck=True)
+        bf = self._bf
         matches = sorted(bf.match(des1, des2), key=lambda m: m.distance)
         if len(matches) < 20:
             return none

@@ -262,14 +262,14 @@ def xyxyxyxy2xywhr(corners):
     pts = np.asarray(corners, np.float32).reshape(-1, 4, 2)
     out = []
     for p in pts:
+        # the reference returns minAreaRect's raw angle in radians (ref :416)
+        # under cv2 4.5-4.x, whose convention is angle ∈ (0°, 90°]. cv2 5.x
+        # (and <4.5) report the SAME rectangle as (h, w, angle-90) with
+        # angle ∈ (-90°, 0°] — bridge it so every cv2 yields the reference's
+        # (w, h, angle ∈ (0, π/2]) representation
         (cx, cy), (w, h), ang = cv2.minAreaRect(p)
-        rad = ang * math.pi / 180
-        if w < h:
+        if ang <= 0:
             w, h = h, w
-            rad += math.pi / 2
-        rad = rad % math.pi
-        if rad >= math.pi / 2:  # fold into [0, π/2) like the reference regularizer
-            w, h = h, w
-            rad -= math.pi / 2
-        out.append([cx, cy, w, h, rad])
+            ang += 90
+        out.append([cx, cy, w, h, ang * math.pi / 180])
     return np.array(out, np.float32).reshape(-1, 5)

@@ -132,6 +132,9 @@ def classical_detect(gray: np.ndarray, frame_shape=None, enhanced: np.ndarray | 
     min_area = int(MIN_AREA_RATIO * W * H)
     max_area = int(MAX_AREA_RATIO * W * H)
     for c in cnts:
+        # parity note: cv2.contourArea returns 0 for 1-px/thin contours, so the
+        # reference (yolov11x+kalman.py:187-188) rejects sub-2px blobs despite
+        # MIN_AREA_RATIO admitting them — kept verbatim for pixel-exact parity
         area = cv2.contourArea(c)
         if area < max(1, min_area) or area > max_area:
             continue

@@ -76,6 +76,11 @@ class GMC:
             self.initializedFirstFrame = True
             return H
         if keypoints is None:
+            # still advance prev state: returning with a stale prevFrame would
+            # make the next call estimate a TWO-frame displacement and apply it
+            # as one frame's compensation (double-warp)
+            self.prevFrame = frame.copy()
+            self.prevKeyPoints = None
             return H
         matched, st, _ = cv2.calcOpticalFlowPyrLK(self.prevFrame, frame, self.prevKeyPoints, None)
         prev_pts = self.prevKeyPoints[st.flatten() == 1] if st is not None else np.zeros((0, 1, 2))
@@ -103,6 +108,8 @@ class GMC:
             self.initializedFirstFrame = True
             return H
         try:
+            # parity note: like the reference (gmc.py apply_ecc), the ECC warp's
+            # translation is NOT rescaled by downscale — upstream quirk kept
             _, H = cv2.findTransformECC(self.prevFrame, frame, H, self.warp_mode, self.criteria, None, 1)
         except cv2.error as e:
             LOGGER.warning(f"GMC ECC failed: {e}")
@@ -131,6 +138,11 @@ class GMC:
             self.initializedFirstFrame = True
             return H
         if descriptors is None or len(keypoints) < 5:
+            # advance prev state (see apply_sparseoptflow) — a degenerate frame
+            # must not leave the matcher comparing across a frame gap
+            self.prevFrame = frame.copy()
+            self.prevKeyPoints = copy.copy(keypoints)
+            self.prevDescriptors = copy.copy(descriptors)
             return H
         knn = self.matcher.knnMatch(self.prevDescriptors, descriptors, 2)
         good = [m for pair in knn if len(pair) == 2 for m, n in [pair] if m.distance < 0.75 * n.distance]

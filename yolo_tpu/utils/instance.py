@@ -117,6 +117,8 @@ class Instances:
             self.keypoints[..., 1] += padh
 
     def flipud(self, h: int):
+        """Vertical flip of boxes AND segments/keypoints (ref: instance.py
+        Instances.flipud — the label groups must move together)."""
         fmt = self._bboxes.format
         self.convert_bbox("xyxy")
         y1 = self.bboxes[:, 1].copy()
@@ -124,8 +126,13 @@ class Instances:
         self._bboxes.bboxes[:, 1] = h - y2
         self._bboxes.bboxes[:, 3] = h - y1
         self.convert_bbox(fmt)
+        if len(self.segments):
+            self.segments[..., 1] = h - self.segments[..., 1]
+        if self.keypoints is not None:
+            self.keypoints[..., 1] = h - self.keypoints[..., 1]
 
     def fliplr(self, w: int):
+        """Horizontal flip of boxes AND segments/keypoints (ref: fliplr)."""
         fmt = self._bboxes.format
         self.convert_bbox("xyxy")
         x1 = self.bboxes[:, 0].copy()
@@ -133,13 +140,33 @@ class Instances:
         self._bboxes.bboxes[:, 0] = w - x2
         self._bboxes.bboxes[:, 2] = w - x1
         self.convert_bbox(fmt)
+        if len(self.segments):
+            self.segments[..., 0] = w - self.segments[..., 0]
+        if self.keypoints is not None:
+            self.keypoints[..., 0] = w - self.keypoints[..., 0]
 
     def clip(self, w: int, h: int):
+        """Clip boxes and segments into the image; keypoints outside are
+        zeroed with visibility cleared when a 3rd channel exists (ref: clip)."""
         fmt = self._bboxes.format
         self.convert_bbox("xyxy")
         self._bboxes.bboxes[:, [0, 2]] = self.bboxes[:, [0, 2]].clip(0, w)
         self._bboxes.bboxes[:, [1, 3]] = self.bboxes[:, [1, 3]].clip(0, h)
         self.convert_bbox(fmt)
+        if len(self.segments):
+            self.segments[..., 0] = self.segments[..., 0].clip(0, w)
+            self.segments[..., 1] = self.segments[..., 1].clip(0, h)
+        if self.keypoints is not None:
+            out = (
+                (self.keypoints[..., 0] < 0)
+                | (self.keypoints[..., 0] > w)
+                | (self.keypoints[..., 1] < 0)
+                | (self.keypoints[..., 1] > h)
+            )
+            if self.keypoints.shape[-1] == 3:
+                self.keypoints[..., 2] = np.where(out, 0.0, self.keypoints[..., 2])
+            self.keypoints[..., 0] = self.keypoints[..., 0].clip(0, w)
+            self.keypoints[..., 1] = self.keypoints[..., 1].clip(0, h)
 
     def remove_zero_area_boxes(self):
         good = self.bbox_areas > 0

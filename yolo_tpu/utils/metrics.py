@@ -189,10 +189,16 @@ class ConfusionMatrix:
         iou = np.asarray(box_iou(gt_boxes, pred_boxes))
         matches = np.argwhere(iou > self.iou_thres)
         if matches.size:
+            # sort by IoU desc, dedup preds, RE-SORT, dedup gts (ref:
+            # metrics.py:430-433 — without the middle re-sort a gt overlapping
+            # several preds keeps the lowest-index pred, not the best-IoU one)
             vals = iou[matches[:, 0], matches[:, 1]]
-            matches = matches[vals.argsort()[::-1]]
+            matches = np.concatenate([matches, vals[:, None]], axis=1)
+            matches = matches[matches[:, 2].argsort()[::-1]]
             matches = matches[np.unique(matches[:, 1], return_index=True)[1]]
+            matches = matches[matches[:, 2].argsort()[::-1]]
             matches = matches[np.unique(matches[:, 0], return_index=True)[1]]
+            matches = matches[:, :2].astype(int)
         matched_gt = set(matches[:, 0].tolist()) if matches.size else set()
         matched_pred = set(matches[:, 1].tolist()) if matches.size else set()
         for g, p in matches.tolist() if matches.size else []:
