@@ -241,6 +241,14 @@ def mosaic4(items, imgsz: int, rng=None):
     all_boxes, all_cls, all_kpts, all_obbs, all_segs = [], [], [], [], []
     for i, it in enumerate(items):
         img = it["img"]
+        # long-side resize to imgsz first (ref Mosaic/_mosaic4 consumes
+        # load_image's pre-resized images; mosaic9 below does the same) —
+        # without it full-res sources blit raw corner crops onto the canvas
+        r = s / max(img.shape[:2])
+        if r != 1:
+            import cv2
+
+            img = cv2.resize(img, (int(img.shape[1] * r), int(img.shape[0] * r)))
         h, w = img.shape[:2]
         if i == 0:  # top-left
             x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
@@ -257,7 +265,7 @@ def mosaic4(items, imgsz: int, rng=None):
         canvas[y1a:y2a, x1a:x2a] = img[y1b:y2b, x1b:x2b]
         padw, padh = x1a - x1b, y1a - y1b
         if len(it["bboxes"]):
-            b = it["bboxes"].copy()
+            b = it["bboxes"] * r
             b[:, [0, 2]] += padw
             b[:, [1, 3]] += padh
             all_boxes.append(b)
@@ -267,18 +275,20 @@ def mosaic4(items, imgsz: int, rng=None):
                 if kp is None:
                     kp = np.zeros((len(b), *kpt_dims), np.float32)
                 kp = kp.copy()
+                kp[..., :2] *= r
                 kp[..., 0] += padw
                 kp[..., 1] += padh
                 all_kpts.append(kp)
             if has_obb:
                 ob = it["obb"].copy()
+                ob[..., :4] *= r  # cx, cy, w, h scale; angle unchanged
                 ob[..., 0] += padw
                 ob[..., 1] += padh
                 all_obbs.append(ob)
             if has_segs:
                 segs = it.get("segments") or [None] * len(b)
                 all_segs.extend(
-                    sg + np.array([padw, padh], np.float32) if sg is not None else None for sg in segs
+                    sg * r + np.array([padw, padh], np.float32) if sg is not None else None for sg in segs
                 )
     bboxes = np.concatenate(all_boxes) if all_boxes else np.zeros((0, 4), np.float32)
     cls = np.concatenate(all_cls) if all_cls else np.zeros((0,), np.float32)
@@ -347,7 +357,9 @@ def copy_paste(labels, donor, p=0.5, rng=None):
 def mixup(labels, other, rng=None):
     """Beta(32, 32) image blend, labels concatenated (ref: MixUp:866)."""
     rng = rng or random
-    r = np.random.beta(32.0, 32.0)
+    # seeded rng, not the global numpy state — keeps runs reproducible and
+    # forked workers decorrelated (betavariate is stdlib random.Random API)
+    r = rng.betavariate(32.0, 32.0) if hasattr(rng, "betavariate") else np.random.beta(32.0, 32.0)
     labels["img"] = (labels["img"].astype(np.float32) * r + other["img"].astype(np.float32) * (1 - r)).astype(np.uint8)
     labels["bboxes"] = np.concatenate([labels["bboxes"], other["bboxes"]])
     labels["cls"] = np.concatenate([labels["cls"], other["cls"]])
@@ -358,6 +370,10 @@ def mixup(labels, other, rng=None):
         labels["keypoints"] = np.concatenate([labels["keypoints"], ok])
     if labels.get("obb") is not None and other.get("obb") is not None:
         labels["obb"] = np.concatenate([labels["obb"], other["obb"]])
+    if labels.get("segments") is not None:
+        labels["segments"] = list(labels["segments"]) + list(
+            other.get("segments") or [None] * len(other["bboxes"])
+        )
     return labels
 
 
@@ -441,7 +457,9 @@ class TrainTransforms:
         )
         if use_mosaic and rng.random() < h.mixup:
             other = self(self.dataset.load_raw(rng.randrange(len(self.dataset))), rng)
-            labels = mixup(labels, {"img": other["img"], "bboxes": other["bboxes"], "cls": other["cls"]}, rng)
+            # full partner labels — stripping to img/bboxes/cls zeroed the
+            # mixed-in instances' keypoints and desynced segments lists
+            labels = mixup(labels, other, rng)
         if getattr(h, "cutmix", 0.0) and rng.random() < h.cutmix:
             other = self(self.dataset.load_raw(rng.randrange(len(self.dataset))), rng)
             labels = cutmix(labels, other, rng=rng)
@@ -566,7 +584,7 @@ def cutmix(labels, other, p: float = 1.0, beta: float = 1.0, num_areas: int = 3,
     h, w = img.shape[:2]
     areas = []
     for _ in range(num_areas):
-        lam = np.random.beta(beta, beta)
+        lam = rng.betavariate(beta, beta) if hasattr(rng, "betavariate") else np.random.beta(beta, beta)
         cut_ratio = math.sqrt(1.0 - lam)
         cw, chh = int(w * cut_ratio), int(h * cut_ratio)
         cx, cy = rng.randrange(w), rng.randrange(h)
@@ -599,4 +617,10 @@ def cutmix(labels, other, p: float = 1.0, beta: float = 1.0, num_areas: int = 3,
     if labels.get("keypoints") is not None:
         pad = np.zeros((len(take), *labels["keypoints"].shape[1:]), np.float32)
         labels["keypoints"] = np.concatenate([labels["keypoints"], pad])
+    if labels.get("segments") is not None:
+        # keep the per-box segments list aligned with the grown bbox array
+        donor_segs = other.get("segments")
+        labels["segments"] = list(labels["segments"]) + [
+            donor_segs[t] if donor_segs is not None and t < len(donor_segs) else None for t in take
+        ]
     return labels

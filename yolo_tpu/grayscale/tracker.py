@@ -97,6 +97,9 @@ class GrayscaleTracker:
         import cv2
 
         current = {}
+        # one grayscale conversion per frame, not per detection (the reference
+        # converts only the ROI crop; full-frame-per-detection was pure waste)
+        gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY) if frame.ndim == 3 else frame
         for detection in detections:
             x1, y1, x2, y2, conf, cls = detection
             center = self.calculate_center(x1, y1, x2, y2)
@@ -112,7 +115,6 @@ class GrayscaleTracker:
                 best_track_id = self.track_id_counter
                 self.track_id_counter += 1
 
-            gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY) if frame.ndim == 3 else frame
             roi, _ = self.extract_roi(gray, center[0], center[1])
             self.tracks[best_track_id] = {
                 "last_center": center,

@@ -5,7 +5,8 @@ kalman/enhanced_multi_target_tracker.py EnhancedMultiTargetTracker: update:42
 (7 steps), _associate_detections_to_trackers:134, _solve_assignment_problem:234
 greedy-by-descending-IoU, track IDs "T%03d" :95, stats :272-304). The update
 contract — confirmed-track dict schema, ID assignment order (detection index
-order), greedy tie-breaking via stable argsort — matches exactly so track IDs
+order), greedy tie-breaking via numpy's default argsort (the reference uses
+the identical call, so tie order matches it bit-for-bit) — track IDs
 are reproducible against the reference.
 """
 
@@ -166,7 +167,8 @@ class EnhancedMultiTargetTracker:
         return iou_xyxy(bbox1, bbox2)
 
     def _solve_assignment_problem(self, iou_matrix: np.ndarray, threshold: float):
-        """Greedy assignment by descending IoU with stable argsort tie-breaking
+        """Greedy assignment by descending IoU, same np.argsort call as the
+        reference (:259) so tie ordering is identical
         (identical selection order to the reference, ref: :234-270)."""
         if iou_matrix.size == 0:
             return []
@@ -174,7 +176,7 @@ class EnhancedMultiTargetTracker:
         if len(det_indices) == 0:
             return []
         iou_values = iou_matrix[det_indices, trk_indices]
-        order = np.argsort(-iou_values)  # stable descending
+        order = np.argsort(-iou_values)  # descending; same default sort as the reference
 
         matched, used_dets, used_trks = [], set(), set()
         for idx in order:

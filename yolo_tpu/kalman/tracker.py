@@ -166,6 +166,16 @@ class AircraftKalmanTracker:
         High-confidence tracks extrapolate with the *mean* historical velocity
         (robust to late-filter noise); low-confidence tracks fall back to F^n·x.
         Confidence decays with horizon / max_lost_frames.
+
+        Parity notes (verified against the reference, kept verbatim):
+        - frames_ahead<=1 early-outs into predict() — a side effect in a
+          "getter" that permanently advances the filter (ref :216-217);
+        - extrapolation starts from the ALREADY-PROPAGATED state (the manager
+          predicts every tracker each frame), so lost boxes advance ~2x the
+          velocity (ref :225-231 ``pred_state = self.x.copy()``);
+        - get_track_info reports lost_frames := time_since_update and
+          is_lost := (time_since_update > 0) (ref :374-376).
+        The golden-parity tests pin all three down as observable behavior.
         """
         if frames_ahead <= 1:
             return self.predict(), 1.0

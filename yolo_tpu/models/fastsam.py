@@ -69,9 +69,19 @@ class FastSAMPredictor(SegmentationPredictor):
             # prebuilt clip_model= through predict kwargs for released weights
             from yolo_tpu.nn.text_model import CLIPModel
 
-            clip = self.prompts.pop("clip_model", None) or CLIPModel()
-            if self.prompts.get("clip_ckpt"):
-                clip.load_torch(self.prompts.pop("clip_ckpt"))
+            clip = self.prompts.pop("clip_model", None)
+            ckpt = self.prompts.pop("clip_ckpt", None)
+            if clip is None:
+                clip = CLIPModel()
+                if ckpt:
+                    clip.load_torch(ckpt)
+                else:
+                    from yolo_tpu.utils import LOGGER
+
+                    LOGGER.warning(
+                        "FastSAM text prompt: no clip_model/clip_ckpt supplied — scoring with a "
+                        "RANDOMLY-initialized CLIP; pass clip_ckpt=... for meaningful selection."
+                    )
         out = []
         if not isinstance(results, list):
             results = [results]
@@ -143,8 +153,12 @@ class FastSAM(YOLO):
         else:
             super().__init__(model, task="segment", verbose=verbose)
 
-    def predict(self, source=None, stream: bool = False, bboxes=None, points=None, labels=None, texts=None, **kwargs):
-        """Segment everything, then filter by prompts (ref: fastsam/model.py predict:53)."""
+    def predict(self, source=None, stream: bool = False, bboxes=None, points=None, labels=None, texts=None,
+                clip_model=None, clip_ckpt=None, **kwargs):
+        """Segment everything, then filter by prompts (ref: fastsam/model.py predict:53).
+
+        Text prompts score crops with the native CLIP towers — pass clip_ckpt
+        (an OpenAI clip .pt) or a prebuilt clip_model for real weights."""
         kwargs.setdefault("conf", 0.4)
         if self.predictor is None or not isinstance(self.predictor, FastSAMPredictor):
             from yolo_tpu.cfg import DEFAULT_CFG_DICT
@@ -156,5 +170,7 @@ class FastSAM(YOLO):
                 overrides={k: v for k, v in args.items() if k in DEFAULT_CFG_DICT},
                 names=self.model.names,
             )
-        self.predictor.set_prompts(dict(bboxes=bboxes, points=points, labels=labels, texts=texts))
+        self.predictor.set_prompts(
+            dict(bboxes=bboxes, points=points, labels=labels, texts=texts, clip_model=clip_model, clip_ckpt=clip_ckpt)
+        )
         return super().predict(source, stream, **kwargs)
