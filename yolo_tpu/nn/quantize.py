@@ -38,16 +38,44 @@ def _quantize_conv(conv: dict) -> dict:
     }
 
 
-def quantize_params(params, min_channels: int = 16):
+def calibrate_act_scales(model, params, imgs, dtype=None):
+    """Run ONE representative batch through the float model and return
+    {module_path: activation_scale} for every ConvBNAct input (max |x| / 127).
+
+    Static scales remove the per-call max reduction (a full extra HBM pass per
+    conv) from the int8 path; the usual PTQ tradeoff applies — inputs beyond
+    the calibration range clip at 127. imgs: (B, H, W, C) float in [0, 1] (the
+    model's normalized input).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_tpu.nn import modules as M
+
+    dtype = dtype or jnp.bfloat16
+
+    def run(p, x):
+        ctx = M.Ctx(train=False, dtype=dtype)
+        ctx.calib = {}
+        model.forward_features(p, x, ctx)
+        return ctx.calib
+
+    amax = jax.jit(run)(params, imgs)
+    return {k: float(np.asarray(v)) / 127.0 for k, v in amax.items()}
+
+
+def quantize_params(params, min_channels: int = 16, act_scales: dict | None = None):
     """Walk the param tree; every fused ConvBNAct leaf ({'conv': {weight, bias}}
     without 'bn') becomes an int8 conv. Layers with fewer than `min_channels`
     output channels stay f32 (their quantization error is large relative to
     their cost — e.g. the 3-channel stem input side is unaffected anyway).
 
-    Run `model.fuse(params)` first: BN must already be folded.
+    Run `model.fuse(params)` first: BN must already be folded. With
+    `act_scales` (from calibrate_act_scales) each conv also gets a static
+    `x_scale`, eliminating the dynamic per-call activation-max reduction.
     """
 
-    def walk(node):
+    def walk(node, path=""):
         if not isinstance(node, dict):
             return node
         if "conv" in node and isinstance(node["conv"], dict) and "weight" in node["conv"] and "bn" not in node:
@@ -55,7 +83,9 @@ def quantize_params(params, min_channels: int = 16):
             if w.ndim == 4 and "bias" in node["conv"] and w.shape[-1] >= min_channels:
                 out = dict(node)
                 out["conv"] = _quantize_conv(node["conv"])
+                if act_scales and path in act_scales:
+                    out["conv"]["x_scale"] = np.float32(max(act_scales[path], 1e-12))
                 return out
-        return {k: walk(v) for k, v in node.items()}
+        return {k: walk(v, f"{path}/{k}" if path else str(k)) for k, v in node.items()}
 
     return walk(params)

@@ -84,6 +84,7 @@ class FusedDetectTrack:
         d_max: int = 16,
         dtype=None,
         int8: bool = False,
+        int8_calib=None,
     ):
         import jax
         import jax.numpy as jnp
@@ -91,9 +92,20 @@ class FusedDetectTrack:
         from yolo_tpu.ops.nms import non_max_suppression
 
         if int8:  # PTQ conv path (nn/quantize.py) — params must be fused
-            from yolo_tpu.nn.quantize import quantize_params
+            from yolo_tpu.nn.quantize import calibrate_act_scales, quantize_params
 
-            params = quantize_params(params)
+            scales = None
+            if int8_calib is not None:
+                # static activation scales from a representative frame batch
+                # (uint8 (B, H, W, C)) — removes the per-conv dynamic max
+                # reduction from the hot path
+                import numpy as _np
+
+                cal = _np.asarray(int8_calib).astype(_np.float32) / 255.0
+                if cal.shape[-1] == 1:
+                    cal = _np.broadcast_to(cal, cal.shape[:-1] + (3,))
+                scales = calibrate_act_scales(model, params, jnp.asarray(cal))
+            params = quantize_params(params, act_scales=scales)
         if channels == 1 and not int8:
             # grayscale stem fold: conv(broadcast(x, 3ch), W) == conv(x, sum_c W)
             # exactly — frames stay single-channel end to end (no 3x broadcast
