@@ -72,18 +72,22 @@ class DataLoader:
 
         def producer(worker_id: int):
             rng = random.Random(self.seed * 1000003 + self.epoch * 131 + worker_id)
-            for bi in range(worker_id, len(batches), self.workers):
-                if stop.is_set():
-                    return
-                samples = []
-                for j in batches[bi]:
-                    if hasattr(self.dataset.transforms, "__call__"):
-                        s = self.dataset.transforms(self.dataset.load_raw(j), rng) if _accepts_rng(self.dataset.transforms) else self.dataset[j]
-                    else:
-                        s = self.dataset[j]
-                    samples.append(s)
-                out_q.put((bi, self.process_fn(collate_batch(samples, self.max_boxes, overlap=self.overlap_mask))))
-            out_q.put((None, None))
+            try:
+                for bi in range(worker_id, len(batches), self.workers):
+                    if stop.is_set():
+                        return
+                    samples = []
+                    for j in batches[bi]:
+                        if hasattr(self.dataset.transforms, "__call__"):
+                            s = self.dataset.transforms(self.dataset.load_raw(j), rng) if _accepts_rng(self.dataset.transforms) else self.dataset[j]
+                        else:
+                            s = self.dataset[j]
+                        samples.append(s)
+                    out_q.put((bi, self.process_fn(collate_batch(samples, self.max_boxes, overlap=self.overlap_mask))))
+                out_q.put((None, None))
+            except BaseException as e:  # surface in the consumer — a silent dead
+                # producer would hang the training loop forever on out_q.get()
+                out_q.put(("error", e))
 
         threads = [threading.Thread(target=producer, args=(w,), daemon=True) for w in range(self.workers)]
         for t in threads:
@@ -96,6 +100,8 @@ class DataLoader:
             total = len(batches)
             while emitted < total:
                 bi, batch = out_q.get()
+                if bi == "error":
+                    raise RuntimeError("DataLoader worker failed") from batch
                 if bi is None:
                     done += 1
                     if done == len(threads) and emitted < total:
@@ -121,6 +127,28 @@ def _accepts_rng(fn) -> bool:
         return False
 
 
-def build_dataloader(dataset, batch: int, workers: int = 4, shuffle: bool = True, seed: int = 0, max_boxes: int = 64, drop_last: bool = True, overlap_mask: bool = True):
+def _derive_max_boxes(dataset) -> int:
+    """Static per-image label capacity from the dataset's own stats.
+
+    The reference uses dynamic shapes, so nothing is ever cut; with fixed
+    shapes a too-small cap silently truncates ground truth (labels beyond it
+    became invisible FNs). Pad to the dataset's densest image (+headroom for
+    mosaic concatenation), rounded to 8, floored at 64 and capped at 256 —
+    the (B, N, A) assigner tensors scale linearly in N, so an unbounded cap
+    would blow HBM on dense datasets. collate_batch warns if it still cuts.
+    """
+    try:
+        mx = max((len(l["cls"]) for l in getattr(dataset, "labels", [])), default=0)
+    except Exception:
+        mx = 0
+    if not mx:
+        return 64
+    derived = -(-int(mx * 2) // 8) * 8  # 2x headroom for mosaic/copy-paste growth
+    return int(min(max(64, derived), 256))
+
+
+def build_dataloader(dataset, batch: int, workers: int = 4, shuffle: bool = True, seed: int = 0, max_boxes: int | None = None, drop_last: bool = True, overlap_mask: bool = True):
     """Factory mirroring the reference name (ref: data/build.py:180)."""
+    if max_boxes is None:
+        max_boxes = _derive_max_boxes(dataset)
     return DataLoader(dataset, batch_size=batch, shuffle=shuffle, workers=workers, seed=seed, max_boxes=max_boxes, drop_last=drop_last, overlap_mask=overlap_mask)

@@ -97,8 +97,19 @@ class YOLODataset:
     def _load_labels(self, cache: bool = True) -> list[dict]:
         """Parse label txts once; cache as json keyed by a file-list hash."""
         label_files = [img2label_path(f) for f in self.im_files]
+        # key includes label sizes+mtimes so edited annotations invalidate the
+        # cache (the reference hashes sizes for the same reason, ref
+        # data/utils.py get_hash); paths alone would serve stale labels forever
+        def _sig(p):
+            try:
+                st = Path(p).stat()
+                return f"{st.st_size}:{st.st_mtime_ns}"
+            except OSError:
+                return "missing"
+
+        stat_sig = ";".join(_sig(lf) for lf in label_files)
         key = hashlib.sha1(
-            ("".join(self.im_files + label_files) + str(self.kpt_shape) + self.task).encode()
+            ("".join(self.im_files + label_files) + stat_sig + str(self.kpt_shape) + self.task).encode()
         ).hexdigest()[:16]
         cache_path = Path(self.im_files[0]).parent / f".labels_{key}.cache.json"
         if cache and cache_path.exists():
@@ -240,6 +251,13 @@ def collate_batch(samples: list[dict], max_boxes: int = 64, overlap: bool = True
 
     B = len(samples)
     H, W = samples[0]["img"].shape[:2]
+    worst = max(len(s["cls"]) for s in samples)
+    if worst > max_boxes and not getattr(collate_batch, "_warned", False):
+        collate_batch._warned = True
+        LOGGER.warning(
+            f"collate: an image carries {worst} labels but the static capacity is {max_boxes} — "
+            f"extra labels are dropped (raise max_boxes in build_dataloader to keep them)"
+        )
     is_obb = any(s.get("obb") is not None for s in samples)
     imgs = np.zeros((B, H, W, 3), np.uint8)
     cls = np.zeros((B, max_boxes), np.float32)
@@ -292,10 +310,18 @@ def collate_batch(samples: list[dict], max_boxes: int = 64, overlap: bool = True
             maps = np.zeros((B, mh, mw), np.float32)
             for i, s in enumerate(samples):
                 segs = s.get("segments") or []
-                for j, sg in enumerate(segs[:max_boxes]):
-                    if sg is None or len(sg) < 3:
-                        continue
-                    pts = np.round(sg / 4.0).astype(np.int32)
+                polys = [
+                    (j, np.round(sg / 4.0).astype(np.int32))
+                    for j, sg in enumerate(segs[:max_boxes])
+                    if sg is not None and len(sg) >= 3
+                ]
+                # draw LARGEST FIRST so smaller overlapping instances overwrite
+                # and keep their pixels — the reference's add+clip composition
+                # (data/utils.py polygons2masks_overlap:360) resolves overlaps
+                # the same way; drawing in label order instead would let a big
+                # later instance erase a small earlier one entirely
+                polys.sort(key=lambda t: -cv2.contourArea(t[1].reshape(-1, 1, 2).astype(np.float32)))
+                for j, pts in polys:
                     cv2.fillPoly(maps[i], [pts], float(j + 1))
             batch["masks"] = maps
         else:

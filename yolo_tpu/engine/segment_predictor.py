@@ -37,7 +37,10 @@ class SegmentationPredictor(BasePredictor):
             preds, protos = model.predict(params, x, dtype=dtype)
             out = non_max_suppression(preds, conf_thres=conf, iou_thres=iou, max_det=max_det, nc=nc)
             H, W = imgs.shape[1:3]
-            masks = jax.vmap(lambda pr, cf, bx: process_mask(pr, cf, bx, (H, W)))(protos, out["extra"], out["boxes"])
+            # proto-resolution masks on device: upsampling every padded slot to
+            # (max_det, H, W) f32 costs ~500 MB/image at 640px & max_det=300 —
+            # the host upsamples only the valid detections instead
+            masks = jax.vmap(lambda pr, cf, bx: process_mask(pr, cf, bx, (H, W), upsample=False))(protos, out["extra"], out["boxes"])
             out["masks"] = masks
             return out
 
@@ -69,7 +72,29 @@ class SegmentationPredictor(BasePredictor):
                     [boxes, out["scores"][i][valid][:, None], out["cls"][i][valid][:, None].astype(np.float32)], -1
                 )
                 r = Results(imgs[i], metas[i][0], self.names, boxes=data)
-                masks = scale_masks_np(out["masks"][i][valid], imgs[i].shape[:2], (h, w))
+                vm = out["masks"][i][valid]  # (n, mh, mw) proto resolution
+                if len(vm):
+                    import cv2
+
+                    vm = np.stack([cv2.resize(m_, (w, h), interpolation=cv2.INTER_LINEAR) for m_ in vm])
+                masks = scale_masks_np(vm.reshape(-1, h, w) if len(vm) else vm.reshape(0, h, w), imgs[i].shape[:2], (h, w))
                 r.masks = Masks(masks > 0.5, imgs[i].shape[:2])
+                r.speed = {
+                    "preprocess": profilers[0].dt * 1e3 / n,
+                    "inference": profilers[1].dt * 1e3 / n,
+                    "postprocess": profilers[2].dt * 1e3 / n,
+                }
                 results.append(r)
+        # same save/show/verbose surface as the detection predictor (this
+        # override previously dropped them, so predict(save=True) on a
+        # segment model silently wrote nothing)
+        if self.args.verbose:
+            from yolo_tpu.utils import LOGGER
+
+            for r, (path, _) in zip(results, metas):
+                LOGGER.info(f"{path}: {len(r)} dets {r.speed['inference']:.1f}ms")
+        if getattr(self.args, "show", False):
+            self._show_results(results)
+        if self.args.save or self.args.save_txt or getattr(self.args, "save_crop", False):
+            self._write_results(results, metas)
         return results

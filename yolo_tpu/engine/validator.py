@@ -127,6 +127,7 @@ class DetectionValidator:
         )
         self.confusion_matrix = cm
         self.metrics = metrics
+        save_dir = None  # resolved once — a second get_save_dir call would increment to valN+1
         if self.args.save_json and self._json_dets:
             import json
 
@@ -150,7 +151,8 @@ class DetectionValidator:
                 from yolo_tpu.cfg import get_save_dir
                 from yolo_tpu.utils.plotting import plot_confusion_matrix
 
-                save_dir = get_save_dir(self.args, name="val")
+                if save_dir is None:
+                    save_dir = get_save_dir(self.args, name="val")
                 save_dir.mkdir(parents=True, exist_ok=True)
                 plot_confusion_matrix(cm.matrix, names=getattr(model, "names", {}), save_path=save_dir / "confusion_matrix.png")
             except Exception as e:
@@ -205,6 +207,8 @@ class OBBValidator(DetectionValidator):
                 pcls = out["cls"][i][valid]
                 m = batch["mask_gt"][i] > 0
                 gt = batch["bboxes"][i][m]  # (n_gt, 5) normalized xywhr
+                if gt.shape[-1] == 4:  # pure-background batch collates as (N, 4)
+                    gt = np.concatenate([gt, np.zeros((len(gt), 1), np.float32)], -1)
                 gt_boxes = gt * np.array([W, H, W, H, 1.0], np.float32)
                 gt_cls = batch["cls"][i][m]
                 tp = match_predictions(pboxes, pcls, gt_boxes, gt_cls, self.iou_thresholds)
@@ -274,7 +278,11 @@ class PoseValidator(DetectionValidator):
                 m = batch["mask_gt"][i] > 0
                 gt_boxes = np.asarray(xywhn2xyxy(batch["bboxes"][i][m], w=W, h=H))
                 gt_cls = batch["cls"][i][m]
-                gt_kpts = batch["keypoints"][i][m] * np.array([W, H] + [1.0] * (ndim - 2), np.float32)
+                # a batch of pure-background images collates without 'keypoints'
+                gk = batch.get("keypoints")
+                if gk is None:
+                    gk = np.zeros((len(batch["cls"]), batch["cls"].shape[1], nkpt, ndim), np.float32)
+                gt_kpts = gk[i][m] * np.array([W, H] + [1.0] * (ndim - 2), np.float32)
                 tp = match_predictions(pboxes, pcls, gt_boxes, gt_cls, self.iou_thresholds)
                 box_metrics.update(tp, pconf, pcls, gt_cls)
                 area = (gt_boxes[:, 2] - gt_boxes[:, 0]) * (gt_boxes[:, 3] - gt_boxes[:, 1]) * 0.53
@@ -363,10 +371,17 @@ class SegmentationValidator(DetectionValidator):
                 pm = crop_mask_np(pm.reshape(-1, mh, mw), pboxes * (mh / H)) > 0.5
                 if gt_maps is not None:
                     gmap = gt_maps[i]
-                    if gmap.shape != (mh, mw):
-                        gmap = gmap[:: gmap.shape[0] // mh, :: gmap.shape[1] // mw][:mh, :mw]
                     idxs = np.nonzero(m)[0]
-                    gm = (gmap[None] == (idxs + 1)[:, None, None])
+                    if gmap.ndim == 3:  # overlap_mask=False: per-instance (N, h, w) binary masks
+                        gm = gmap[idxs] > 0
+                        if gm.shape[1:] != (mh, mw):
+                            step = (max(gm.shape[1] // mh, 1), max(gm.shape[2] // mw, 1))
+                            gm = gm[:, :: step[0], :: step[1]][:, :mh, :mw]
+                    else:  # overlap-index map (h, w)
+                        if gmap.shape != (mh, mw):
+                            step = (max(gmap.shape[0] // mh, 1), max(gmap.shape[1] // mw, 1))
+                            gmap = gmap[:: step[0], :: step[1]][:mh, :mw]
+                        gm = gmap[None] == (idxs + 1)[:, None, None]
                     miou = mask_iou(gm.reshape(len(idxs), -1), pm.reshape(len(pm), -1))
                     tp_m = match_predictions_iou(pcls, gt_cls, miou, self.iou_thresholds)
                 else:
