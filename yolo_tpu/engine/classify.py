@@ -46,19 +46,32 @@ class ClassificationDataset:
 
         path, cls = self.samples[i]
         img = cv2.imread(path)
+        if img is None:
+            raise FileNotFoundError(f"unreadable image {path}")
         img = cv2.resize(img, (self.imgsz, self.imgsz), interpolation=cv2.INTER_LINEAR)
         if self.augment and np.random.random() < self.fliplr:
             img = np.fliplr(img)
         return np.ascontiguousarray(img), cls
 
-    def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0, epoch: int = 0):
+    def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0, epoch: int = 0, drop_last: bool = True):
+        """With drop_last=False the trailing partial batch is PADDED to
+        batch_size (one compiled shape) and yielded with labels=-1 on the pad
+        rows, so validation scores every image instead of silently skipping
+        the tail (len % batch images)."""
         idx = np.arange(len(self))
         if shuffle:
             np.random.default_rng(seed + epoch).shuffle(idx)
-        for s in range(0, len(idx) - batch_size + 1, batch_size):
+        end = len(idx) if not drop_last else len(idx) - batch_size + 1
+        for s in range(0, max(end, 1 if not drop_last and len(idx) else 0), batch_size):
             sel = idx[s : s + batch_size]
+            if not len(sel):
+                break
             imgs = np.stack([self[i][0] for i in sel])
             labels = np.array([self.samples[i][1] for i in sel], np.int32)
+            if len(sel) < batch_size:  # pad; -1 labels never match predictions
+                pad = batch_size - len(sel)
+                imgs = np.concatenate([imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
+                labels = np.concatenate([labels, np.full((pad,), -1, np.int32)])
             yield imgs, labels
 
 
@@ -90,6 +103,13 @@ class ClassificationTrainer:
         if self.model is None:
             self.model = ClassificationModel(args.model or "yolov8n-cls.yaml", nc=nc)
             self.params = self.model.init(args.seed)
+        elif getattr(self.model, "nc", None) != nc:
+            # rebuild for the dataset's class count (the facade always passes a
+            # model, so without this the head would keep the yaml default nc
+            # while names shrank — DetectionTrainer does the same rebuild)
+            cfg = self.model.yaml if isinstance(getattr(self.model, "yaml", None), (str, dict)) else args.model or "yolov8n-cls.yaml"
+            self.model = ClassificationModel(cfg, nc=nc)
+            self.params = self.model.init(args.seed)
         self.model.names = train_ds.names
         model = self.model
 
@@ -105,29 +125,7 @@ class ClassificationTrainer:
             nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1).mean()
             return nll, ctx.stats
 
-        bn_momentum = 0.03
-
-        def apply_stats(p, stats):
-            def walk(tree, prefix):
-                out = {}
-                for k, v in tree.items():
-                    pth = f"{prefix}/{k}" if prefix else str(k)
-                    if isinstance(v, dict):
-                        if pth in stats and "running_mean" in v:
-                            m, var, n = stats[pth]
-                            ub = var * (n / max(n - 1, 1))
-                            out[k] = {
-                                **v,
-                                "running_mean": (1 - bn_momentum) * v["running_mean"] + bn_momentum * m,
-                                "running_var": (1 - bn_momentum) * v["running_var"] + bn_momentum * ub,
-                            }
-                        else:
-                            out[k] = walk(v, pth)
-                    else:
-                        out[k] = v
-                return out
-
-            return walk(p, "")
+        from yolo_tpu.utils.optim import apply_bn_stats as apply_stats
 
         @jax.jit
         def step(p, opt_state, imgs, labels, lr):
@@ -172,16 +170,20 @@ class ClassificationTrainer:
         import jax.numpy as jnp
 
         model = self.model
+        infer = getattr(self, "_val_infer", None)
+        if infer is None:  # compile once, not per epoch
+            @jax.jit
+            def infer(p, imgs):
+                return model.predict(p, imgs[..., ::-1].astype(jnp.float32) / 255.0)
 
-        @jax.jit
-        def infer(p, imgs):
-            return model.predict(p, imgs[..., ::-1].astype(jnp.float32) / 255.0)
+            self._val_infer = infer
 
         top1 = top5 = n = 0
-        for imgs, labels in dataset.batches(min(self.args.batch, len(dataset)), shuffle=False):
+        for imgs, labels in dataset.batches(min(self.args.batch, len(dataset)), shuffle=False, drop_last=False):
             probs = np.asarray(infer(params, imgs))
+            real = labels >= 0  # padded tail rows carry label -1
             order = np.argsort(-probs, axis=-1)
-            top1 += (order[:, 0] == labels).sum()
-            top5 += np.any(order[:, :5] == labels[:, None], axis=-1).sum()
-            n += len(labels)
+            top1 += ((order[:, 0] == labels) & real).sum()
+            top5 += (np.any(order[:, :5] == labels[:, None], axis=-1) & real).sum()
+            n += int(real.sum())
         return {"top1": top1 / max(n, 1), "top5": top5 / max(n, 1)}

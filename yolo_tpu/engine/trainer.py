@@ -197,7 +197,6 @@ class DetectionTrainer:
 
         model, loss_fn = self.model, self.loss_fn
         dtype = jnp.bfloat16 if self.args.amp else jnp.float32
-        bn_momentum = 0.03  # reference sets BN momentum=0.03
 
         def forward_loss(params, batch):
             from yolo_tpu.nn.modules import Ctx
@@ -219,32 +218,7 @@ class DetectionTrainer:
             total, comps = loss_fn(feats, batch)
             return total, (comps, ctx.stats)
 
-        def apply_bn_stats(params, stats):
-            """Fold collected batch moments into running stats (torch update rule)."""
-            flat_updates = {}
-            for path, (mean, var, n) in stats.items():
-                unbiased = var * (n / max(n - 1, 1))
-                flat_updates[path] = (mean, unbiased)
-
-            def walk(tree, prefix):
-                out = {}
-                for k, v in tree.items():
-                    p = f"{prefix}/{k}" if prefix else str(k)
-                    if isinstance(v, dict):
-                        if p in flat_updates and "running_mean" in v:
-                            m, va = flat_updates[p]
-                            out[k] = {
-                                **v,
-                                "running_mean": (1 - bn_momentum) * v["running_mean"] + bn_momentum * m,
-                                "running_var": (1 - bn_momentum) * v["running_var"] + bn_momentum * va,
-                            }
-                        else:
-                            out[k] = walk(v, p)
-                    else:
-                        out[k] = v
-                return out
-
-            return walk(params, "")
+        from yolo_tpu.utils.optim import apply_bn_stats
 
         opt = self.opt
 

@@ -78,12 +78,27 @@ class Tuner:
         best_fitness, best_hyp, best_idx = -1.0, None, -1
         base = {k: getattr(self.args, k) for k in self.space}
         rows = []
+        # fixed-position kwargs that would collide with the per-iter call, and
+        # search-space keys the MUTATION must control — user kwargs freezing a
+        # tuned hyperparameter would silently undo the whole search
+        train_kwargs = dict(train_kwargs)
+        for k in ("project", "name", "exist_ok", "verbose", "data"):
+            train_kwargs.pop(k, None)
+        frozen = set(train_kwargs) & set(self.space)
+        if frozen:
+            LOGGER.warning(f"tune: dropping fixed overrides for searched keys {sorted(frozen)} — the search controls them")
+            for k in frozen:
+                train_kwargs.pop(k)
+        model_src = (model.overrides.get("model") if model is not None else None) or self.args.model or "yolov8n.yaml"
         for i in range(iterations):
             hyp = self._mutate(best_hyp or base) if i > 0 else dict(base)
             LOGGER.info(f"tune iter {i + 1}/{iterations}: {hyp}")
             from yolo_tpu import YOLO
 
-            m = YOLO(self.args.model or "yolov8n.yaml") if model is None else model
+            # FRESH model every iteration — reusing one instance would let each
+            # candidate keep training the previous candidate's weights, making
+            # fitness comparisons meaningless
+            m = YOLO(model_src)
             try:
                 metrics = m.train(
                     data=self.args.data,
@@ -91,7 +106,7 @@ class Tuner:
                     name=f"iter{i}",
                     exist_ok=True,
                     verbose=False,
-                    **{**hyp, **train_kwargs},
+                    **{**train_kwargs, **hyp},
                 )
                 fitness = (metrics or {}).get("fitness", 0.0)
             except Exception as e:

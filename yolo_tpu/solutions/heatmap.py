@@ -30,7 +30,11 @@ class Heatmap(BaseSolution):
             g = np.exp(-(((xx - cx) / (w / 2 + 1e-6)) ** 2 + ((yy - cy) / (h / 2 + 1e-6)) ** 2))
             ys, ye = max(y1, 0), min(y2, im0.shape[0])
             xs, xe = max(x1, 0), min(x2, im0.shape[1])
-            self.heat[ys:ye, xs:xe] += g[: ye - ys, : xe - xs]
+            if ye <= ys or xe <= xs:  # box entirely off-frame
+                continue
+            # slice g at the CLIPPED offset so the peak stays on the object
+            # center for edge boxes (g[:h_clip] alone shifts the peak)
+            self.heat[ys:ye, xs:xe] += g[ys - y1 : ye - y1, xs - x1 : xe - x1]
 
         norm = (255 * self.heat / (self.heat.max() + 1e-9)).astype(np.uint8)
         cmap = self.colormap if self.colormap is not None else cv2.COLORMAP_JET

@@ -57,10 +57,16 @@ class ObjectCounter(BaseSolution):
                         self.out_count += 1
                         cw["OUT"] += 1
                     self.counted_ids.add(tid)
-            else:  # polygon entry
-                if _point_in_polygon(curr, self.region) and not _point_in_polygon(prev, self.region):
+            else:  # polygon entry/exit (ref object_counter counts both directions)
+                inside_now = _point_in_polygon(curr, self.region)
+                inside_before = _point_in_polygon(prev, self.region)
+                if inside_now and not inside_before:
                     self.in_count += 1
                     cw["IN"] += 1
+                    self.counted_ids.add(tid)
+                elif inside_before and not inside_now:
+                    self.out_count += 1
+                    cw["OUT"] += 1
                     self.counted_ids.add(tid)
 
         im0 = self._annotate(im0)

@@ -32,11 +32,16 @@ def check_version(current: str, required: str = "") -> bool:
     def parse(v):
         return tuple(int(x) for x in v.split(".")[:3] if x.isdigit())
 
-    cur = parse(current)
+    def pad(a, b):
+        """Equal-length tuples — '1' vs '1.0' must compare equal, but (1,) < (1, 0)."""
+        n = max(len(a), len(b))
+        return a + (0,) * (n - len(a)), b + (0,) * (n - len(b))
+
+    cur0 = parse(current)
     for clause in required.replace(" ", "").split(","):
         for op in (">=", "<=", "==", "!=", ">", "<"):
             if clause.startswith(op):
-                ref = parse(clause[len(op) :])
+                cur, ref = pad(cur0, parse(clause[len(op) :]))
                 ok = {
                     ">=": cur >= ref, "<=": cur <= ref, "==": cur == ref,
                     "!=": cur != ref, ">": cur > ref, "<": cur < ref,

@@ -126,3 +126,32 @@ def build_optimizer(name: str, weight_decay: float):
     if name in ("SGD", "RMSProp"):
         return SGD(weight_decay=weight_decay)
     raise ValueError(f"unknown optimizer {name}")
+
+
+def apply_bn_stats(params, stats, bn_momentum: float = 0.03):
+    """Fold collected batch moments into BN running stats, torch update rule
+    (momentum 0.03 like the reference's BatchNorm2d(momentum=0.03), unbiased
+    variance). `stats`: {param-path: (batch_mean, batch_var, n)} as collected
+    by Ctx.stats during a training forward. Shared by the detection and
+    classification trainers."""
+
+    def walk(tree, prefix):
+        out = {}
+        for k, v in tree.items():
+            pth = f"{prefix}/{k}" if prefix else str(k)
+            if isinstance(v, dict):
+                if pth in stats and "running_mean" in v:
+                    m, var, n = stats[pth]
+                    ub = var * (n / max(n - 1, 1))
+                    out[k] = {
+                        **v,
+                        "running_mean": (1 - bn_momentum) * v["running_mean"] + bn_momentum * m,
+                        "running_var": (1 - bn_momentum) * v["running_var"] + bn_momentum * ub,
+                    }
+                else:
+                    out[k] = walk(v, pth)
+            else:
+                out[k] = v
+        return out
+
+    return walk(params, "")
