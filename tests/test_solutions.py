@@ -279,3 +279,46 @@ def test_example_action_recognition(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     actions, n = mod.main(["--source", str(vid), "--model", "yolov8n.yaml", "--conf", "0.0001", "--window", "2", "--max-frames", "4"])
     assert n == 4 and (tmp_path / "action_recognition_output.mp4").exists()
+
+
+def test_heatmap_edge_boxes_keep_peak_alignment():
+    """Review finding: boxes clipped at the frame edge used to shift the
+    gaussian peak (or crash when fully off-frame)."""
+    class EdgeStub:
+        def __init__(self):
+            self.names = {0: "obj"}
+            self.f = 0
+
+        def track(self, im0, **kw):
+            boxes = np.array(
+                [[-30, 100, -10, 140, 1.0, 0.9, 0],  # fully off-frame: must not crash
+                 [-20, 200, 80, 260, 2.0, 0.9, 0]],  # clipped left: peak at x=30
+                np.float32,
+            )
+            self.f += 1
+            return [Results(im0, "stub", self.names, boxes=boxes)]
+
+    hm = Heatmap(model=EdgeStub())
+    out = hm.process(np.zeros((480, 640, 3), np.uint8))
+    assert out["total_heat"] > 0
+    row = hm.heat[230]  # vertical center of the clipped box
+    assert row[:100].argmax() in (29, 30)  # peak at the box center ((w-1)/2 half-pixel), not shifted to ~49
+
+
+def test_object_counter_polygon_counts_exits():
+    """Review finding: polygon regions only ever counted entries."""
+    class CrossStub:
+        def __init__(self):
+            self.names = {0: "obj"}
+            self.f = 0
+
+        def track(self, im0, **kw):
+            cx = 50 + 40 * self.f  # inside at f=0/1, outside from f=2
+            self.f += 1
+            boxes = np.array([[cx - 8, 42, cx + 8, 58, 1.0, 0.9, 0]], np.float32)
+            return [Results(im0, "stub", self.names, boxes=boxes)]
+
+    oc = ObjectCounter(model=CrossStub(), region=[(0, 0), (100, 0), (100, 100), (0, 100)])
+    for _ in range(5):
+        out = oc.process(np.zeros((200, 200, 3), np.uint8))
+    assert out["out_count"] == 1
