@@ -8,6 +8,9 @@ import sys
 from pathlib import Path
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # force: shell exports axon (real TPU)
+# trainer-level bf16 sanity run costs 2 extra full-model compiles per training
+# test — covered once, explicitly, in test_checks.py instead
+os.environ.setdefault("YOLO_TPU_SKIP_AMP_CHECK", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

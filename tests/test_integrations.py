@@ -56,3 +56,125 @@ def test_dvclive_stub_receives_metrics(monkeypatch):
     assert ("train/box_loss", 1.25) in calls["metrics"]
     assert ("metrics/mAP50", 0.5) in calls["metrics"]
     assert calls["steps"] == 1 and calls["ended"] == 1
+
+
+def test_neptune_stub_receives_metrics(monkeypatch):
+    """Neptune adapter (ref: callbacks/neptune.py) logs params + appended scalars."""
+    calls = {"params": None, "appended": [], "stopped": 0}
+
+    class FakeSeries:
+        def __init__(self, key):
+            self.key = key
+
+        def append(self, value=None, step=None):
+            calls["appended"].append((self.key, float(value), step))
+
+        def upload(self, path):
+            calls["appended"].append((self.key, "upload", path))
+
+    class FakeRun:
+        def __init__(self):
+            self.store = {}
+
+        def __getitem__(self, k):
+            return FakeSeries(k)
+
+        def __setitem__(self, k, v):
+            calls["params"] = (k, v)
+
+        def stop(self):
+            calls["stopped"] += 1
+
+    fake = types.ModuleType("neptune")
+    fake.init_run = lambda **kw: FakeRun()
+    monkeypatch.setitem(sys.modules, "neptune", fake)
+
+    from yolo_tpu.utils.callbacks import run_callbacks
+    from yolo_tpu.utils.integrations import attach
+
+    cbs = attach({})
+
+    class T:
+        class args:
+            project = "p"
+            name = "n"
+
+        epoch = 2
+        metrics = {"mAP50": 0.7}
+        _last_row = {"train/box_loss": 0.5, "epoch": 2}
+
+        class wdir:
+            @staticmethod
+            def __truediv__(other):
+                raise AssertionError
+
+    t = T()
+    from pathlib import Path
+
+    t.wdir = Path("/nonexistent")
+    run_callbacks(cbs, "on_pretrain_routine_start", t)
+    run_callbacks(cbs, "on_fit_epoch_end", t)
+    run_callbacks(cbs, "on_train_end", t)
+    assert calls["params"][0] == "Configuration/Hyperparameters"
+    assert ("train/box_loss", 0.5, 3) in calls["appended"]
+    assert ("metrics/mAP50", 0.7, 3) in calls["appended"]
+    assert calls["stopped"] == 1
+
+
+def test_raytune_stub_reports_in_session(monkeypatch):
+    """Ray Tune adapter (ref: callbacks/raytune.py) reports metrics+epoch only
+    inside an active tune session."""
+    reports = []
+
+    ray = types.ModuleType("ray")
+    tune_mod = types.ModuleType("ray.tune")
+    air = types.ModuleType("ray.air")
+    train = types.ModuleType("ray.train")
+    internal = types.ModuleType("ray.train._internal")
+    session_mod = types.ModuleType("ray.train._internal.session")
+    session_mod.get_session = lambda: True
+    air_session = types.SimpleNamespace(report=lambda d: reports.append(d))
+    air.session = air_session
+    train._internal = internal
+    internal.session = session_mod
+    ray.tune = tune_mod
+    ray.train = train
+    for name, mod in {
+        "ray": ray, "ray.tune": tune_mod, "ray.air": air,
+        "ray.train": train, "ray.train._internal": internal,
+        "ray.train._internal.session": session_mod,
+    }.items():
+        monkeypatch.setitem(sys.modules, name, mod)
+
+    from yolo_tpu.utils.callbacks import run_callbacks
+    from yolo_tpu.utils.integrations import attach
+
+    cbs = attach({})
+
+    class T:
+        class args:
+            project = "p"
+            name = "n"
+
+        epoch = 4
+        metrics = {"fitness": 0.9}
+        _last_row = {"train/box_loss": 0.1, "epoch": 4}
+
+    run_callbacks(cbs, "on_fit_epoch_end", T())
+    assert reports and reports[0]["epoch"] == 5 and reports[0]["metrics/fitness"] == 0.9
+    # outside a session: no report
+    session_mod.get_session = lambda: None
+    run_callbacks(cbs, "on_fit_epoch_end", T())
+    assert len(reports) == 1
+
+
+def test_model_tune_use_ray_requires_ray():
+    """Model.tune(use_ray=True) routes to run_ray_tune and guards the import
+    (ref: engine/model.py tune:835 → utils/tuner.py run_ray_tune)."""
+    import pytest
+
+    from yolo_tpu import YOLO
+
+    m = YOLO("yolov8n.yaml")
+    with pytest.raises(ModuleNotFoundError, match="[Rr]ay"):
+        m.tune(use_ray=True, data="nonexistent.yaml", iterations=1)

@@ -1,11 +1,13 @@
 """Serving daemon protocol (v1 compat + v2 multi-model + error frames) and the
 2-process jax.distributed init path (VERDICT r1 weak#5/#6)."""
 
+import os
 import socket
 import struct
 import subprocess
 import sys
 import threading
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -121,3 +123,60 @@ def test_two_process_jax_distributed():
     for r, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {r} failed:\n{out}"
         assert f"rank {r} ok procs=2" in out
+
+
+_DIST_MESH_SCRIPT = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4").strip()
+import jax
+jax.config.update("jax_platforms", "cpu")
+rank = int(sys.argv[1])
+jax.distributed.initialize(coordinator_address="127.0.0.1:PORT", num_processes=2, process_id=rank)
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from yolo_tpu.parallel.distributed import global_mesh, local_batch_slice, is_main_process
+assert jax.process_count() == 2 and len(jax.devices()) == 8, (jax.process_count(), len(jax.devices()))
+mesh = global_mesh()
+# per-host data loading: each host materializes only its local slice of the
+# global batch (the reference's DistributedSampler role, ref utils/dist.py)
+GLOBAL_B = 16
+local_b = local_batch_slice(GLOBAL_B)
+assert local_b == 8, local_b
+local = np.full((local_b, 4), rank + 1.0, np.float32)
+sharding = NamedSharding(mesh, P("batch"))
+garr = jax.make_array_from_process_local_data(sharding, local, (GLOBAL_B, 4))
+@jax.jit
+def step(x):
+    return x.sum()  # XLA inserts the cross-host reduction itself
+total = float(step(garr))
+# ranks contribute 8*4*1 and 8*4*2 → 96
+assert total == 96.0, total
+print(f"rank {rank} meshok total={total} main={is_main_process()}")
+"""
+
+
+def test_two_process_four_device_mesh():
+    """2 processes × 4 fake devices each — a global 8-device mesh with per-host
+    data sharding, the documented pod recipe's code path end-to-end
+    (ref analog: utils/dist.py:29-101 + DistributedSampler in data/build.py:180)."""
+    import socket as s
+
+    sock = s.socket()
+    sock.bind(("127.0.0.1", 0))
+    port = sock.getsockname()[1]
+    sock.close()
+    script = _DIST_MESH_SCRIPT.replace("PORT", str(port))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(Path(__file__).resolve().parents[1]) + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen([sys.executable, "-c", script, str(r)],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for r in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for r, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {r} failed:\n{out}"
+        assert f"rank {r} meshok total=96.0" in out
+    assert "main=True" in outs[0] and "main=False" in outs[1]

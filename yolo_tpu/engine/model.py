@@ -205,8 +205,13 @@ class YOLO:
         args = {**self.overrides, **kwargs, "mode": "export"}
         return Exporter(args=args)(model=self.model, params=self.params)
 
-    def tune(self, iterations: int = 10, **kwargs):
-        """Hyperparameter evolution (ref: engine/model.py tune:810 → Tuner)."""
+    def tune(self, iterations: int = 10, use_ray: bool = False, **kwargs):
+        """Hyperparameter evolution (ref: engine/model.py tune:810 → Tuner;
+        use_ray=True routes to the Ray Tune ASHA search, ref tune:835)."""
+        if use_ray:
+            from yolo_tpu.engine.tuner import run_ray_tune
+
+            return run_ray_tune(self, max_samples=iterations, **kwargs)
         from yolo_tpu.engine.tuner import Tuner
 
         args = {**self.overrides, **kwargs, "mode": "train"}

@@ -17,6 +17,7 @@ models/yolo/detect/train.py. TPU re-design:
 from __future__ import annotations
 
 import math
+import os
 import time
 from pathlib import Path
 
@@ -291,6 +292,20 @@ class DetectionTrainer:
         iterations = nb * args.epochs
         self.opt = self.build_optimizer(iterations)
 
+        # bf16 numeric sanity run before enabling mixed precision (ref:
+        # utils/checks.py check_amp:735 runs a real fwd compare and falls back
+        # to fp32 when the halved path disagrees). Env kill-switch for test
+        # speed: YOLO_TPU_SKIP_AMP_CHECK=1.
+        if args.amp and os.environ.get("YOLO_TPU_SKIP_AMP_CHECK") != "1":
+            from yolo_tpu.utils.checks import check_amp
+
+            try:
+                if not check_amp(self.model, self.params):
+                    LOGGER.warning("AMP sanity check failed — training with float32")
+                    args.amp = False
+            except Exception as e:  # unsupported predict signature (e.g. prompts) → keep amp
+                LOGGER.warning(f"AMP sanity check skipped: {e}")
+
         n_dev = args.n_devices or 1
         mesh = None
         if n_dev > 1:
@@ -355,6 +370,9 @@ class DetectionTrainer:
             lr_epoch = args.lr0 * self.lr_lambda(epoch)
             t0 = time.time()
             epoch_losses = []
+            from yolo_tpu.utils.tqdm import TQDM
+
+            pbar = TQDM(total=nb, desc=f"epoch {epoch + 1}/{args.epochs}", unit="batch")
             for batch in self.train_loader:
                 # first-epoch train-batch mosaics (ref: trainer plot_training_samples)
                 if args.plots and epoch == self.start_epoch and ni - self.start_epoch * nb < 3:
@@ -406,6 +424,8 @@ class DetectionTrainer:
                 )
                 epoch_losses.append(comps)
                 ni += 1
+                pbar.update(1)
+            pbar.close()
             if epoch_losses:
                 last_comps = np.mean([np.asarray(jax.device_get(c)) for c in epoch_losses], axis=0)
             self.epoch_time = time.time() - t0

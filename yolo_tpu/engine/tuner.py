@@ -125,3 +125,60 @@ class Tuner:
                 yaml_save(self.tune_dir / "best_hyperparameters.yaml", hyp)
         LOGGER.info(f"tuning done: best fitness {best_fitness:.4f} at iter {best_idx}")
         return {"best_fitness": best_fitness, "best_hyperparameters": best_hyp, "best_iteration": best_idx}
+
+
+def run_ray_tune(
+    model,
+    space: dict | None = None,
+    grace_period: int = 10,
+    max_samples: int = 10,
+    **train_args,
+):
+    """Distributed hyperparameter search via Ray Tune (ref: utils/tuner.py
+    run_ray_tune:7 — ASHA scheduler over the same mutation space, metrics fed
+    back by the raytune callback in utils/integrations.py).
+
+    Requires `pip install ray[tune]`; this image has no ray, so the path is
+    import-guarded like every SDK integration.
+    """
+    try:
+        import ray
+        from ray import tune
+        from ray.air import RunConfig
+        from ray.tune.schedulers import ASHAScheduler
+    except ImportError as e:
+        raise ModuleNotFoundError(
+            'Ray Tune required but not found. To install run: pip install "ray[tune]"'
+        ) from e
+
+    # uniform sampling over the mutation bounds (ref builds tune.uniform from
+    # the same (gain, min, max) table)
+    space = space or {k: tune.uniform(lo, hi) for k, (_, lo, hi) in DEFAULT_SPACE.items()}
+    data = train_args.pop("data", None) or model.overrides.get("data")
+    epochs = int(train_args.pop("epochs", 10))
+    model_src = model.overrides.get("model") or "yolov8n.yaml"
+
+    def _trainable(config):
+        from yolo_tpu import YOLO
+
+        m = YOLO(model_src)  # fresh weights per trial
+        m.train(data=data, epochs=epochs, **{**train_args, **config})
+        # metrics reach tune via the raytune on_fit_epoch_end callback
+
+    scheduler = ASHAScheduler(
+        time_attr="epoch",
+        metric=train_args.pop("metric", "metrics/fitness"),
+        mode="max",
+        max_t=epochs,
+        grace_period=min(grace_period, epochs),
+        reduction_factor=3,
+    )
+    tuner = tune.Tuner(
+        _trainable,
+        param_space=space,
+        tune_config=tune.TuneConfig(scheduler=scheduler, num_samples=max_samples),
+        run_config=RunConfig(name="yolo_tpu_tune"),
+    )
+    results = tuner.fit()
+    ray.shutdown()
+    return results

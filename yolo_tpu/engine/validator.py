@@ -20,6 +20,7 @@ from yolo_tpu.data.dataset import check_det_dataset
 from yolo_tpu.ops.boxes import scale_boxes, xywhn2xyxy
 from yolo_tpu.utils import LOGGER
 from yolo_tpu.utils.metrics import ConfusionMatrix, DetMetrics, match_predictions
+from yolo_tpu.utils.tqdm import TQDM
 
 
 class DetectionValidator:
@@ -70,7 +71,7 @@ class DetectionValidator:
         else:
             cat_map = None
         last_shape = None
-        for batch in loader:
+        for batch in TQDM(loader, desc="val", total=len(loader), unit="batch"):
             imgs = batch["img"]
             if imgs.shape[0] != (last_shape[0] if last_shape else None):
                 pass  # shape change → new jit cache entry, expected on last partial batch
@@ -190,7 +191,7 @@ class OBBValidator(DetectionValidator):
         metrics = DetMetrics(names=getattr(model, "names", {}))
         n_img = 0
         t0 = time.time()
-        for batch in loader:
+        for batch in TQDM(loader, desc="val", total=len(loader), unit="batch"):
             imgs = batch["img"]
             if imgs.shape[0] < batch_size:
                 pad = np.zeros((batch_size - imgs.shape[0],) + imgs.shape[1:], imgs.dtype)
@@ -259,7 +260,7 @@ class PoseValidator(DetectionValidator):
         pose_metrics = DetMetrics(names=getattr(model, "names", {}))
         n_img = 0
         t0 = time.time()
-        for batch in loader:
+        for batch in TQDM(loader, desc="val", total=len(loader), unit="batch"):
             imgs = batch["img"]
             if imgs.shape[0] < batch_size:
                 pad = np.zeros((batch_size - imgs.shape[0],) + imgs.shape[1:], imgs.dtype)
@@ -341,7 +342,7 @@ class SegmentationValidator(DetectionValidator):
         m_metrics = DetMetrics(names=getattr(model, "names", {}))
         n_img = 0
         t0 = time.time()
-        for batch in loader:
+        for batch in TQDM(loader, desc="val", total=len(loader), unit="batch"):
             imgs = batch["img"]
             if imgs.shape[0] < batch_size:
                 pad = np.zeros((batch_size - imgs.shape[0],) + imgs.shape[1:], imgs.dtype)
@@ -433,7 +434,7 @@ class RTDETRValidator(DetectionValidator):
         metrics = DetMetrics(names=getattr(model, "names", {}))
         n_img = 0
         t0 = time.time()
-        for batch in loader:
+        for batch in TQDM(loader, desc="val", total=len(loader), unit="batch"):
             imgs = batch["img"]
             if imgs.shape[0] < batch_size:
                 pad = np.zeros((batch_size - imgs.shape[0],) + imgs.shape[1:], imgs.dtype)

@@ -190,12 +190,74 @@ def _dvc_callbacks():
     }
 
 
+# --------------------------------------------------------------------------- #
+# NeptuneAI (ref: callbacks/neptune.py)
+# --------------------------------------------------------------------------- #
+def _neptune_callbacks():
+    import neptune  # noqa: F401
+
+    state = {}
+
+    def on_pretrain_routine_start(trainer):
+        import neptune
+
+        state["run"] = neptune.init_run(
+            project=str(getattr(trainer.args, "project", None) or "yolo_tpu"),
+            name=str(getattr(trainer.args, "name", None) or "train"),
+            tags=["yolo_tpu"],
+        )
+        state["run"]["Configuration/Hyperparameters"] = {
+            k: "" if v is None else str(v) for k, v in vars(trainer.args).items()
+        }
+
+    def on_fit_epoch_end(trainer):
+        run = state.get("run")
+        if run:
+            for k, v in _trainer_scalars(trainer).items():
+                run[k].append(value=v, step=trainer.epoch + 1)
+
+    def on_train_end(trainer):
+        run = state.get("run")
+        if run:
+            best = trainer.wdir / "best.npz"
+            if best.exists():
+                run["weights/best"].upload(str(best))
+            run.stop()
+
+    return {
+        "on_pretrain_routine_start": on_pretrain_routine_start,
+        "on_fit_epoch_end": on_fit_epoch_end,
+        "on_train_end": on_train_end,
+    }
+
+
+# --------------------------------------------------------------------------- #
+# Ray Tune (ref: callbacks/raytune.py — reports metrics into an active tune
+# session so Ray's schedulers can early-stop/evolve trials; also the hook the
+# reference's utils/tuner.py run_ray_tune path depends on)
+# --------------------------------------------------------------------------- #
+def _raytune_callbacks():
+    import ray  # noqa: F401
+    from ray import tune  # noqa: F401
+
+    def on_fit_epoch_end(trainer):
+        import ray
+        from ray.air import session
+
+        if ray.train._internal.session.get_session():  # only inside an active trial
+            session.report({**_trainer_scalars(trainer), "epoch": trainer.epoch + 1})
+
+    return {"on_fit_epoch_end": on_fit_epoch_end}
+
+
 _FACTORIES = {
     "wandb": _wandb_callbacks,
     "mlflow": _mlflow_callbacks,
     "clearml": _clearml_callbacks,
     "comet": _comet_callbacks,
     "dvc": _dvc_callbacks,
+    "neptune": _neptune_callbacks,
+    "raytune": _raytune_callbacks,
 }
 
 
