@@ -145,6 +145,29 @@ def export_stablehlo(model, params, imgsz=(640, 640), batch: int = 1, filename="
     blob = exported.serialize()
     Path(filename).write_bytes(blob)
     LOGGER.info(f"exported StableHLO: {filename} ({len(blob) / 1e6:.1f} MB)")
+
+    # RAW single-platform module with the weights baked in as constants — ONE
+    # uint8 NHWC argument, directly compilable through the PJRT C API by the
+    # C++ consumer (examples/stablehlo_consumer/pjrt_consumer.cpp). The
+    # jax.export envelope above stays the Python-side artifact; this is the
+    # native-side one. A .json sidecar carries the input geometry.
+    params_const = jax.tree_util.tree_map(jnp.asarray, params)
+
+    def infer_baked(imgs):
+        return infer(params_const, imgs)
+
+    mlir_path = Path(filename).with_suffix(".mlir")
+    baked = jax_export.export(jax.jit(infer_baked), platforms=[platforms[0]])(
+        jax.ShapeDtypeStruct((batch, h, w, 3), jnp.uint8)
+    )
+    mlir_path.write_bytes(baked.mlir_module_serialized)
+    Path(str(mlir_path) + ".json").write_text(
+        json.dumps({"shape": [batch, h, w, 3], "dtype": "uint8",
+                    "platform": platforms[0],
+                    "out_avals": [str(a) for a in baked.out_avals]})
+    )
+    LOGGER.info(f"exported raw StableHLO module: {mlir_path} "
+                f"({mlir_path.stat().st_size / 1e6:.1f} MB, platform {platforms[0]})")
     return Path(filename)
 
 

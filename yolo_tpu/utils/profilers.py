@@ -72,7 +72,8 @@ def model_info(model, params, imgsz=640, verbose: bool = True) -> dict:
     return info
 
 
-def profile_per_layer(model, params, imgsz=640, batch: int = 1, dtype=None, n: int = 3, verbose: bool = True):
+def profile_per_layer(model, params, imgsz=640, batch: int = 1, dtype=None, n: int = 3, verbose: bool = True,
+                      roofline: tuple[float, float] | None = None, channels: int = 3):
     """Per-layer wall time + FLOPs + params table (ref: nn/tasks.py
     _profile_one_layer:199 and torch_utils.py profile_ops:819).
 
@@ -80,6 +81,13 @@ def profile_per_layer(model, params, imgsz=640, batch: int = 1, dtype=None, n: i
     jitted and timed in isolation (compile excluded), with FLOPs from XLA's
     cost analysis of the per-layer program. Returns a list of row dicts
     [{i, type, ms, gflops, params}] sorted by graph order.
+
+    With ``roofline=(peak_tflops, peak_gbps)`` each row also carries the
+    layer's HBM traffic estimate (read inputs + write output + read weights,
+    at the given dtype) and its speed-of-light time
+    ``bound_ms = max(flops/peak_flops, bytes/peak_bw)`` — the per-layer
+    hardware bound that a perfectly-fused kernel could not beat. Summing
+    ``bound_ms`` gives an optimistic roofline for the whole forward.
     """
     import time
 
@@ -92,7 +100,7 @@ def profile_per_layer(model, params, imgsz=640, batch: int = 1, dtype=None, n: i
     h, w = (imgsz, imgsz) if isinstance(imgsz, int) else imgsz
     dtype = dtype or jnp.float32
     ctx = M.Ctx(train=False, dtype=dtype)
-    x = jnp.zeros((batch, h, w, 3), dtype)
+    x = jnp.zeros((batch, h, w, channels), dtype)
     mp = params["model"]
 
     # eager walk, recording each layer's input(s)
@@ -109,6 +117,11 @@ def profile_per_layer(model, params, imgsz=640, batch: int = 1, dtype=None, n: i
         if spec.i in model.save:
             y[spec.i] = out
         x = out if not isinstance(out, list) else x
+
+    dt_size = jnp.dtype(dtype).itemsize
+
+    def _leaf_bytes(tree):
+        return sum(int(np.prod(np.shape(a))) * dt_size for a in jax.tree_util.tree_leaves(tree))
 
     rows = []
     for spec in model.layers:
@@ -130,13 +143,26 @@ def profile_per_layer(model, params, imgsz=640, batch: int = 1, dtype=None, n: i
         jax.block_until_ready(r)
         ms = (time.perf_counter() - t0) / n * 1e3
         n_par = sum(int(np.prod(np.shape(a))) for a in jax.tree_util.tree_leaves(lp))
-        rows.append({"i": spec.i, "type": spec.type, "ms": round(ms, 3), "gflops": round(gflops, 3), "params": n_par})
+        row = {"i": spec.i, "type": spec.type, "ms": round(ms, 3), "gflops": round(gflops, 3), "params": n_par}
+        if roofline:
+            peak_tflops, peak_gbps = roofline
+            mbytes = (_leaf_bytes(x_in) + _leaf_bytes(r) + n_par * dt_size) / 1e6
+            bound_ms = max(gflops / peak_tflops, mbytes / 1e3 / peak_gbps) * 1e3
+            row.update({
+                "mbytes": round(mbytes, 2),
+                "bound_ms": round(bound_ms, 3),
+                "bound_by": "flops" if gflops / peak_tflops >= mbytes / 1e3 / peak_gbps else "bw",
+            })
+        rows.append(row)
     if verbose:
-        LOGGER.info(f"{'idx':>4} {'ms':>9} {'GFLOPs':>8} {'params':>10}  type")
+        extra = f" {'MB':>8} {'bound':>8} {'lim':>5}" if roofline else ""
+        LOGGER.info(f"{'idx':>4} {'ms':>9} {'GFLOPs':>8} {'params':>10}{extra}  type")
         for row in rows:
-            LOGGER.info(f"{row['i']:>4} {row['ms']:>9.3f} {row['gflops']:>8.3f} {row['params']:>10,}  {row['type']}")
+            e = f" {row['mbytes']:>8.2f} {row['bound_ms']:>8.3f} {row['bound_by']:>5}" if roofline else ""
+            LOGGER.info(f"{row['i']:>4} {row['ms']:>9.3f} {row['gflops']:>8.3f} {row['params']:>10,}{e}  {row['type']}")
+        e = f" {sum(r['mbytes'] for r in rows):>8.2f} {sum(r['bound_ms'] for r in rows):>8.3f}      " if roofline else ""
         LOGGER.info(f"{'':>4} {sum(r['ms'] for r in rows):>9.3f} {sum(r['gflops'] for r in rows):>8.3f} "
-                    f"{sum(r['params'] for r in rows):>10,}  TOTAL (per-layer, excludes fusion wins)")
+                    f"{sum(r['params'] for r in rows):>10,}{e}  TOTAL (per-layer, excludes fusion wins)")
     return rows
 
 
