@@ -20,14 +20,13 @@ import numpy as np
 OUT = Path(__file__).parent / "artifacts"
 
 
-def make_dataset(root: Path, n_train: int = 64, w: int = 640, h: int = 512, seed: int = 0):
-    """Synthetic IR set: smooth cloudy background + 1-3 small bright aircraft blobs."""
+def _write_split(root: Path, split: str, n: int, w: int, h: int, seed: int):
     import cv2
 
     rng = np.random.default_rng(seed)
-    (root / "images/train").mkdir(parents=True, exist_ok=True)
-    (root / "labels/train").mkdir(parents=True, exist_ok=True)
-    for i in range(n_train):
+    (root / f"images/{split}").mkdir(parents=True, exist_ok=True)
+    (root / f"labels/{split}").mkdir(parents=True, exist_ok=True)
+    for i in range(n):
         bg = rng.normal(30, 10, (h // 16, w // 16)).astype(np.float32)
         img = cv2.resize(bg, (w, h), interpolation=cv2.INTER_CUBIC)
         img += rng.normal(0, 2, (h, w))
@@ -40,29 +39,49 @@ def make_dataset(root: Path, n_train: int = 64, w: int = 640, h: int = 512, seed
             img += amp * np.exp(-(((xx - cx * w) ** 2 + (yy - cy * h) ** 2) / (2 * r**2)))
             bw, bh = (4 * r) / w, (4 * r) / h
             lines.append(f"0 {cx:.4f} {cy:.4f} {bw:.4f} {bh:.4f}")
-        cv2.imwrite(str(root / f"images/train/{i}.png"), np.clip(img, 0, 255).astype(np.uint8))
-        (root / f"labels/train/{i}.txt").write_text("\n".join(lines) + "\n")
-    (root / "dataset.yaml").write_text(f"path: {root}\ntrain: images/train\nval: images/train\nnames:\n  0: aircraft\n")
+        cv2.imwrite(str(root / f"images/{split}/{i}.png"), np.clip(img, 0, 255).astype(np.uint8))
+        (root / f"labels/{split}/{i}.txt").write_text("\n".join(lines) + "\n")
+
+
+def make_dataset(root: Path, n_train: int = 64, n_val: int = 32, w: int = 640, h: int = 512, seed: int = 0):
+    """Synthetic IR set: smooth cloudy background + 1-3 small bright aircraft
+    blobs. Train and a HELD-OUT val split from disjoint seeds — the reported
+    mAP is generalization, not memorization (the reference's 0.9944 is a real
+    val split, ref small_target_detection/yolov8_small_aircraft/results.csv)."""
+    _write_split(root, "train", n_train, w, h, seed)
+    _write_split(root, "val", n_val, w, h, seed + 10_000)
+    (root / "dataset.yaml").write_text(
+        f"path: {root}\ntrain: images/train\nval: images/val\nnames:\n  0: aircraft\n"
+    )
     return root / "dataset.yaml"
 
 
-def make_clip(n_frames: int, w: int = 640, h: int = 512, seed: int = 7):
-    """Moving target over the same background statistics, with an occlusion gap."""
+def make_clip(n_frames: int, w: int = 640, h: int = 512, seed: int = 7,
+              visible: int = 10, occluded: int = 50):
+    """Single moving target with PERIODIC cloud occlusions.
+
+    The reference demo clip's profile (ref README.md:177-182): 3612 frames,
+    600 detected (16.6%) / 3000 predicted (83.4%), 119 state switches — i.e.
+    short detection bursts between long coasting stretches. A repeating
+    10-visible / 50-occluded cycle reproduces that regime: ~n/60 cycles, two
+    detected↔predicted switches per cycle, ~n/6 detected frames.
+    """
     import cv2
 
     rng = np.random.default_rng(seed)
     bg = cv2.resize(rng.normal(30, 10, (h // 16, w // 16)).astype(np.float32), (w, h), interpolation=cv2.INTER_CUBIC)
     frames = np.empty((n_frames, h, w, 1), np.uint8)
-    gap = (int(n_frames * 0.33), int(n_frames * 0.41))  # ~8% occlusion window
+    cycle = visible + occluded
     yy, xx = np.mgrid[0:h, 0:w]
     for f in range(n_frames):
         img = bg + rng.normal(0, 2, (h, w))
-        cx = 40 + (w - 80) * (f / n_frames)
-        cy = h / 2 + 60 * np.sin(f / 90)
-        if not (gap[0] <= f < gap[1]):
+        # slow crossing + weave, bounded inside the frame for the whole clip
+        cx = 40 + (w - 80) * (0.5 + 0.5 * np.sin(f / 700))
+        cy = h / 2 + 100 * np.sin(f / 160)
+        if (f % cycle) < visible:
             img = img + 170 * np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * 4.0**2)))
         frames[f, :, :, 0] = np.clip(img, 0, 255).astype(np.uint8)
-    return frames, gap
+    return frames, {"cycle_visible": visible, "cycle_occluded": occluded}
 
 
 def main():
@@ -87,11 +106,12 @@ def main():
     train_time = time.time() - t0
     print(f"TRAIN DONE in {train_time/60:.1f} min: {metrics}")
 
-    # 2) fused detect+track on an occlusion clip with the trained weights
+    # 2) fused detect+track on a reference-scale occlusion clip (3612 frames,
+    # periodic cloud cover → the reference demo's detected/predicted regime)
     det_model = model.model
     params = det_model.fuse(model.params)
-    n_frames = int(os.getenv("DEMO_FRAMES", "1024"))
-    clip, gap = make_clip(n_frames)
+    n_frames = int(os.getenv("DEMO_FRAMES", "3612"))
+    clip, occl = make_clip(n_frames)
     ft = FusedDetectTrack(det_model, params, frame_hw=(512, 640), channels=1, chunk=128,
                           conf=0.15, iou=0.6, max_lost_frames=150, min_hits=1, iou_threshold=0.1)
     ft.process_chunk(clip[:128])  # compile
@@ -101,18 +121,26 @@ def main():
     _, stats = ft.run_clip(clip[:n_used])
     fps = n_used / (time.time() - t0)
 
+    # side-by-side with the reference's recorded demo clip (ref README.md:177-182)
+    ref = {"frames": 3612, "detection_frames": 600, "prediction_frames": 3000, "state_changes": 119}
     report = {
-        "train_metrics": metrics,
+        "train_metrics_heldout_val": metrics,
         "train_minutes": round(train_time / 60, 2),
         "clip_frames": n_used,
-        "occlusion_window": list(gap),
+        "occlusion_pattern": occl,
         "track_stats": stats,
+        "reference_clip_stats": ref,
+        "detected_pct": round(100 * stats["detection_frames"] / max(stats["frames"], 1), 1),
+        "predicted_pct": round(100 * stats["prediction_frames"] / max(stats["frames"], 1), 1),
+        "reference_detected_pct": 16.6,
+        "reference_predicted_pct": 83.4,
         "detect_track_fps": round(fps, 1),
     }
     (OUT / "demo_report.json").write_text(json.dumps(report, indent=2, default=float))
     print(json.dumps(report, indent=2, default=float))
-    assert metrics["mAP50"] > 0.5, "detector failed to learn the synthetic IR targets"
-    assert stats["detection_frames"] > 0 and stats["prediction_frames"] > 0, "tracking must coast the occlusion"
+    assert metrics["mAP50"] > 0.5, "detector failed to generalize to the held-out val split"
+    assert stats["detection_frames"] > 0 and stats["prediction_frames"] > 0, "tracking must coast the occlusions"
+    assert stats["state_changes"] >= 20, f"occlusion-rich clip must exercise state switching, got {stats['state_changes']}"
     print("IR END-TO-END DEMO OK")
 
 
