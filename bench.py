@@ -88,7 +88,11 @@ def main():
     clip = make_clip(n_frames, h, w)
     frames_used = (n_frames // chunk) * chunk
 
-    # warmup/compile on the first chunk, then reset tracking state
+    # warmup/compile on the first chunk, twice: the first call compiles, the
+    # second pays the one-time executable-staging cost through this
+    # environment's relay (measured ~3.5 s once per program — it otherwise
+    # lands inside the first timed chunk). Then reset tracking state.
+    ft.process_chunk(clip[:chunk])
     ft.process_chunk(clip[:chunk])
     ft.reset()
 
@@ -131,6 +135,54 @@ def main():
     )
     dev_fps_int8 = measure_device_fps(ft8)
 
+    # --- stage split (VERDICT r2 next#1): forward vs +NMS vs full fused ---
+    # Same folded params / frame geometry as the fused program; tiny-reduction
+    # outputs so nothing big crosses the tunnel. demos/roofline.py carries the
+    # full per-layer/MFU/HBM analysis; this keeps the headline split in the
+    # recorded bench JSON.
+    import jax.numpy as jnp
+
+    from yolo_tpu.ops.nms import non_max_suppression
+
+    bdtype = jnp.bfloat16
+
+    @jax.jit
+    def _fwd_only(p, frames):
+        x = frames.astype(bdtype) / 255.0
+        return model.predict(p, x, dtype=bdtype).sum()
+
+    @jax.jit
+    def _fwd_nms(p, frames):
+        x = frames.astype(bdtype) / 255.0
+        preds = model.predict(p, x, dtype=bdtype)
+        det = non_max_suppression(preds, conf_thres=0.15, iou_thres=0.6, max_det=16, max_nms=256)
+        return det["boxes"].sum() + det["scores"].sum()
+
+    def _time_stage(fn):
+        r = fn(ft.params, bufs[0])
+        _ = float(np.asarray(r))  # compile + real barrier
+        t0 = time.perf_counter()
+        for b in bufs:
+            r = fn(ft.params, b)
+        _ = float(np.asarray(r))
+        return (time.perf_counter() - t0) / n_dev_chunks * 1e3
+
+    ms_fwd = _time_stage(_fwd_only)
+    ms_fwd_nms = _time_stage(_fwd_nms)
+    ms_full = chunk / dev_fps * 1e3
+
+    # --- sharding-overhead control: same fused program through an explicit
+    # 1-device mesh (VERDICT r2 next#5) ---
+    from jax.sharding import Mesh
+
+    mesh1 = Mesh(np.array(jax.devices()[:1]), ("batch",))
+    ftm = FusedDetectTrack(
+        model, params, frame_hw=(h, w), channels=1, chunk=chunk,
+        conf=0.15, iou=0.6, max_lost_frames=150, min_hits=1, iou_threshold=0.1,
+        n_max=64, d_max=16, mesh=mesh1,
+    )
+    dev_fps_mesh1 = measure_device_fps(ftm)
+
     # --- transport: measured H2D bandwidth → fps ceiling from upload alone ---
     # pipelined the same way run_clip uploads (issue all puts, one barrier at
     # the end): a barrier between puts serializes the tunnel and under-reports
@@ -160,6 +212,16 @@ def main():
                 "h2d_MBps": round(max(h2d, h2d_eff), 1),
                 "transport_ceiling_fps": round(transport_ceiling, 1),
                 "frames": frames_used,
+                # stage split of the fused program (ms per chunk): model
+                # forward, decode+NMS delta, Kalman-scan+stats+pack delta
+                "stage_ms_forward": round(ms_fwd, 1),
+                "stage_ms_nms": round(ms_fwd_nms - ms_fwd, 1),
+                "stage_ms_scan": round(ms_full - ms_fwd_nms, 1),
+                # roofline: the forward is HBM-bandwidth-bound (measured 64%
+                # of v5e's 819 GB/s at 15.7% MFU before the bf16-epilogue fix;
+                # see demos/roofline.py for the full analysis)
+                "device_fps_mesh1": round(dev_fps_mesh1, 2),
+                "mesh1_overhead_pct": round((dev_fps / dev_fps_mesh1 - 1) * 100, 1),
             }
         )
     )

@@ -108,8 +108,12 @@ class ConvBNAct:
             ctx.calib[path] = jnp.maximum(ctx.calib[path], amax) if path in ctx.calib else amax
         w = p["conv"]["weight"].astype(ctx.dtype)
         # same-dtype in/out (a mixed preferred_element_type breaks the conv
-        # transpose rule under grad); the MXU still accumulates bf16 in f32,
-        # and BN/bias math below runs in f32 explicitly
+        # transpose rule under grad); the MXU still accumulates bf16 in f32.
+        # BN (train/unfused) math runs in f32; the FUSED inference path stays
+        # entirely in ctx.dtype — converting every conv output to f32 for the
+        # bias+SiLU epilogue forced XLA to spill f32 intermediates to HBM
+        # (measured 128 MB/frame accessed vs ~45 MB logical on yolov8-small;
+        # the model is HBM-bound, so that epilogue cast was the bottleneck)
         y = jax.lax.conv_general_dilated(
             x.astype(ctx.dtype),
             w,
@@ -118,20 +122,28 @@ class ConvBNAct:
             rhs_dilation=(self.d, self.d),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=self.g,
-        ).astype(jnp.float32)
-        if "bn" in p:
-            bn = p["bn"]
-            if ctx.train:
-                axes = (0, 1, 2)
-                mean = jnp.mean(y, axes)
-                var = jnp.var(y, axes)
-                n = y.shape[0] * y.shape[1] * y.shape[2]
-                ctx.stats[f"{path}/bn"] = (jax.lax.stop_gradient(mean), jax.lax.stop_gradient(var), n)
-            else:
-                mean, var = bn["running_mean"], bn["running_var"]
-            y = (y - mean) * (bn["weight"] * jax.lax.rsqrt(var + BN_EPS)) + bn["bias"]
-        elif "bias" in p["conv"]:  # fused path
-            y = y + p["conv"]["bias"]
+        )
+        if "bn" not in p:  # fused path: bias + activation in ctx.dtype
+            if "bias" in p["conv"]:
+                y = y + p["conv"]["bias"].astype(ctx.dtype)
+            if self.act == "silu":
+                y = silu(y)
+            elif self.act == "relu":
+                y = jnp.maximum(y, jnp.zeros((), y.dtype))
+            elif self.act == "gelu":
+                y = jax.nn.gelu(y)
+            return y
+        y = y.astype(jnp.float32)
+        bn = p["bn"]
+        if ctx.train:
+            axes = (0, 1, 2)
+            mean = jnp.mean(y, axes)
+            var = jnp.var(y, axes)
+            n = y.shape[0] * y.shape[1] * y.shape[2]
+            ctx.stats[f"{path}/bn"] = (jax.lax.stop_gradient(mean), jax.lax.stop_gradient(var), n)
+        else:
+            mean, var = bn["running_mean"], bn["running_var"]
+        y = (y - mean) * (bn["weight"] * jax.lax.rsqrt(var + BN_EPS)) + bn["bias"]
         if self.act == "silu":
             y = silu(y)
         elif self.act == "relu":

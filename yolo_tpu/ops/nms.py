@@ -57,20 +57,25 @@ def nms_fixed(boxes, scores, iou_threshold: float, max_det: int):
     order = jnp.argsort(-scores)
     b = boxes[order]
     s = scores[order]
-    iou = box_iou(b, b)
     col = jax.lax.broadcasted_iota(jnp.int32, (K,), 0)
 
-    def body(i, suppressed):
-        row = (iou[i] > iou_threshold) & (col > i)
-        alive = jnp.logical_not(suppressed[i])
-        return jnp.where(alive, suppressed | row, suppressed)
+    # Iterative select-max: only max_det sequential steps (vs K for the
+    # classic row sweep) and no K×K IoU matrix — each step computes one
+    # (K,) IoU row against the freshly selected box. Identical keep-set to
+    # greedy score-order NMS: the argmax over unsuppressed sorted scores IS
+    # the next box the classic sweep would keep.
+    def body(suppressed, _):
+        ms = jnp.where(suppressed, -1.0, s)
+        j = jnp.argmax(ms)
+        valid = ms[j] > 0
+        row = box_iou(b[j][None], b)[0] > iou_threshold  # includes j itself
+        suppressed = suppressed | (row & valid) | (col == j)
+        return suppressed, (j, valid)
 
-    suppressed = jax.lax.fori_loop(0, K, body, jnp.zeros((K,), dtype=bool))
-    keep = jnp.logical_not(suppressed) & (s > 0)
-    ranked = jnp.where(keep, s, -1.0)
-    sel = jnp.argsort(-ranked)[:max_det]
+    _, (sel, keep_valid) = jax.lax.scan(
+        body, jnp.zeros((K,), dtype=bool), None, length=max_det
+    )
     keep_idx = order[sel]
-    keep_valid = ranked[sel] > 0
     return keep_idx, keep_valid
 
 

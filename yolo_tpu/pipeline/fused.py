@@ -85,6 +85,7 @@ class FusedDetectTrack:
         dtype=None,
         int8: bool = False,
         int8_calib=None,
+        mesh=None,
     ):
         import jax
         import jax.numpy as jnp
@@ -188,7 +189,25 @@ class FusedDetectTrack:
             )
             return track_state, stats, packed
 
-        self._fused = jax.jit(fused, donate_argnums=(1, 2))
+        if mesh is not None:
+            # explicit shardings (frames batch-sharded, everything else
+            # replicated). With a 1-device mesh this is the sharding-overhead
+            # control bench.py reports; multi-device stream layouts live in
+            # parallel/streams.py (the scan carry is sequential in T, so
+            # sharding T over devices is not the scaling story here).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(mesh, P())
+            bsh = NamedSharding(mesh, P("batch"))
+            state_sh = jax.tree_util.tree_map(lambda _: repl, init_state(n_max))
+            stats_sh = jax.tree_util.tree_map(lambda _: repl, init_stats(n_max))
+            self._fused = jax.jit(
+                fused, donate_argnums=(1, 2),
+                in_shardings=(repl, state_sh, stats_sh, bsh),
+                out_shardings=(state_sh, stats_sh, bsh),
+            )
+        else:
+            self._fused = jax.jit(fused, donate_argnums=(1, 2))
         # stage params in HBM once — otherwise every chunk re-uploads the whole
         # parameter tree through the (slow) host link, dwarfing the frame upload
         self.params = jax.device_put(params)

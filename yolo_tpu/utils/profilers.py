@@ -135,23 +135,33 @@ def profile_per_layer(model, params, imgsz=640, batch: int = 1, dtype=None, n: i
             gflops = float(cost.get("flops", 0.0)) / 1e9
         except Exception:
             gflops = 0.0
+        def sync(res):
+            # block_until_ready is not a true barrier through a tunneled
+            # transport — downloading one element is
+            leaf = jax.tree_util.tree_leaves(res)[0]
+            return np.asarray(leaf.ravel()[0])
+
         r = fn(lp, x_in)  # compile + warm
-        jax.block_until_ready(r)
+        sync(r)
+        r = fn(lp, x_in)
+        sync(r)
         t0 = time.perf_counter()
         for _ in range(n):
             r = fn(lp, x_in)
-        jax.block_until_ready(r)
+        sync(r)
         ms = (time.perf_counter() - t0) / n * 1e3
         n_par = sum(int(np.prod(np.shape(a))) for a in jax.tree_util.tree_leaves(lp))
         row = {"i": spec.i, "type": spec.type, "ms": round(ms, 3), "gflops": round(gflops, 3), "params": n_par}
         if roofline:
             peak_tflops, peak_gbps = roofline
             mbytes = (_leaf_bytes(x_in) + _leaf_bytes(r) + n_par * dt_size) / 1e6
-            bound_ms = max(gflops / peak_tflops, mbytes / 1e3 / peak_gbps) * 1e3
+            # GF / (TF/s) = ms;  MB / (GB/s) = ms
+            flops_ms = gflops / peak_tflops
+            bw_ms = mbytes / peak_gbps
             row.update({
                 "mbytes": round(mbytes, 2),
-                "bound_ms": round(bound_ms, 3),
-                "bound_by": "flops" if gflops / peak_tflops >= mbytes / 1e3 / peak_gbps else "bw",
+                "bound_ms": round(max(flops_ms, bw_ms), 4),
+                "bound_by": "flops" if flops_ms >= bw_ms else "bw",
             })
         rows.append(row)
     if verbose:
