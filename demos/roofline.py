@@ -100,11 +100,14 @@ def main():
         state, stats, packed = ft._fused(p, state, stats, frames)
         return packed
 
-    # full fused: donated state/stats → re-init each call outside the timer
+    # full fused: donated state/stats → re-init each call outside the timer.
+    # Warm TWICE — the second call pays a one-time executable-staging cost
+    # through this environment's relay (~3.5 s once per program).
     ft.reset()
     st, sa = ft.state, ft.stats
-    st, sa, packed = ft._fused(p_dev, st, sa, dev_frames)
-    jax.block_until_ready(packed)
+    for _ in range(2):
+        st, sa, packed = ft._fused(p_dev, st, sa, dev_frames)
+        _ = np.asarray(packed[0, 0, 0])  # real barrier
     t0 = time.perf_counter()
     for _ in range(reps):
         st, sa, packed = ft._fused(p_dev, st, sa, dev_frames)

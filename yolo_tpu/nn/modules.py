@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field
-from typing import Any
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -63,6 +63,50 @@ def silu(x):
 
 
 # ---------------------------------------------------------------------------
+# int8-resident activation flow (PTQ inference, nn/quantize.py)
+#
+# When calibration attached per-conv OUTPUT scales (y_scale), quantized convs
+# return a QTensor — int8 payload + f32 scale — and downstream modules keep
+# the activation in int8 through concat/split/upsample/maxpool, so HBM moves
+# 1 byte/element instead of 2 (bf16). The forward is HBM-bandwidth-bound on
+# v5e (measured 71% of peak at bf16), so byte halving is the perf lever; the
+# int8 MXU's 2x MAC rate comes along for free. Any module without an int8
+# path just dequantizes (deq) — correctness never depends on coverage.
+# ---------------------------------------------------------------------------
+
+
+class QTensor(NamedTuple):
+    q: Any  # int8 array, NHWC
+    s: Any  # f32 scalar scale: x ≈ q * s
+
+
+def deq(x, dtype):
+    """QTensor → dense array in `dtype`; passthrough for plain arrays."""
+    if isinstance(x, QTensor):
+        return x.q.astype(dtype) * x.s.astype(dtype)
+    return x
+
+
+def qconcat(xs, dtype):
+    """Channel-concat a mix of QTensors/arrays.
+
+    All-QTensor inputs stay int8: everything is rescaled (int8→int8, ≤0.5 LSB
+    error) to the max input scale so the result has one scale. Mixed inputs
+    dequantize to `dtype`.
+    """
+    if all(isinstance(x, QTensor) for x in xs) and len(xs) > 0:
+        s = xs[0].s
+        for x in xs[1:]:
+            s = jnp.maximum(s, x.s)
+        parts = []
+        for x in xs:
+            r = (x.s / s).astype(jnp.bfloat16)
+            parts.append(jnp.clip(jnp.round(x.q.astype(jnp.bfloat16) * r), -127, 127).astype(jnp.int8))
+        return QTensor(jnp.concatenate(parts, axis=-1), s)
+    return jnp.concatenate([deq(x, dtype) for x in xs], axis=-1)
+
+
+# ---------------------------------------------------------------------------
 # Primitive layers
 # ---------------------------------------------------------------------------
 
@@ -103,6 +147,7 @@ class ConvBNAct:
     def __call__(self, p, x, ctx: Ctx, path: str = ""):
         if "w_int8" in p["conv"]:  # PTQ path (nn/quantize.py): int8 MXU conv
             return self._call_int8(p, x, ctx)
+        x = deq(x, ctx.dtype)  # a quantized producer may feed a float conv
         if ctx.calib is not None:  # PTQ calibration: record max |input| per conv
             amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
             ctx.calib[path] = jnp.maximum(ctx.calib[path], amax) if path in ctx.calib else amax
@@ -132,6 +177,10 @@ class ConvBNAct:
                 y = jnp.maximum(y, jnp.zeros((), y.dtype))
             elif self.act == "gelu":
                 y = jax.nn.gelu(y)
+            if ctx.calib is not None:  # output amax → int8-flow y_scale
+                amax_o = jnp.max(jnp.abs(y.astype(jnp.float32)))
+                key = f"OUT::{path}"
+                ctx.calib[key] = jnp.maximum(ctx.calib[key], amax_o) if key in ctx.calib else amax_o
             return y
         y = y.astype(jnp.float32)
         bn = p["bn"]
@@ -153,25 +202,32 @@ class ConvBNAct:
         return y.astype(ctx.dtype)
 
     def _call_int8(self, p, x, ctx: Ctx):
-        """Post-training-quantized conv: dynamic per-tensor activation int8 +
-        per-output-channel int8 weights on the MXU's int8 path (2x the bf16
-        MAC rate on v5e; measured 1.56x on 3x3x256x256). Dequantization and
-        the activation run in f32."""
-        xs = p["conv"].get("x_scale")
-        if xs is not None:
-            # static calibrated scale: no per-call max reduction, and the
-            # quantize pass runs in bf16 (integers ≤ 256 are exact in bf16;
-            # the ~0.4% division error is far below the ±0.5 LSB quant noise)
-            # — half the HBM traffic of the f32 pass
-            sx = xs
-            inv = (1.0 / jnp.asarray(sx, jnp.float32)).astype(jnp.bfloat16)
-            xq = jnp.clip(jnp.round(x.astype(jnp.bfloat16) * inv), -127, 127).astype(jnp.int8)
+        """Post-training-quantized conv: int8 activations × per-output-channel
+        int8 weights on the MXU's int8 path (2x the bf16 MAC rate on v5e).
+
+        Input: a QTensor rides straight into the conv (no quantize pass at
+        all); a dense array is quantized with the calibrated static x_scale
+        (or a dynamic per-tensor max as last resort). Output: with a
+        calibrated y_scale the dequant+bias+act epilogue requantizes in one
+        fused pass and returns a QTensor — activations stay int8 in HBM
+        end-to-end through the backbone/neck (see QTensor above)."""
+        if isinstance(x, QTensor):
+            xq, sx = x.q, x.s
         else:
-            # dynamic activation scale: symmetric per-tensor
-            x = x.astype(jnp.float32)
-            ax = jnp.maximum(jnp.max(jnp.abs(x)), 1e-8)
-            sx = ax / 127.0
-            xq = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+            xs = p["conv"].get("x_scale")
+            if xs is not None:
+                # static calibrated scale: no per-call max reduction; bf16
+                # quantize pass (integers ≤ 256 exact in bf16; ~0.4% division
+                # error ≪ ±0.5 LSB quant noise)
+                sx = xs
+                inv = (1.0 / jnp.asarray(sx, jnp.float32)).astype(jnp.bfloat16)
+                xq = jnp.clip(jnp.round(x.astype(jnp.bfloat16) * inv), -127, 127).astype(jnp.int8)
+            else:
+                # dynamic activation scale: symmetric per-tensor
+                x = x.astype(jnp.float32)
+                ax = jnp.maximum(jnp.max(jnp.abs(x)), 1e-8)
+                sx = ax / 127.0
+                xq = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
         y = jax.lax.conv_general_dilated(
             xq,
             p["conv"]["w_int8"],
@@ -189,6 +245,11 @@ class ConvBNAct:
             y = jnp.maximum(y, 0.0)
         elif self.act == "gelu":
             y = jax.nn.gelu(y)
+        ys = p["conv"].get("y_scale")
+        if ys is not None:
+            s_out = jnp.asarray(ys, jnp.float32)
+            q = jnp.clip(jnp.round(y / s_out), -127, 127).astype(jnp.int8)
+            return QTensor(q, s_out)
         return y.astype(ctx.dtype)
 
     def fuse(self, p):
@@ -230,7 +291,7 @@ class Conv2d:
 
     def __call__(self, p, x, ctx: Ctx, path: str = ""):
         y = jax.lax.conv_general_dilated(
-            x.astype(ctx.dtype),
+            deq(x, ctx.dtype).astype(ctx.dtype),
             p["weight"].astype(ctx.dtype),
             window_strides=(self.s, self.s),
             padding=[(self.p, self.p), (self.p, self.p)],
@@ -261,7 +322,13 @@ class Bottleneck:
 
     def __call__(self, p, x, ctx, path=""):
         y = self.cv2(p["cv2"], self.cv1(p["cv1"], x, ctx, f"{path}/cv1"), ctx, f"{path}/cv2")
-        return x + y if self.add else y
+        if not self.add:
+            return y
+        if isinstance(x, QTensor) or isinstance(y, QTensor):
+            # residual add across two int8 scales → dense; the consumer conv
+            # re-quantizes with its own calibrated x_scale
+            return deq(x, ctx.dtype) + deq(y, ctx.dtype)
+        return x + y
 
 
 class C2f:
@@ -283,10 +350,13 @@ class C2f:
 
     def __call__(self, p, x, ctx, path=""):
         y = self.cv1(p["cv1"], x, ctx, f"{path}/cv1")
-        parts = [y[..., : self.c], y[..., self.c :]]
+        if isinstance(y, QTensor):  # int8-resident split (same scale both halves)
+            parts = [QTensor(y.q[..., : self.c], y.s), QTensor(y.q[..., self.c :], y.s)]
+        else:
+            parts = [y[..., : self.c], y[..., self.c :]]
         for i, m in enumerate(self.m):
             parts.append(m(p["m"][str(i)], parts[-1], ctx, f"{path}/m/{i}"))
-        return self.cv2(p["cv2"], jnp.concatenate(parts, axis=-1), ctx, f"{path}/cv2")
+        return self.cv2(p["cv2"], qconcat(parts, ctx.dtype), ctx, f"{path}/cv2")
 
 
 class SPPF:
@@ -310,8 +380,19 @@ class SPPF:
     def __call__(self, p, x, ctx, path=""):
         y = [self.cv1(p["cv1"], x, ctx, f"{path}/cv1")]
         for _ in range(3):
-            y.append(self._pool(y[-1]))
-        return self.cv2(p["cv2"], jnp.concatenate(y, axis=-1), ctx, f"{path}/cv2")
+            last = y[-1]
+            if isinstance(last, QTensor):  # max is monotone in q — pool int8
+                y.append(QTensor(self._pool_int8(last.q), last.s))
+            else:
+                y.append(self._pool(last))
+        return self.cv2(p["cv2"], qconcat(y, ctx.dtype), ctx, f"{path}/cv2")
+
+    def _pool_int8(self, q):
+        pad = self.k // 2
+        return jax.lax.reduce_window(
+            q, jnp.int8(jnp.iinfo(jnp.int8).min), jax.lax.max, (1, self.k, self.k, 1), (1, 1, 1, 1),
+            [(0, 0), (pad, pad), (pad, pad), (0, 0)]
+        )
 
 
 class Concat:
@@ -324,7 +405,7 @@ class Concat:
         return {}
 
     def __call__(self, p, xs, ctx, path=""):
-        return jnp.concatenate(xs, axis=-1)
+        return qconcat(xs, ctx.dtype)
 
 
 class Upsample:
@@ -338,6 +419,11 @@ class Upsample:
         return {}
 
     def __call__(self, p, x, ctx, path=""):
+        if isinstance(x, QTensor):  # nearest replication is scale-invariant
+            return QTensor(self._up(x.q), x.s)
+        return self._up(x)
+
+    def _up(self, x):
         b, h, w, c = x.shape
         s = self.scale
         return jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, s, w, s, c)).reshape(b, h * s, w * s, c)

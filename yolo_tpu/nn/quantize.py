@@ -61,10 +61,13 @@ def calibrate_act_scales(model, params, imgs, dtype=None):
         return ctx.calib
 
     amax = jax.jit(run)(params, imgs)
+    # module paths carry input scales; "OUT::<path>" keys carry output scales
+    # (post-activation amax), consumed as per-conv y_scale for the
+    # int8-resident activation flow (modules.QTensor)
     return {k: float(np.asarray(v)) / 127.0 for k, v in amax.items()}
 
 
-def quantize_params(params, min_channels: int = 16, act_scales: dict | None = None):
+def quantize_params(params, min_channels: int = 16, act_scales: dict | None = None, int8_flow: bool = True):
     """Walk the param tree; every fused ConvBNAct leaf ({'conv': {weight, bias}}
     without 'bn') becomes an int8 conv. Layers with fewer than `min_channels`
     output channels stay f32 (their quantization error is large relative to
@@ -72,7 +75,12 @@ def quantize_params(params, min_channels: int = 16, act_scales: dict | None = No
 
     Run `model.fuse(params)` first: BN must already be folded. With
     `act_scales` (from calibrate_act_scales) each conv also gets a static
-    `x_scale`, eliminating the dynamic per-call activation-max reduction.
+    `x_scale`, eliminating the dynamic per-call activation-max reduction, AND
+    a `y_scale` (from the calibrated output amax, the `OUT::` keys) that
+    switches the conv to EMIT int8 — the int8-resident activation flow
+    (modules.QTensor): activations live in HBM as 1 byte/element through
+    concat/split/upsample/maxpool, halving the traffic of the HBM-bound
+    forward. Disable with int8_flow=False to keep bf16 activations.
     """
 
     def walk(node, path=""):
@@ -85,6 +93,8 @@ def quantize_params(params, min_channels: int = 16, act_scales: dict | None = No
                 out["conv"] = _quantize_conv(node["conv"])
                 if act_scales and path in act_scales:
                     out["conv"]["x_scale"] = np.float32(max(act_scales[path], 1e-12))
+                if int8_flow and act_scales and f"OUT::{path}" in act_scales:
+                    out["conv"]["y_scale"] = np.float32(max(act_scales[f"OUT::{path}"], 1e-12))
                 return out
         return {k: walk(v, f"{path}/{k}" if path else str(k)) for k, v in node.items()}
 

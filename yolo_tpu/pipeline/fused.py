@@ -92,29 +92,16 @@ class FusedDetectTrack:
 
         from yolo_tpu.ops.nms import non_max_suppression
 
-        if int8:  # PTQ conv path (nn/quantize.py) — params must be fused
-            from yolo_tpu.nn.quantize import calibrate_act_scales, quantize_params
-
-            scales = None
-            if int8_calib is not None:
-                # static activation scales from a representative frame batch
-                # (uint8 (B, H, W, C)) — removes the per-conv dynamic max
-                # reduction from the hot path
-                import numpy as _np
-
-                cal = _np.asarray(int8_calib).astype(_np.float32) / 255.0
-                if cal.shape[-1] == 1:
-                    cal = _np.broadcast_to(cal, cal.shape[:-1] + (3,))
-                scales = calibrate_act_scales(model, params, jnp.asarray(cal))
-            params = quantize_params(params, act_scales=scales)
-        if channels == 1 and not int8:
+        if channels == 1:
             # grayscale stem fold: conv(broadcast(x, 3ch), W) == conv(x, sum_c W)
             # exactly — frames stay single-channel end to end (no 3x broadcast
-            # materialization in HBM)
+            # materialization in HBM). Runs BEFORE quantization so the int8
+            # path folds float weights (summing already-quantized int8 rows
+            # could overflow ±127).
             import numpy as np
 
             stem = params["model"]["0"]["conv"]
-            if np.asarray(stem["weight"]).shape[2] == 3:
+            if "weight" in stem and np.asarray(stem["weight"]).shape[2] == 3:
                 params = dict(params)
                 params["model"] = dict(params["model"])
                 # keep sibling groups (an unfused stem still carries "bn")
@@ -122,6 +109,25 @@ class FusedDetectTrack:
                     **params["model"]["0"],
                     "conv": {**stem, "weight": np.asarray(stem["weight"]).sum(axis=2, keepdims=True)},
                 }
+        if int8:  # PTQ conv path (nn/quantize.py) — params must be fused
+            from yolo_tpu.nn.quantize import calibrate_act_scales, quantize_params
+
+            scales = None
+            if int8_calib is not None:
+                # static activation scales from a representative frame batch
+                # (uint8 (B, H, W, C)) — removes the per-conv dynamic max
+                # reduction from the hot path. Calibrate on the (possibly
+                # gray-folded) params with matching channel count.
+                import numpy as _np
+
+                cal = _np.asarray(int8_calib).astype(_np.float32) / 255.0
+                in_ch = _np.asarray(params["model"]["0"]["conv"]["weight"]).shape[2]
+                if cal.shape[-1] == 1 and in_ch == 3:
+                    cal = _np.broadcast_to(cal, cal.shape[:-1] + (3,))
+                elif cal.shape[-1] == 3 and in_ch == 1:
+                    cal = cal.mean(axis=-1, keepdims=True)
+                scales = calibrate_act_scales(model, params, jnp.asarray(cal))
+            params = quantize_params(params, act_scales=scales)
 
         self.chunk = chunk
         self.d_max = d_max
@@ -130,7 +136,7 @@ class FusedDetectTrack:
         dtype = dtype or jnp.bfloat16
         tracker_step = make_step(n_max, d_max, max_lost_frames, min_hits, iou_threshold)
 
-        gray_folded = channels == 1 and not int8
+        gray_folded = channels == 1
 
         def fused(p, track_state, stats, frames):
             x = frames.astype(dtype) / 255.0
@@ -189,34 +195,44 @@ class FusedDetectTrack:
             )
             return track_state, stats, packed
 
-        if mesh is not None:
-            # explicit shardings (frames batch-sharded, everything else
-            # replicated). With a 1-device mesh this is the sharding-overhead
-            # control bench.py reports; multi-device stream layouts live in
-            # parallel/streams.py (the scan carry is sequential in T, so
-            # sharding T over devices is not the scaling story here).
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            repl = NamedSharding(mesh, P())
-            bsh = NamedSharding(mesh, P("batch"))
-            state_sh = jax.tree_util.tree_map(lambda _: repl, init_state(n_max))
-            stats_sh = jax.tree_util.tree_map(lambda _: repl, init_stats(n_max))
-            self._fused = jax.jit(
-                fused, donate_argnums=(1, 2),
-                in_shardings=(repl, state_sh, stats_sh, bsh),
-                out_shardings=(state_sh, stats_sh, bsh),
-            )
-        else:
-            self._fused = jax.jit(fused, donate_argnums=(1, 2))
+        # Mesh mode: inputs are COMMITTED to the mesh (params/state replicated,
+        # frames batch-sharded) and jit infers the program's shardings from
+        # them — explicit in_/out_shardings here measurably defeat buffer
+        # donation (measured 3901 → 2272 fps on a 1-device mesh). With a
+        # 1-device mesh this is the sharding-overhead control bench.py
+        # reports; multi-device stream layouts live in parallel/streams.py
+        # (the scan carry is sequential in T, so sharding T over devices is
+        # not the scaling story here).
+        self.mesh = mesh
+        self._fused = jax.jit(fused, donate_argnums=(1, 2))
         # stage params in HBM once — otherwise every chunk re-uploads the whole
         # parameter tree through the (slow) host link, dwarfing the frame upload
-        self.params = jax.device_put(params)
-        self.state = init_state(n_max)
-        self.stats = init_stats(n_max)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._repl = NamedSharding(mesh, P())
+            self._batch_sh = NamedSharding(mesh, P("batch"))
+            self.params = jax.device_put(params, self._repl)
+        else:
+            self._repl = self._batch_sh = None
+            self.params = jax.device_put(params)
+        self.state = self._place(init_state(n_max))
+        self.stats = self._place(init_stats(n_max))
+
+    def _place(self, tree):
+        import jax
+
+        return jax.device_put(tree, self._repl) if self._repl is not None else tree
+
+    def put_frames(self, frames):
+        """Stage a frame chunk on the device (batch-sharded when mesh mode)."""
+        import jax
+
+        return jax.device_put(frames, self._batch_sh) if self._batch_sh is not None else jax.device_put(frames)
 
     def reset(self):
-        self.state = init_state(self.n_max)
-        self.stats = init_stats(self.n_max)
+        self.state = self._place(init_state(self.n_max))
+        self.stats = self._place(init_stats(self.n_max))
 
     def process_chunk_device(self, frames: np.ndarray):
         """Dispatch one chunk; returns the packed (T, N, 12) DEVICE buffer
