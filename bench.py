@@ -127,9 +127,9 @@ def main():
         return n_dev_chunks * chunk / (time.perf_counter() - t0)
 
     dev_fps = measure_device_fps(ft)
-    # int8 PTQ variant: device-resident fps with int8 MXU convs and STATIC
-    # calibrated activation scales (nn/quantize.calibrate_act_scales — no
-    # per-conv dynamic max reduction; measured 2747 → 3248 fps vs dynamic)
+    # int8 PTQ variant (now int8-RESIDENT activations, nn/quantize.py): still
+    # reported for the record — at this model's channel widths every int8
+    # flavor loses to bf16 (see quantize.py header), so bf16 is the default
     ft8 = FusedDetectTrack(
         model, params, frame_hw=(h, w), channels=1, chunk=chunk,
         conf=0.15, iou=0.6, max_lost_frames=150, min_hits=1, iou_threshold=0.1,

@@ -3,7 +3,17 @@
 TPU-native perf path with no reference counterpart (the reference reaches
 int8 via per-engine exporters — TensorRT/TFLite/CoreML int8 flags in
 engine/exporter.py); on TPU the int8 MXU path doubles the MAC rate over
-bf16, so quantization is a params-level transform on the SAME graph:
+bf16, so quantization is a params-level transform on the SAME graph.
+
+PERF MEASUREMENT (v5e, yolov8-small-n @640×512, 2026-08-17): at this model's
+channel widths (16-192) every int8 variant LOSES to bf16 on the forward —
+dynamic scales 3833 fps, static scales 4044 fps, int8-resident activations
+(QTensor flow, 1 byte/elt in HBM) 4044 fps, vs bf16 4518 fps. The forward is
+HBM-bound (71% of peak BW), and XLA materializes the conv's int32 accumulator
+before the dequant+SiLU+requant epilogue, so the int8 graph moves MORE bytes
+than bf16's fully-fused conv+SiLU despite the smaller activations. bf16 stays
+the default; this module remains correct + tested for wider-channel models
+where the int8 MXU rate wins (measured 1.56x on 3×3×256×256 convs).
 
   - weights: symmetric per-OUTPUT-CHANNEL int8 (w_int8 HWIO + w_scale (K,)),
     BN folded first;
