@@ -212,7 +212,8 @@ class YOLODataset:
         """Load image i with pixel-space xyxy labels (pre-transform)."""
         import cv2
 
-        img = cv2.imread(self.im_files[i])
+        from yolo_tpu.utils.files import imread
+        img = imread(self.im_files[i])
         if img is None:
             raise FileNotFoundError(self.im_files[i])
         h, w = img.shape[:2]

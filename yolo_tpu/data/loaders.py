@@ -146,7 +146,8 @@ class LoadImagesAndVideos:
                     idx += 1
                 cap.release()
             else:
-                im = cv2.imread(str(f))
+                from yolo_tpu.utils.files import imread
+                im = imread(str(f))
                 if im is None:
                     LOGGER.warning(f"unreadable image {f}")
                     continue

@@ -45,7 +45,8 @@ class ClassificationDataset:
         import cv2
 
         path, cls = self.samples[i]
-        img = cv2.imread(path)
+        from yolo_tpu.utils.files import imread
+        img = imread(path)
         if img is None:
             raise FileNotFoundError(f"unreadable image {path}")
         img = cv2.resize(img, (self.imgsz, self.imgsz), interpolation=cv2.INTER_LINEAR)

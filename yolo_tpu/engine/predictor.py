@@ -20,6 +20,7 @@ from yolo_tpu.engine.results import Results
 from yolo_tpu.ops.boxes import scale_boxes
 from yolo_tpu.ops.letterbox import LetterBox
 from yolo_tpu.utils import LOGGER, Profile
+from yolo_tpu.utils.files import imwrite as _imwrite
 
 IMG_FORMATS = {"bmp", "dng", "jpeg", "jpg", "mpo", "png", "tif", "tiff", "webp", "pfm"}
 VID_FORMATS = {"asf", "avi", "gif", "m4v", "mkv", "mov", "mp4", "mpeg", "mpg", "ts", "wmv", "webm"}
@@ -276,7 +277,7 @@ class BasePredictor:
                     cname = self.names.get(int(r.boxes.cls[j]), str(int(r.boxes.cls[j])))
                     d = self.save_dir / "crops" / str(cname)
                     d.mkdir(parents=True, exist_ok=True)
-                    cv2.imwrite(str(d / f"{stem}_{frame_idx}_{j}.jpg"), r.orig_img[y1:y2, x1:x2])
+                    _imwrite(str(d / f"{stem}_{frame_idx}_{j}.jpg"), r.orig_img[y1:y2, x1:x2])
             if self.args.save:
                 annotated = r.plot(line_width=self.args.line_width, labels=self.args.show_labels)
                 suffix = Path(str(path)).suffix.lower().lstrip(".")
@@ -287,7 +288,7 @@ class BasePredictor:
                         self._vid_writers[path] = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"), 30, (w, h))
                     self._vid_writers[path].write(annotated)
                 else:
-                    cv2.imwrite(str(self.save_dir / f"{stem}.jpg"), annotated)
+                    _imwrite(str(self.save_dir / f"{stem}.jpg"), annotated)
 
     def close(self):
         for w in getattr(self, "_vid_writers", {}).values():

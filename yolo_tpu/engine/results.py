@@ -129,7 +129,8 @@ class Results:
         import cv2
 
         filename = filename or f"results_{Path(self.path).name or 'image.jpg'}"
-        cv2.imwrite(str(filename), self.plot())
+        from yolo_tpu.utils.files import imwrite
+        imwrite(str(filename), self.plot())
         return filename
 
     def save_txt(self, txt_file, save_conf: bool = False):

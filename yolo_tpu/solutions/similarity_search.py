@@ -53,7 +53,8 @@ class VisualAISearch:
         for i in range(0, len(files), self.batch):
             ims = []
             for f in files[i : i + self.batch]:
-                im = cv2.imread(str(f))
+                from yolo_tpu.utils.files import imread
+                im = imread(str(f))
                 if im is None:
                     continue
                 ims.append(im[..., ::-1])  # BGR→RGB

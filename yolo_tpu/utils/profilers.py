@@ -88,6 +88,12 @@ def profile_per_layer(model, params, imgsz=640, batch: int = 1, dtype=None, n: i
     ``bound_ms = max(flops/peak_flops, bytes/peak_bw)`` — the per-layer
     hardware bound that a perfectly-fused kernel could not beat. Summing
     ``bound_ms`` gives an optimistic roofline for the whole forward.
+
+    CAVEAT (tunneled transports): through a remote/relayed device link each
+    per-layer dispatch pays the link's round-trip latency (~11 ms measured on
+    this environment's relay — larger than most layers' compute), so isolated
+    per-layer times are only meaningful with a local PCIe/DMA device. Use the
+    whole-program cost analysis (demos/roofline.py) on relayed setups.
     """
     import time
 
