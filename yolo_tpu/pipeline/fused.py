@@ -248,7 +248,7 @@ class FusedDetectTrack:
         """frames: (T, H, W, C) uint8 with T == chunk → dict of per-frame outputs."""
         return _unpack(np.asarray(self.process_chunk_device(frames)))
 
-    def run_clip(self, clip: np.ndarray, collect_stats: bool = True, collect_outputs: bool = True):
+    def run_clip(self, clip: np.ndarray, collect_stats: bool = True, collect_outputs: bool = True, prefetch: int = 2):
         """Stream a whole clip; returns (outputs list, contract stats).
 
         Every chunk is dispatched asynchronously (one upload, one packed device
@@ -265,12 +265,16 @@ class FusedDetectTrack:
         T = self.chunk
         n_chunks = len(clip) // T
         device_outs = []
+        # prefetch depth k: chunk k+1 uploads while the main thread is inside
+        # the (relay-bound) dispatch of chunk k, and up to `prefetch` chunks
+        # are queued so the upload link never idles on dispatch bookkeeping
+        depth = max(1, prefetch)
         with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
-            nxt = pool.submit(jax.device_put, clip[:T]) if n_chunks else None
+            pending = [pool.submit(jax.device_put, clip[i * T : (i + 1) * T]) for i in range(min(depth, n_chunks))]
             for ci in range(n_chunks):
-                dev = nxt.result()
-                if ci + 1 < n_chunks:
-                    nxt = pool.submit(jax.device_put, clip[(ci + 1) * T : (ci + 2) * T])
+                dev = pending.pop(0).result()
+                if ci + depth < n_chunks:
+                    pending.append(pool.submit(jax.device_put, clip[(ci + depth) * T : (ci + depth + 1) * T]))
                 self.state, self.stats, packed = self._fused(self.params, self.state, self.stats, dev)
                 if collect_outputs:
                     device_outs.append(packed)
