@@ -290,14 +290,19 @@ class Conv2d:
         }
 
     def __call__(self, p, x, ctx: Ctx, path: str = ""):
+        # bias add stays in ctx.dtype: an f32 epilogue here materialized a
+        # full-resolution f32 copy of every head map (same HBM spill the fused
+        # ConvBNAct epilogue had — see the note there); the MXU already
+        # accumulates in f32, and downstream decode re-ups precision where it
+        # matters (dfl_project / dist2bbox run f32)
         y = jax.lax.conv_general_dilated(
             deq(x, ctx.dtype).astype(ctx.dtype),
             p["weight"].astype(ctx.dtype),
             window_strides=(self.s, self.s),
             padding=[(self.p, self.p), (self.p, self.p)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ).astype(jnp.float32)
-        return (y + p["bias"]).astype(ctx.dtype)
+        )
+        return y + p["bias"].astype(ctx.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -503,6 +508,30 @@ class _Seq:
         return self.mods[1](p["1"], x, ctx, f"{path}/1")
 
 
+def dfl_project(box, proj):
+    """DFL expectation: softmax(box) @ arange over the last (reg_max) axis,
+    written as ONE f32-accumulated matmul against [ones, arange] — so the
+    max-sub/exp fuse into the dot's operand and the softmax never
+    materializes. The textbook jax.nn.softmax(...astype(f32)) version was the
+    single largest HBM consumer in the compiled forward: XLA materialized
+    three f32 (B, A, 4, reg_max) tensors (sub/exp, reduce-window sum, div) ≈
+    21 MB/frame at 27200 anchors — more than all conv activations combined
+    (measured on v5e; the forward is bandwidth-bound, see demos/roofline.py).
+
+    box: (..., 4, reg_max) raw bin logits in compute dtype (bf16 in the fused
+    pipeline, f32 in parity tests); returns (..., 4) f32 expected bins.
+    exp stays in the input dtype — its [0, 1] range loses ~0.4% relative in
+    bf16, an order below the upstream bf16 conv noise — while the reduction
+    and the final divide run in f32 (preferred_element_type)."""
+    x = box - jax.lax.stop_gradient(box.max(axis=-1, keepdims=True))
+    e = jnp.exp(x)
+    rhs = jnp.stack([jnp.ones_like(proj), proj], axis=-1).astype(e.dtype)  # (reg_max, 2)
+    nd = jax.lax.dot_general(
+        e, rhs, (((e.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (..., 4, 2): [sum(e), sum(e * proj)]
+    return nd[..., 1] / nd[..., 0]
+
+
 class Detect:
     """Anchor-free detect head with DFL box regression (ref: head.py Detect:26).
 
@@ -583,12 +612,19 @@ class Detect:
         anchors = jnp.asarray(anchors)  # (A, 2)
         strides = jnp.asarray(strides)  # (A, 1)
 
-        flat = jnp.concatenate([o.reshape(o.shape[0], -1, self.no) for o in outs], axis=1)  # (B, A, no)
-        box, cls = flat[..., : self.reg_max * 4], flat[..., self.reg_max * 4 :]
-        # DFL: softmax over bins × arange projection
-        b, a, _ = box.shape
         proj = p["dfl"]["conv"]["weight"].reshape(self.reg_max)
-        dist = jax.nn.softmax(box.reshape(b, a, 4, self.reg_max).astype(jnp.float32), axis=-1) @ proj  # (B, A, 4)
+        # per-level decode: DFL + sigmoid run in each level's own NHWC layout
+        # (concatenating (B, A, no) first forced layout copies of the full
+        # 65-channel map; the per-level outputs here are (B, A_l, 4) / (B,
+        # A_l, nc) — anchors-sized, 16x smaller than the raw map)
+        dists, clss = [], []
+        for o in outs:
+            B, H, W, _ = o.shape
+            box = o[..., : self.reg_max * 4].reshape(B, H * W, 4, self.reg_max)
+            dists.append(dfl_project(box, proj))  # (B, A_l, 4) f32
+            clss.append(o[..., self.reg_max * 4 :].reshape(B, H * W, self.nc))
+        dist = jnp.concatenate(dists, axis=1)  # (B, A, 4)
+        cls = jnp.concatenate(clss, axis=1)
         dbox = dist2bbox(dist, anchors[None], xywh=xywh, axis=-1) * strides[None]
         out = jnp.concatenate([dbox, jax.nn.sigmoid(cls.astype(jnp.float32))], axis=-1)  # (B, A, 4+nc)
         return jnp.swapaxes(out, 1, 2)  # (B, 4+nc, A) — reference output layout
@@ -1260,7 +1296,7 @@ class OBB(Detect):
         flat = jnp.concatenate([o.reshape(B, -1, self.no) for o in det_outs], axis=1)
         box, cls = flat[..., : self.reg_max * 4], flat[..., self.reg_max * 4 :]
         proj = p["dfl"]["conv"]["weight"].reshape(self.reg_max)
-        dist = jax.nn.softmax(box.reshape(B, -1, 4, self.reg_max).astype(jnp.float32), axis=-1) @ proj
+        dist = dfl_project(box.reshape(B, -1, 4, self.reg_max), proj)
         # dist2rbox: rotate the (rb−lt)/2 offset by the angle (ref: tal.py dist2rbox:400)
         lt, rb = dist[..., :2], dist[..., 2:]
         c, s = jnp.cos(angle), jnp.sin(angle)

@@ -358,7 +358,7 @@ class BaseModel:
         rng = np.random.default_rng(seed)
         return {"model": {str(spec.i): spec.module.init(rng) for spec in self.layers}}
 
-    def _walk(self, params, x, ctx: M.Ctx, upto: int | None = None, collect=None):
+    def _walk(self, params, x, ctx: M.Ctx, upto: int | None = None, collect=None, start: int = 0):
         """THE graph walk with skip connections (ref: nn/tasks.py
         _predict_once:159) — single implementation shared by
         forward_features / embed_features / _head_inputs so remat, guide
@@ -366,12 +366,17 @@ class BaseModel:
 
         Negative `from` entries are relative (-1 = previous layer's output held
         in `x`, -2 and below resolve through the save dict, like the reference).
+        `start > 0` enters the graph mid-way with `x` as the layer start-1
+        output (the s2d packed stem computes layers 0..start-1 out-of-graph);
+        valid only when no skipped layer is in the save list.
         Returns (last_out, save_dict, {i: out for i in collect})."""
+        if start:
+            assert not any(i < start for i in self.save), f"layers <{start} are skip sources; cannot start there"
         y = {}
         mp = params["model"]
         out = None
         collected = {}
-        for spec in self.layers if upto is None else self.layers[:upto]:
+        for spec in self.layers[start:upto]:
             f = spec.f
 
             def src(j, x=x, spec=spec):
@@ -475,6 +480,25 @@ class DetectionModel(BaseModel):
         outs = self.forward_features(params, x, ctx)
         if isinstance(self.head, M.v10Detect):
             return outs  # decoded inside the head (eval path)
+        return self.head.decode(params["model"][str(self.layers[-1].i)], outs)
+
+    def predict_s2d(self, params, x, dtype=jnp.float32):
+        """Decoded predictions from a space-to-depth packed input (nn/s2d.py).
+
+        `params` must carry the packed-stem group under "s2d" (fold_stem of the
+        FUSED params) and `x` must be pack_input(frames, r) — float, already
+        normalized. The stem runs as two 2x2/s1 convs on lane-dense layouts and
+        the graph is entered at layer 2 with the standard P2 activation;
+        everything downstream (incl. head decode) is byte-identical to
+        predict(). This is the HBM-traffic fix for the (H, W, 1) -> (H/2, W/2,
+        16) stem whose activations pad the 128-lane layout at 8-128x waste."""
+        from yolo_tpu.nn.s2d import S2D_KEY, stem_apply
+
+        z = stem_apply(params[S2D_KEY], x, dtype, c1=self.layers[1].module.c2)
+        ctx = M.Ctx(train=False, dtype=dtype)
+        outs, _, _ = self._walk(params, z, ctx, start=2)
+        if isinstance(self.head, M.v10Detect):
+            return outs
         return self.head.decode(params["model"][str(self.layers[-1].i)], outs)
 
     def predict_augment(self, params, x, dtype=jnp.float32):

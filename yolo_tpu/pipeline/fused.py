@@ -86,6 +86,7 @@ class FusedDetectTrack:
         int8: bool = False,
         int8_calib=None,
         mesh=None,
+        s2d: int = 0,
     ):
         import jax
         import jax.numpy as jnp
@@ -129,6 +130,16 @@ class FusedDetectTrack:
                 scales = calibrate_act_scales(model, params, jnp.asarray(cal))
             params = quantize_params(params, act_scales=scales)
 
+        if s2d:
+            # space-to-depth stem fold (nn/s2d.py): rewrite the two stride-2
+            # stem convs onto lane-dense packed layouts — the layout-level fix
+            # for the HBM-bound forward's padded small-channel stem traffic
+            assert not int8, "s2d and int8 are mutually exclusive (int8 is retired; see nn/quantize.py)"
+            assert frame_hw[0] % s2d == 0 and frame_hw[1] % s2d == 0, f"frame {frame_hw} not divisible by s2d={s2d}"
+            from yolo_tpu.nn.s2d import fold_stem
+
+            params = {**params, "s2d": fold_stem(params, s2d)}
+        self.s2d = s2d
         self.chunk = chunk
         self.d_max = d_max
         self.n_max = n_max
@@ -139,12 +150,19 @@ class FusedDetectTrack:
         gray_folded = channels == 1
 
         def fused(p, track_state, stats, frames):
-            x = frames.astype(dtype) / 255.0
-            if frames.shape[-1] == 1 and not gray_folded:
-                x = jnp.broadcast_to(x, x.shape[:-1] + (3,))
-            elif frames.shape[-1] != 1:
-                x = x[..., ::-1]  # BGR→RGB
-            preds = model.predict(p, x, dtype=dtype)
+            if s2d:
+                from yolo_tpu.nn.s2d import pack_input
+
+                fr = frames if frames.shape[-1] == 1 else frames[..., ::-1]  # BGR→RGB
+                x = pack_input(fr, s2d).astype(dtype) / 255.0  # pack on uint8, cast on the dense layout
+                preds = model.predict_s2d(p, x, dtype=dtype)
+            else:
+                x = frames.astype(dtype) / 255.0
+                if frames.shape[-1] == 1 and not gray_folded:
+                    x = jnp.broadcast_to(x, x.shape[:-1] + (3,))
+                elif frames.shape[-1] != 1:
+                    x = x[..., ::-1]  # BGR→RGB
+                preds = model.predict(p, x, dtype=dtype)
             det = non_max_suppression(preds, conf_thres=conf, iou_thres=iou, max_det=d_max, max_nms=256)
             det_boxes = det["boxes"]  # (T, d_max, 4)
             det_mask = det["valid"] & (det["scores"] > conf)  # (T, d_max)
