@@ -98,3 +98,23 @@ def test_profile_per_layer_table():
     assert all(r["ms"] >= 0 for r in rows)
     assert sum(r["params"] for r in rows) == model.param_count(params)
     assert any(r["gflops"] > 0 for r in rows)
+
+
+def test_hbm_buffer_table_parses_compiled_executable():
+    """hbm_buffer_table returns physical-size rows from a compiled program
+    (CPU executables carry layouts without TPU tiling — parser must cope)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_tpu.utils.profilers import hbm_buffer_table
+
+    @jax.jit
+    def f(x, w):
+        return jax.nn.softmax(jnp.dot(x, w), axis=-1).sum()
+
+    c = f.lower(jnp.zeros((512, 1024)), jnp.zeros((1024, 512))).compile()
+    rows = hbm_buffer_table(c, top=5, min_mb=0.1)
+    assert rows, "expected at least one >0.1MB instruction"
+    assert rows == sorted(rows, key=lambda r: -r["mb"])
+    for r in rows:
+        assert r["mb"] >= 0.1 and r["dtype"] in ("f32", "bf16") and isinstance(r["shape"], list)

@@ -599,11 +599,14 @@ class Detect:
             outs.append(jnp.concatenate([b, c], axis=-1))
         return outs
 
-    def decode(self, p, outs, img_hw=None, xywh: bool = True):
-        """Fused DFL decode → (B, 4+nc, A) xywh-in-pixels + sigmoid cls.
+    def decode_parts(self, p, outs, xywh: bool = True):
+        """Fused DFL decode → (boxes (B, A, 4) px, scores (B, A, nc) sigmoid).
 
-        Equivalent of Detect._inference (ref: head.py:152) but with anchors as
-        trace-time constants (static shapes on TPU).
+        The anchors-major parts layout is what NMS actually consumes
+        (ops/nms.py); the reference's transposed (B, 4+nc, A) exists only for
+        API parity via `decode`. Keeping the hot path in parts form avoids a
+        swapaxes→re-transpose round trip whose materialization XLA handles
+        badly (measured ~26 ms/512-chunk of layout churn on v5e).
         """
         from yolo_tpu.ops.anchors import dist2bbox, make_anchors
 
@@ -626,7 +629,16 @@ class Detect:
         dist = jnp.concatenate(dists, axis=1)  # (B, A, 4)
         cls = jnp.concatenate(clss, axis=1)
         dbox = dist2bbox(dist, anchors[None], xywh=xywh, axis=-1) * strides[None]
-        out = jnp.concatenate([dbox, jax.nn.sigmoid(cls.astype(jnp.float32))], axis=-1)  # (B, A, 4+nc)
+        return dbox, jax.nn.sigmoid(cls.astype(jnp.float32))
+
+    def decode(self, p, outs, img_hw=None, xywh: bool = True):
+        """Fused DFL decode → (B, 4+nc, A) xywh-in-pixels + sigmoid cls.
+
+        Equivalent of Detect._inference (ref: head.py:152) but with anchors as
+        trace-time constants (static shapes on TPU).
+        """
+        dbox, cls = self.decode_parts(p, outs, xywh=xywh)
+        out = jnp.concatenate([dbox, cls], axis=-1)  # (B, A, 4+nc)
         return jnp.swapaxes(out, 1, 2)  # (B, 4+nc, A) — reference output layout
 
 

@@ -482,7 +482,17 @@ class DetectionModel(BaseModel):
             return outs  # decoded inside the head (eval path)
         return self.head.decode(params["model"][str(self.layers[-1].i)], outs)
 
-    def predict_s2d(self, params, x, dtype=jnp.float32):
+    def predict_parts(self, params, x, dtype=jnp.float32):
+        """Decoded (boxes (B, A, 4) px-xywh, scores (B, A, nc)) — the
+        anchors-major hot path for fused NMS (ops/nms.py
+        non_max_suppression_parts); `predict` wraps the same decode into the
+        reference's transposed (B, 4+nc, A) layout."""
+        ctx = M.Ctx(train=False, dtype=dtype)
+        outs = self.forward_features(params, x, ctx)
+        assert not isinstance(self.head, M.v10Detect), "v10 end2end head decodes in-head; use predict()"
+        return self.head.decode_parts(params["model"][str(self.layers[-1].i)], outs)
+
+    def predict_s2d(self, params, x, dtype=jnp.float32, parts: bool = False):
         """Decoded predictions from a space-to-depth packed input (nn/s2d.py).
 
         `params` must carry the packed-stem group under "s2d" (fold_stem of the
@@ -499,7 +509,8 @@ class DetectionModel(BaseModel):
         outs, _, _ = self._walk(params, z, ctx, start=2)
         if isinstance(self.head, M.v10Detect):
             return outs
-        return self.head.decode(params["model"][str(self.layers[-1].i)], outs)
+        hp = params["model"][str(self.layers[-1].i)]
+        return self.head.decode_parts(hp, outs) if parts else self.head.decode(hp, outs)
 
     def predict_augment(self, params, x, dtype=jnp.float32):
         """Test-time augmentation: 3 scales x lr-flip merged (ref: nn/tasks.py

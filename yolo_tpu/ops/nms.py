@@ -89,7 +89,7 @@ def non_max_suppression(
     nc: int = 0,
     max_nms: int = 1024,
 ):
-    """Fixed-shape NMS over raw decoded predictions.
+    """Fixed-shape NMS over raw decoded predictions (reference layout).
 
     Args:
         prediction: (B, 4+nc, A) — xywh boxes then per-class scores (decode output,
@@ -102,18 +102,49 @@ def non_max_suppression(
             boxes (B, max_det, 4) xyxy | scores (B, max_det) | cls (B, max_det)
             valid (B, max_det) bool
     """
+    import jax.numpy as jnp
+
+    nc = nc or (prediction.shape[1] - 4)
+    n_extra = prediction.shape[1] - 4 - nc  # e.g. mask coefficients (segment)
+    boxes_xywh = jnp.swapaxes(prediction[:, :4], 1, 2)  # (B, A, 4)
+    cls_scores = jnp.swapaxes(prediction[:, 4 : 4 + nc], 1, 2)
+    extra = jnp.swapaxes(prediction[:, 4 + nc :], 1, 2) if n_extra else None
+    return non_max_suppression_parts(
+        boxes_xywh, cls_scores, conf_thres=conf_thres, iou_thres=iou_thres,
+        classes=classes, agnostic=agnostic, max_det=max_det, max_nms=max_nms, extra=extra,
+    )
+
+
+def non_max_suppression_parts(
+    boxes_xywh,
+    cls_scores,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    classes=None,
+    agnostic: bool = False,
+    max_det: int = 300,
+    max_nms: int = 1024,
+    extra=None,
+):
+    """Fixed-shape NMS over anchors-major decode parts — the hot-path entry.
+
+    Takes boxes (B, A, 4) xywh + scores (B, A, nc) directly (the layout
+    Detect.decode_parts produces and the candidate top-k consumes); the
+    reference's (B, 4+nc, A) layout only exists in the `non_max_suppression`
+    wrapper. Keeping the fused pipeline on parts avoids a swapaxes→transpose
+    round trip through a layout XLA materializes badly (measured 26 ms/512
+    chunk on v5e — 2x the cost of the suppression itself).
+    """
     import jax
     import jax.numpy as jnp
 
     from yolo_tpu.ops.boxes import xywh2xyxy
 
-    nc = nc or (prediction.shape[1] - 4)
-    n_extra = prediction.shape[1] - 4 - nc  # e.g. mask coefficients (segment)
-    K = min(max_nms, prediction.shape[2])
+    nc = cls_scores.shape[-1]
+    n_extra = 0 if extra is None else extra.shape[-1]
+    K = min(max_nms, boxes_xywh.shape[1])
 
-    def single(pred):
-        boxes_xywh = pred[:4].T  # (A, 4)
-        cls_scores = pred[4 : 4 + nc].T  # (A, nc)
+    def single(boxes_xywh, cls_scores, ex):
         if classes is not None:
             allowed = jnp.zeros((nc,), bool).at[jnp.asarray(classes)].set(True)
             cls_scores = jnp.where(allowed[None, :], cls_scores, 0.0)
@@ -123,11 +154,13 @@ def non_max_suppression(
         top_conf, top_idx = jax.lax.top_k(conf, K)
         b = xywh2xyxy(boxes_xywh[top_idx])
         c = cls_id[top_idx]
-        extra = pred[4 + nc :].T[top_idx] if n_extra else jnp.zeros((K, 0), pred.dtype)
+        extra_k = ex[top_idx] if n_extra else jnp.zeros((K, 0), b.dtype)
         offset = jnp.where(agnostic, 0.0, c.astype(b.dtype) * MAX_WH)
-        return b, c, top_conf, offset, extra
+        return b, c, top_conf, offset, extra_k
 
-    b, c, top_conf, offset, extra = jax.vmap(single)(prediction)
+    if extra is None:
+        extra = jnp.zeros(boxes_xywh.shape[:2] + (0,), boxes_xywh.dtype)
+    b, c, top_conf, offset, extra = jax.vmap(single)(boxes_xywh, cls_scores, extra)
 
     if USE_PALLAS_NMS and jax.default_backend() == "tpu":
         from yolo_tpu.ops.pallas_nms import pallas_nms_keep

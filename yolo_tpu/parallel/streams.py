@@ -22,7 +22,7 @@ class MultiStreamRunner:
         import jax
         import jax.numpy as jnp
 
-        from yolo_tpu.ops.nms import non_max_suppression
+        from yolo_tpu.ops.nms import non_max_suppression_parts
 
         self.n_streams = n_streams
         self.conf = conf
@@ -34,8 +34,10 @@ class MultiStreamRunner:
                 x = jnp.broadcast_to(x, x.shape[:-1] + (3,))
             else:
                 x = x[..., ::-1]
-            preds = model.predict(p, x, dtype=dtype)
-            return non_max_suppression(preds, conf_thres=conf, iou_thres=iou, max_det=max_det, max_nms=256)
+            # anchors-major parts path — skips the reference-layout transpose
+            # round trip (see ops/nms.py non_max_suppression_parts)
+            boxes_xywh, scores = model.predict_parts(p, x, dtype=dtype)
+            return non_max_suppression_parts(boxes_xywh, scores, conf_thres=conf, iou_thres=iou, max_det=max_det, max_nms=256)
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P

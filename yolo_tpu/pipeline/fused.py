@@ -91,7 +91,7 @@ class FusedDetectTrack:
         import jax
         import jax.numpy as jnp
 
-        from yolo_tpu.ops.nms import non_max_suppression
+        from yolo_tpu.ops.nms import non_max_suppression_parts
 
         if channels == 1:
             # grayscale stem fold: conv(broadcast(x, 3ch), W) == conv(x, sum_c W)
@@ -150,20 +150,22 @@ class FusedDetectTrack:
         gray_folded = channels == 1
 
         def fused(p, track_state, stats, frames):
+            # anchors-major decode parts feed NMS directly — the reference's
+            # transposed (B, 4+nc, A) layout never materializes in this program
             if s2d:
                 from yolo_tpu.nn.s2d import pack_input
 
                 fr = frames if frames.shape[-1] == 1 else frames[..., ::-1]  # BGR→RGB
                 x = pack_input(fr, s2d).astype(dtype) / 255.0  # pack on uint8, cast on the dense layout
-                preds = model.predict_s2d(p, x, dtype=dtype)
+                boxes_xywh, scores = model.predict_s2d(p, x, dtype=dtype, parts=True)
             else:
                 x = frames.astype(dtype) / 255.0
                 if frames.shape[-1] == 1 and not gray_folded:
                     x = jnp.broadcast_to(x, x.shape[:-1] + (3,))
                 elif frames.shape[-1] != 1:
                     x = x[..., ::-1]  # BGR→RGB
-                preds = model.predict(p, x, dtype=dtype)
-            det = non_max_suppression(preds, conf_thres=conf, iou_thres=iou, max_det=d_max, max_nms=256)
+                boxes_xywh, scores = model.predict_parts(p, x, dtype=dtype)
+            det = non_max_suppression_parts(boxes_xywh, scores, conf_thres=conf, iou_thres=iou, max_det=d_max, max_nms=256)
             det_boxes = det["boxes"]  # (T, d_max, 4)
             det_mask = det["valid"] & (det["scores"] > conf)  # (T, d_max)
 

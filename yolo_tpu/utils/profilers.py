@@ -205,3 +205,71 @@ def autobatch(model, params, imgsz: int = 640, start: int = 8, max_batch: int = 
             break
     LOGGER.info(f"autobatch: selected batch {good}")
     return good or start
+
+
+def hbm_buffer_table(compiled, top: int = 20, min_mb: float = 0.5):
+    """Physical (layout-padded) buffer sizes of the largest instructions in a
+    compiled XLA executable — the tool that localizes HBM traffic on a
+    bandwidth-bound program (per-op timing is useless through a high-latency
+    dispatch link; whole-program cost_analysis says *how much* traffic but
+    not *where*).
+
+    Parses the executable's HLO text: each instruction's result shape with
+    its layout `{minor-to-major:T(s,l)}`, applying the tile padding to the
+    two minor-most dims (e.g. `bf16[512,128,160,64]{0,3,2,1:T(8,128)}` is
+    batch-minor: batch rides the 128-lane axis, channels the 8-sublane axis).
+    This is how the DFL-softmax f32 materialization was found (see
+    nn/modules.py dfl_project) — three (B, A, 4, 16) f32 tensors dwarfing
+    every conv activation.
+
+    Args:
+        compiled: result of ``jax.jit(f).lower(*args).compile()``.
+        top: max rows to return.
+        min_mb: drop instructions below this physical size (MB).
+    Returns: list of dicts {mb, dtype, shape, layout, op, source} sorted
+    descending by physical MB; covers the ENTRY computation only (fusion
+    bodies don't materialize to HBM).
+    """
+    import re
+
+    txt = compiled.as_text()
+    entry = txt.split("ENTRY ", 1)[-1]
+    pat = re.compile(r"(\w+)\[([\d,]*)\]\{([\d,]+)(?::T\(([\d,]+)\))?")
+    dt_bytes = {"f32": 4, "bf16": 2, "s32": 4, "u8": 1, "s8": 1, "pred": 1, "u32": 4, "f16": 2, "s16": 2, "u16": 2, "f64": 8, "s64": 8}
+    rows = []
+    for line in entry.splitlines():
+        if "=" not in line or line.lstrip().startswith("//"):
+            continue
+        m = pat.search(line.split("=", 1)[1])
+        if not m:
+            continue
+        dt, dims_s, order_s, tile_s = m.groups()
+        if dt not in dt_bytes:
+            continue
+        dims = [int(x) for x in dims_s.split(",")] if dims_s else []
+        padded = list(dims)
+        if tile_s and dims:
+            tiles = [int(x) for x in tile_s.split(",")]
+            minor = [int(x) for x in order_s.split(",")][: len(tiles)]
+            for i, t in enumerate(reversed(tiles)):
+                d = minor[i]
+                padded[d] = -(-padded[d] // t) * t
+        n = dt_bytes[dt]
+        for x in padded:
+            n *= x
+        if n / 1e6 < min_mb:
+            continue
+        opm = re.search(r"=\s+\S+\s+(\w[\w-]*)\(", line)
+        srcm = re.search(r'source_file="([^"]+)" source_line=(\d+)', line)
+        rows.append(
+            {
+                "mb": round(n / 1e6, 2),
+                "dtype": dt,
+                "shape": dims,
+                "layout": m.group(0).split("{", 1)[1],
+                "op": opm.group(1) if opm else "?",
+                "source": f"{srcm.group(1)}:{srcm.group(2)}" if srcm else "",
+            }
+        )
+    rows.sort(key=lambda r: -r["mb"])
+    return rows[:top]
