@@ -150,3 +150,29 @@ def test_int8_flow_predict_agrees_with_f32():
     # boxes within a few px, scores within ~0.1 on an untrained net
     assert np.abs(y_f[:, :4] - y_q[:, :4]).max() < 6.0
     assert np.abs(y_f[:, 4:] - y_q[:, 4:]).max() < 0.15
+
+
+def test_int8_flow_uncovered_architectures_run():
+    """The int8-resident flow must not crash architectures with blocks that
+    have no native QTensor path (C3k2 children, C2PSA attention, ...):
+    flow_paths restricts QTensor emission to covered subtrees and the graph
+    walker dequantizes inputs to uncovered layer classes."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_tpu.nn.quantize import calibrate_act_scales, quantize_params
+    from yolo_tpu.nn.tasks import DetectionModel
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    for yaml in ("yolo11n.yaml", "yolov9s.yaml"):
+        m = DetectionModel(yaml)
+        p = m.fuse(m.init(0))
+        scales = calibrate_act_scales(m, p, x)
+        flow = m.int8_flow_paths()
+        assert flow, yaml  # covered convs exist in every family
+        qp = quantize_params(p, act_scales=scales, flow_paths=flow)
+        y_f = np.asarray(jax.jit(m.predict)(p, x))
+        y_q = np.asarray(jax.jit(m.predict)(qp, x))  # crashed before flow_paths
+        assert y_q.shape == y_f.shape and np.isfinite(y_q).all()
+        assert np.abs(y_f[:, 4:] - y_q[:, 4:]).max() < 0.15

@@ -400,6 +400,28 @@ class SPPF:
         )
 
 
+def int8_flow_paths(module, base: str) -> set:
+    """Param paths under `base` whose convs may carry a `y_scale` (i.e. EMIT
+    QTensor) — only convs whose enclosing module natively handles int8
+    payloads qualify. quantize_params restricts the int8-resident flow to
+    these paths so an uncovered block (C3, attention, v9/v12 exotics) never
+    receives a QTensor from its own sub-convs; together with the graph
+    walker's input dequant for non-QTENSOR_MODULES layers (tasks._apply_layer)
+    this makes correctness truly independent of per-class int8 coverage."""
+    if isinstance(module, C2f):  # subclasses (C3k2, ...) may carry non-Bottleneck children
+        paths = {f"{base}/cv1", f"{base}/cv2"}
+        for i, m in enumerate(module.m):
+            paths |= int8_flow_paths(m, f"{base}/m/{i}")
+        return paths
+    if isinstance(module, Bottleneck):
+        return {f"{base}/cv1", f"{base}/cv2"}
+    if isinstance(module, SPPF):
+        return {f"{base}/cv1", f"{base}/cv2"}
+    if isinstance(module, ConvBNAct):
+        return {base}
+    return set()
+
+
 class Concat:
     """Channel concat (ref: conv.py Concat:655). Axis 1 in NCHW == -1 in NHWC."""
 
@@ -1356,10 +1378,16 @@ class RepConv:
 
     def __call__(self, p, x, ctx, path=""):
         if "conv" in p:  # fused
-            y = jax.lax.conv_general_dilated(
-                x.astype(ctx.dtype), p["conv"]["weight"].astype(ctx.dtype), (self.s, self.s),
-                [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=self.g,
-            ).astype(jnp.float32) + p["conv"]["bias"]
+            if "w_int8" in p["conv"]:
+                # PTQ'd fused kernel (quantize_params matches ANY fused conv
+                # group, incl. this one) — delegate to the ConvBNAct int8
+                # path with act=False; RepConv applies its own act below
+                y = ConvBNAct(self.c1, self.c2, self.k, self.s, g=self.g, act=False)._call_int8(p, deq(x, ctx.dtype), ctx).astype(jnp.float32)
+            else:
+                y = jax.lax.conv_general_dilated(
+                    deq(x, ctx.dtype).astype(ctx.dtype), p["conv"]["weight"].astype(ctx.dtype), (self.s, self.s),
+                    [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=self.g,
+                ).astype(jnp.float32) + p["conv"]["bias"]
         else:
             y = self.conv1(p["conv1"], x, ctx, f"{path}/conv1").astype(jnp.float32)
             y = y + self.conv2(p["conv2"], x, ctx, f"{path}/conv2").astype(jnp.float32)
@@ -1721,17 +1749,23 @@ class CBLinear:
         }
 
     def __call__(self, p, x, ctx: Ctx, path=""):
-        w = p["conv"]["weight"].astype(ctx.dtype)
-        y = jax.lax.conv_general_dilated(
-            x.astype(ctx.dtype),
-            w,
-            window_strides=(self.s, self.s),
-            padding=[(self.p, self.p)] * 2,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=self.g,
-        )
-        y = y.astype(jnp.float32) + p["conv"]["bias"].astype(jnp.float32)
-        y = y.astype(ctx.dtype)
+        if "w_int8" in p["conv"]:
+            # PTQ'd (quantize_params matches any fused conv group): delegate
+            # to the ConvBNAct int8 path with act=False, bias included
+            tw = ConvBNAct(self.c1, sum(self.c2s), self.k, self.s, p=self.p, g=self.g, act=False)
+            y = tw._call_int8(p, deq(x, ctx.dtype), ctx).astype(ctx.dtype)
+        else:
+            w = p["conv"]["weight"].astype(ctx.dtype)
+            y = jax.lax.conv_general_dilated(
+                x.astype(ctx.dtype),
+                w,
+                window_strides=(self.s, self.s),
+                padding=[(self.p, self.p)] * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.g,
+            )
+            y = y.astype(jnp.float32) + p["conv"]["bias"].astype(jnp.float32)
+            y = y.astype(ctx.dtype)
         outs = []
         o = 0
         for c in self.c2s:
@@ -2496,3 +2530,12 @@ class YOLOESegment(YOLOEDetect):
         B = dets.shape[0]
         mc = jnp.concatenate([m.reshape(B, -1, self.nm) for m in mask_outs], axis=1)
         return jnp.concatenate([dets, jnp.swapaxes(mc, 1, 2)], axis=1), protos
+
+
+# Graph-level layers that natively accept QTensor inputs (the int8-resident
+# activation flow). tasks._apply_layer dequantizes the inputs of any OTHER
+# layer class before calling it; see int8_flow_paths for the producer-side
+# restriction. Subclasses count (DWConv, C3k2, Segment/Pose/OBB heads, ...);
+# Detect qualifies because every per-level entry op is a ConvBNAct/Conv2d,
+# both of which consume QTensor directly.
+QTENSOR_MODULES = (ConvBNAct, Conv2d, Bottleneck, C2f, SPPF, Concat, Upsample, Detect)

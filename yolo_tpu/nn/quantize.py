@@ -77,7 +77,7 @@ def calibrate_act_scales(model, params, imgs, dtype=None):
     return {k: float(np.asarray(v)) / 127.0 for k, v in amax.items()}
 
 
-def quantize_params(params, min_channels: int = 16, act_scales: dict | None = None, int8_flow: bool = True):
+def quantize_params(params, min_channels: int = 16, act_scales: dict | None = None, int8_flow: bool = True, flow_paths: set | None = None):
     """Walk the param tree; every fused ConvBNAct leaf ({'conv': {weight, bias}}
     without 'bn') becomes an int8 conv. Layers with fewer than `min_channels`
     output channels stay f32 (their quantization error is large relative to
@@ -91,6 +91,11 @@ def quantize_params(params, min_channels: int = 16, act_scales: dict | None = No
     (modules.QTensor): activations live in HBM as 1 byte/element through
     concat/split/upsample/maxpool, halving the traffic of the HBM-bound
     forward. Disable with int8_flow=False to keep bf16 activations.
+
+    `flow_paths` (from model.int8_flow_paths()) restricts QTensor EMISSION to
+    convs whose enclosing module natively handles int8 payloads — pass it for
+    any architecture beyond the yolov8 family so uncovered blocks (C3,
+    attention, v9/v12 exotics) never see a QTensor from their own sub-convs.
     """
 
     def walk(node, path=""):
@@ -103,7 +108,7 @@ def quantize_params(params, min_channels: int = 16, act_scales: dict | None = No
                 out["conv"] = _quantize_conv(node["conv"])
                 if act_scales and path in act_scales:
                     out["conv"]["x_scale"] = np.float32(max(act_scales[path], 1e-12))
-                if int8_flow and act_scales and f"OUT::{path}" in act_scales:
+                if int8_flow and act_scales and f"OUT::{path}" in act_scales and (flow_paths is None or path in flow_paths):
                     out["conv"]["y_scale"] = np.float32(max(act_scales[f"OUT::{path}"], 1e-12))
                 return out
         return {k: walk(v, f"{path}/{k}" if path else str(k)) for k, v in node.items()}

@@ -406,6 +406,11 @@ class BaseModel:
         import jax
 
         path = f"model/{spec.i}"
+        if not isinstance(spec.module, M.QTENSOR_MODULES):
+            # int8-resident flow: layers without a native QTensor path get
+            # dense inputs (deq is a passthrough for plain arrays) — see
+            # modules.int8_flow_paths for the producer-side restriction
+            x_in = [M.deq(v, ctx.dtype) for v in x_in] if isinstance(x_in, list) else M.deq(x_in, ctx.dtype)
         skip = isinstance(spec.module, (M.Detect, M.ImagePoolingAttn)) or type(spec.module).__name__ == "RTDETRDecoder"
         if not (ctx.remat and ctx.train) or skip:
             return spec.module(p, x_in, ctx, path)
@@ -438,6 +443,15 @@ class BaseModel:
 
     def param_count(self, params) -> int:
         return sum(int(p.size) for p in jax.tree_util.tree_leaves(params))
+
+    def int8_flow_paths(self) -> set:
+        """Param paths whose convs may emit int8-resident activations
+        (QTensor) — pass to quantize_params(flow_paths=...) so uncovered
+        blocks never receive QTensors from their own sub-convs."""
+        paths = set()
+        for spec in self.layers:
+            paths |= M.int8_flow_paths(spec.module, f"model/{spec.i}")
+        return paths
 
 
 class DetectionModel(BaseModel):

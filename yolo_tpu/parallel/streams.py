@@ -18,7 +18,7 @@ from yolo_tpu.utils import LOGGER
 class MultiStreamRunner:
     """Detect-per-frame across S streams, sharded over devices; track per stream."""
 
-    def __init__(self, model, params, n_streams: int, frame_hw=(512, 640), channels: int = 3, conf: float = 0.15, iou: float = 0.6, max_det: int = 16, mesh=None, tracker_factory=None, dtype=None):
+    def __init__(self, model, params, n_streams: int, frame_hw=(512, 640), channels: int = 3, conf: float = 0.15, iou: float = 0.6, max_det: int = 16, mesh=None, tracker_factory=None, dtype=None, max_nms: int = 0):
         import jax
         import jax.numpy as jnp
 
@@ -27,6 +27,9 @@ class MultiStreamRunner:
         self.n_streams = n_streams
         self.conf = conf
         dtype = dtype or jnp.bfloat16
+        # exact top_k cost scales hard with K on TPU; 4x track capacity
+        # covers the duplicate-anchor fan-in (see pipeline/fused.py)
+        max_nms = max_nms or max(4 * max_det, 64)
 
         def device_fn(p, frames):
             x = frames.astype(dtype) / 255.0
@@ -37,7 +40,7 @@ class MultiStreamRunner:
             # anchors-major parts path — skips the reference-layout transpose
             # round trip (see ops/nms.py non_max_suppression_parts)
             boxes_xywh, scores = model.predict_parts(p, x, dtype=dtype)
-            return non_max_suppression_parts(boxes_xywh, scores, conf_thres=conf, iou_thres=iou, max_det=max_det, max_nms=256)
+            return non_max_suppression_parts(boxes_xywh, scores, conf_thres=conf, iou_thres=iou, max_det=max_det, max_nms=max_nms)
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P

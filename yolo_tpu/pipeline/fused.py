@@ -87,6 +87,7 @@ class FusedDetectTrack:
         int8_calib=None,
         mesh=None,
         s2d: int = 0,
+        max_nms: int = 0,
     ):
         import jax
         import jax.numpy as jnp
@@ -128,7 +129,7 @@ class FusedDetectTrack:
                 elif cal.shape[-1] == 3 and in_ch == 1:
                     cal = cal.mean(axis=-1, keepdims=True)
                 scales = calibrate_act_scales(model, params, jnp.asarray(cal))
-            params = quantize_params(params, act_scales=scales)
+            params = quantize_params(params, act_scales=scales, flow_paths=model.int8_flow_paths())
 
         if s2d:
             # space-to-depth stem fold (nn/s2d.py): rewrite the two stride-2
@@ -139,6 +140,12 @@ class FusedDetectTrack:
             from yolo_tpu.nn.s2d import fold_stem
 
             params = {**params, "s2d": fold_stem(params, s2d)}
+        # NMS candidate slots: 4x the track capacity covers the duplicate-
+        # anchor fan-in around each target (~9 anchors/target fire at P2)
+        # with margin. Exact top_k cost scales hard with K on TPU (measured
+        # 51.3 -> 19.0 ms per 1024-frame chunk going 256 -> 64, identical
+        # outputs); oversize scenes can pass max_nms explicitly.
+        self.max_nms = max_nms or max(4 * d_max, 64)
         self.s2d = s2d
         self.chunk = chunk
         self.d_max = d_max
@@ -165,7 +172,7 @@ class FusedDetectTrack:
                 elif frames.shape[-1] != 1:
                     x = x[..., ::-1]  # BGR→RGB
                 boxes_xywh, scores = model.predict_parts(p, x, dtype=dtype)
-            det = non_max_suppression_parts(boxes_xywh, scores, conf_thres=conf, iou_thres=iou, max_det=d_max, max_nms=256)
+            det = non_max_suppression_parts(boxes_xywh, scores, conf_thres=conf, iou_thres=iou, max_det=d_max, max_nms=self.max_nms)
             det_boxes = det["boxes"]  # (T, d_max, 4)
             det_mask = det["valid"] & (det["scores"] > conf)  # (T, d_max)
 
