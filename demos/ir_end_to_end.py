@@ -99,7 +99,9 @@ def main():
     if os.getenv("DEMO_SKIP_TRAIN") == "1" and (OUT / "train/weights/best.npz").exists():
         model = YOLO(str(OUT / "train/weights/best.npz"))
         prev = json.loads((OUT / "demo_report.json").read_text()) if (OUT / "demo_report.json").exists() else {}
-        metrics = prev.get("train_metrics_heldout_val", {"mAP50": 1.0})
+        # no fabricated numbers: absent a recorded report, metrics stay empty
+        # and the mAP assertion below is skipped for this clip-only rerun
+        metrics = prev.get("train_metrics_heldout_val", {})
         train_time = prev.get("train_minutes", 0.0) * 60
     else:
         model = YOLO("yolov8-small.yaml")
@@ -165,7 +167,8 @@ def main():
     }
     (OUT / "demo_report.json").write_text(json.dumps(report, indent=2, default=float))
     print(json.dumps(report, indent=2, default=float))
-    assert metrics["mAP50"] > 0.5, "detector failed to generalize to the held-out val split"
+    if "mAP50" in metrics:  # absent only on a clip-only rerun with no recorded report
+        assert metrics["mAP50"] > 0.5, "detector failed to generalize to the held-out val split"
     assert stats["detection_frames"] > 0 and stats["prediction_frames"] > 0, "tracking must coast the occlusions"
     assert max(stats["state_changes"], frame_level["state_changes"]) >= 20, f"occlusion-rich clip must exercise state switching, got {stats['state_changes']}"
     print("IR END-TO-END DEMO OK")

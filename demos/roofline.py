@@ -148,7 +148,7 @@ def main():
 
         log("\n== per-layer (batch 32) ==")
         per_layer = profile_per_layer(
-            model, ft.params if False else params, imgsz=(h, w), batch=32, dtype=dtype,
+            model, params, imgsz=(h, w), batch=32, dtype=dtype,
             roofline=(PEAK_TFLOPS, PEAK_GBPS), channels=3,
         )
 

@@ -126,24 +126,16 @@ def test_raytune_stub_reports_in_session(monkeypatch):
     inside an active tune session."""
     reports = []
 
+    # modern Ray surface (2.38+): ray.tune.report + ray.train.get_context()
     ray = types.ModuleType("ray")
     tune_mod = types.ModuleType("ray.tune")
-    air = types.ModuleType("ray.air")
     train = types.ModuleType("ray.train")
-    internal = types.ModuleType("ray.train._internal")
-    session_mod = types.ModuleType("ray.train._internal.session")
-    session_mod.get_session = lambda: True
-    air_session = types.SimpleNamespace(report=lambda d: reports.append(d))
-    air.session = air_session
-    train._internal = internal
-    internal.session = session_mod
+    tune_mod.report = lambda d: reports.append(d)
+    trial = {"id": "trial_0"}
+    train.get_context = lambda: types.SimpleNamespace(get_trial_id=lambda: trial["id"])
     ray.tune = tune_mod
     ray.train = train
-    for name, mod in {
-        "ray": ray, "ray.tune": tune_mod, "ray.air": air,
-        "ray.train": train, "ray.train._internal": internal,
-        "ray.train._internal.session": session_mod,
-    }.items():
+    for name, mod in {"ray": ray, "ray.tune": tune_mod, "ray.train": train}.items():
         monkeypatch.setitem(sys.modules, name, mod)
 
     from yolo_tpu.utils.callbacks import run_callbacks
@@ -162,8 +154,8 @@ def test_raytune_stub_reports_in_session(monkeypatch):
 
     run_callbacks(cbs, "on_fit_epoch_end", T())
     assert reports and reports[0]["epoch"] == 5 and reports[0]["metrics/fitness"] == 0.9
-    # outside a session: no report
-    session_mod.get_session = lambda: None
+    # outside a trial: no report
+    trial["id"] = None
     run_callbacks(cbs, "on_fit_epoch_end", T())
     assert len(reports) == 1
 

@@ -123,11 +123,13 @@ def load_orbax(dirname):
 
 
 def export_stablehlo(model, params, imgsz=(640, 640), batch: int = 1, filename="model.stablehlo",
-                     platforms=("tpu", "cpu")) -> Path:
+                     platforms=("tpu", "cpu"), baked: bool = True) -> Path:
     """Serialize the fused inference program to portable StableHLO bytes.
 
     Lowered for multiple platforms by default so one artifact serves both the
-    TPU fleet and CPU consumers (examples/stablehlo_consumer)."""
+    TPU fleet and CPU consumers (examples/stablehlo_consumer). `baked=False`
+    skips the second, params-as-constants .mlir module (the C++ PJRT
+    consumer's input) — it roughly doubles export time and disk."""
     import jax
     import jax.numpy as jnp
     from jax import export as jax_export
@@ -145,6 +147,9 @@ def export_stablehlo(model, params, imgsz=(640, 640), batch: int = 1, filename="
     blob = exported.serialize()
     Path(filename).write_bytes(blob)
     LOGGER.info(f"exported StableHLO: {filename} ({len(blob) / 1e6:.1f} MB)")
+
+    if not baked:
+        return Path(filename)
 
     # RAW single-platform module with the weights baked in as constants — ONE
     # uint8 NHWC argument, directly compilable through the PJRT C API by the

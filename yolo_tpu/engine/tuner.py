@@ -144,12 +144,18 @@ def run_ray_tune(
     try:
         import ray
         from ray import tune
-        from ray.air import RunConfig
         from ray.tune.schedulers import ASHAScheduler
     except ImportError as e:
         raise ModuleNotFoundError(
             'Ray Tune required but not found. To install run: pip install "ray[tune]"'
         ) from e
+    try:  # moved across Ray versions; absence only loses the run name
+        from ray.tune import RunConfig  # 2.38+
+    except ImportError:
+        try:
+            from ray.air import RunConfig  # 2.x era
+        except ImportError:
+            RunConfig = None
 
     # uniform sampling over the mutation bounds (ref builds tune.uniform from
     # the same (gain, min, max) table)
@@ -177,7 +183,7 @@ def run_ray_tune(
         _trainable,
         param_space=space,
         tune_config=tune.TuneConfig(scheduler=scheduler, num_samples=max_samples),
-        run_config=RunConfig(name="yolo_tpu_tune"),
+        **({"run_config": RunConfig(name="yolo_tpu_tune")} if RunConfig is not None else {}),
     )
     results = tuner.fit()
     ray.shutdown()

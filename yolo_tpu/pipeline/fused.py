@@ -140,11 +140,13 @@ class FusedDetectTrack:
             from yolo_tpu.nn.s2d import fold_stem
 
             params = {**params, "s2d": fold_stem(params, s2d)}
-        # NMS candidate slots: 4x the track capacity covers the duplicate-
-        # anchor fan-in around each target (~9 anchors/target fire at P2)
-        # with margin. Exact top_k cost scales hard with K on TPU (measured
-        # 51.3 -> 19.0 ms per 1024-frame chunk going 256 -> 64, identical
-        # outputs); oversize scenes can pass max_nms explicitly.
+        # NMS candidate slots: 4x the track capacity. Measured duplicate-
+        # anchor fan-in with the demo-trained P2 model is ~1.25 anchors per
+        # target at conf 0.15 (10 candidates for 8 planted small targets), so
+        # 4x d_max carries a >3x margin at full capacity; exact top_k cost
+        # scales hard with K on TPU (51.3 -> 19.0 ms per 1024-frame chunk
+        # going 256 -> 64, identical outputs). Scenes with large/defocused
+        # targets (higher fan-in) can pass max_nms explicitly.
         self.max_nms = max_nms or max(4 * d_max, 64)
         self.s2d = s2d
         self.chunk = chunk
@@ -267,7 +269,7 @@ class FusedDetectTrack:
         import jax
 
         assert frames.shape[0] == self.chunk, f"chunk must be {self.chunk}, got {frames.shape[0]}"
-        dev = jax.device_put(frames)
+        dev = self.put_frames(frames)  # batch-sharded in mesh mode
         self.state, self.stats, packed = self._fused(self.params, self.state, self.stats, dev)
         return packed
 
@@ -297,11 +299,11 @@ class FusedDetectTrack:
         # are queued so the upload link never idles on dispatch bookkeeping
         depth = max(1, prefetch)
         with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
-            pending = [pool.submit(jax.device_put, clip[i * T : (i + 1) * T]) for i in range(min(depth, n_chunks))]
+            pending = [pool.submit(self.put_frames, clip[i * T : (i + 1) * T]) for i in range(min(depth, n_chunks))]
             for ci in range(n_chunks):
                 dev = pending.pop(0).result()
                 if ci + depth < n_chunks:
-                    pending.append(pool.submit(jax.device_put, clip[(ci + depth) * T : (ci + depth + 1) * T]))
+                    pending.append(pool.submit(self.put_frames, clip[(ci + depth) * T : (ci + depth + 1) * T]))
                 self.state, self.stats, packed = self._fused(self.params, self.state, self.stats, dev)
                 if collect_outputs:
                     device_outs.append(packed)

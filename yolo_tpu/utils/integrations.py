@@ -241,11 +241,26 @@ def _raytune_callbacks():
     from ray import tune  # noqa: F401
 
     def on_fit_epoch_end(trainer):
-        import ray
-        from ray.air import session
+        from ray import tune
 
-        if ray.train._internal.session.get_session():  # only inside an active trial
-            session.report({**_trainer_scalars(trainer), "epoch": trainer.epoch + 1})
+        metrics = {**_trainer_scalars(trainer), "epoch": trainer.epoch + 1}
+        # tune.report raises outside a trial on old Ray and no-ops/raises
+        # depending on version — probe for an active session across the API
+        # generations (ray.tune.is_session_enabled was removed; ray.train
+        # context is the 2.x signal) and swallow the no-session case only.
+        try:
+            from ray import train
+
+            if train.get_context().get_trial_id() is None:  # not in a trial
+                return
+        except Exception:
+            pass
+        try:
+            tune.report(metrics)  # classic + 2.38+ API
+        except (AttributeError, RuntimeError):
+            from ray.air import session  # 2.x era API
+
+            session.report(metrics)
 
     return {"on_fit_epoch_end": on_fit_epoch_end}
 
