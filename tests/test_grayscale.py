@@ -80,3 +80,62 @@ def test_forced_loss_recovery_pipeline(tmp_path):
     assert info["status"] == "detected"  # re-acquired at the end
     # prediction followed the blob: final center near the last detection
     assert abs(info["last_center"][0] - centers[-1][0]) < 15
+
+
+def test_config_overlays_tracker_params(tmp_path):
+    """INI values actually land on the tracker (incl. the association gate,
+    which was parsed but unwired before round 3)."""
+    ini = tmp_path / "cfg.ini"
+    ini.write_text(
+        "[TRACKING_PARAMETERS]\n"
+        "roi_size = 24\n"
+        "search_radius = 30\n"
+        "similarity_threshold = 0.4\n"
+        "distance_threshold = 40\n"
+        "[MODEL_SETTINGS]\n"
+        "detection_threshold = 0.5\n"
+    )
+    from yolo_tpu.grayscale.config import load_config, tracker_from_config
+
+    cfg = load_config(ini)
+    assert cfg["TRACKING_PARAMETERS"]["distance_threshold"] == 40
+    t = tracker_from_config(ini, detector=lambda f: [])
+    assert (t.roi_size, t.search_radius, t.min_prediction_confidence, t.dist_threshold, t.conf) == (24, 30, 0.4, 40.0, 0.5)
+    # the gate is live: a detection 60 px from the only track must NOT associate
+    import numpy as np
+
+    frame = np.zeros((200, 200, 3), np.uint8)
+    t.tracks[0] = {"last_center": (50, 50), "last_detection_frame": 0}
+    t.track_id_counter = 1
+    cur = t.associate_detections([[105, 45, 115, 55, 0.9, 0]], frame, 1)  # center (110, 50): 60 px away
+    assert 0 not in cur and 1 in cur  # new track, not stolen
+
+
+def test_save_process_with_explicit_output_path(tmp_path, monkeypatch):
+    """save_process artifacts are written even when output_path is named
+    (the results tree was only created for unnamed outputs before round 3)."""
+    import cv2
+    import numpy as np
+
+    from yolo_tpu.grayscale.tracker import GrayscaleTracker
+
+    monkeypatch.chdir(tmp_path)
+    vid = tmp_path / "clip.mp4"
+    vw = cv2.VideoWriter(str(vid), cv2.VideoWriter_fourcc(*"mp4v"), 30, (64, 64))
+    for f in range(6):
+        fr = np.full((64, 64, 3), 15, np.uint8)
+        cv2.circle(fr, (20 + 2 * f, 32), 4, (250,) * 3, -1)
+        vw.write(fr)
+    vw.release()
+
+    calls = {"n": 0}
+
+    def det(frame):
+        calls["n"] += 1
+        f = calls["n"] - 1
+        return [] if f >= 2 else [[14 + 2 * f, 26, 26 + 2 * f, 38, 0.9, 0]]
+
+    t = GrayscaleTracker(detector=det, save_process=True)
+    t.process_video(vid, output_path=str(tmp_path / "out.mp4"), write_video=True)
+    assert t.process_dir is not None and t.process_dir.exists()
+    assert any(t.roi_patches_dir.iterdir()) or any(t.grayscale_data_dir.iterdir())

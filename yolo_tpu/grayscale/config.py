@@ -70,4 +70,8 @@ def tracker_from_config(path=None, detector=None):
     t.roi_size = int(cfg["TRACKING_PARAMETERS"]["roi_size"])
     t.search_radius = int(cfg["TRACKING_PARAMETERS"]["search_radius"])
     t.min_prediction_confidence = float(cfg["TRACKING_PARAMETERS"]["similarity_threshold"])
+    t.dist_threshold = float(cfg["TRACKING_PARAMETERS"]["distance_threshold"])
+    # max_lost_frames is listed in the reference config.ini but read by NO
+    # reference code — the tracker never deletes tracks (unbounded coasting);
+    # kept unwired on purpose for parity
     return t

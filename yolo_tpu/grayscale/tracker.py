@@ -43,6 +43,7 @@ class GrayscaleTracker:
         self.roi_size = 40
         self.search_radius = 50
         self.min_prediction_confidence = 0.1
+        self.dist_threshold = 100.0  # association gate, px (config.ini distance_threshold)
 
         self.tracks: dict = defaultdict(dict)
         self.track_id_counter = 0
@@ -92,14 +93,16 @@ class GrayscaleTracker:
 
     # --- association ----------------------------------------------------------------
 
-    def associate_detections(self, detections, frame, frame_id: int) -> dict:
-        """Nearest-center association (<100 px) or new-track creation."""
+    def associate_detections(self, detections, frame, frame_id: int, gray=None) -> dict:
+        """Nearest-center association (<dist_threshold px) or new-track creation."""
         import cv2
 
         current = {}
         # one grayscale conversion per frame, not per detection (the reference
-        # converts only the ROI crop; full-frame-per-detection was pure waste)
-        gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY) if frame.ndim == 3 else frame
+        # converts only the ROI crop; full-frame-per-detection was pure waste);
+        # process_video passes the shared per-frame conversion in
+        if gray is None:
+            gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY) if frame.ndim == 3 else frame
         for detection in detections:
             x1, y1, x2, y2, conf, cls = detection
             center = self.calculate_center(x1, y1, x2, y2)
@@ -108,7 +111,7 @@ class GrayscaleTracker:
                 if "last_center" in info:
                     lc = info["last_center"]
                     d = float(np.hypot(center[0] - lc[0], center[1] - lc[1]))
-                    if d < min_distance and d < 100:
+                    if d < min_distance and d < self.dist_threshold:
                         min_distance = d
                         best_track_id = track_id
             if best_track_id is None:
@@ -132,12 +135,13 @@ class GrayscaleTracker:
 
     # --- lost-target recovery -------------------------------------------------------
 
-    def predict_lost_targets(self, frame, frame_id: int) -> dict:
+    def predict_lost_targets(self, frame, frame_id: int, gray=None) -> dict:
         """Coast lost tracks by grayscale scoring; never deletes (ref :785-890)."""
         import cv2
 
         predicted = {}
-        gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY) if frame.ndim == 3 else frame
+        if gray is None:
+            gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY) if frame.ndim == 3 else frame
         for track_id, info in list(self.tracks.items()):
             if info["last_detection_frame"] >= frame_id:
                 continue
@@ -239,9 +243,15 @@ class GrayscaleTracker:
         height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
 
         out = None
+        # the results tree is needed when the output video is unnamed AND for
+        # save_process artifacts regardless of output_path (ref:
+        # grayscale_tracking_system.py:973 creates it unconditionally)
+        results_tree = None
+        if (self.save_process and self.process_dir is None) or (write_video and output_path is None):
+            results_tree = self.create_results_directory(video_path)
         if write_video:
             if output_path is None:
-                results_dir, output_video_dir, _ = self.create_results_directory(video_path)
+                _, output_video_dir, _ = results_tree
                 output_path = output_video_dir / f"{Path(str(video_path)).stem}_tracked.mp4"
             Path(output_path).parent.mkdir(parents=True, exist_ok=True)
             out = cv2.VideoWriter(str(output_path), cv2.VideoWriter_fourcc(*"mp4v"), self.video_fps, (width, height))
@@ -253,8 +263,9 @@ class GrayscaleTracker:
             if not ok or (max_frames and frame_id >= max_frames):
                 break
             detections = self.yolo_detect(frame, frame_id)
-            detected = self.associate_detections(detections, frame, frame_id)
-            predicted = self.predict_lost_targets(frame, frame_id)
+            gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY) if frame.ndim == 3 else frame
+            detected = self.associate_detections(detections, frame, frame_id, gray=gray)
+            predicted = self.predict_lost_targets(frame, frame_id, gray=gray)
             stats["frames"] += 1
             if detected:
                 stats["detected_frames"] += 1

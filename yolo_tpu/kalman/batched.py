@@ -177,7 +177,11 @@ def make_step(n_max: int = 64, d_max: int = 16, max_lost_frames: int = 150, min_
         # greedy argmax picks are inherently sequential, but once the running
         # max drops below the threshold every later round is a no-op — an
         # early-exit while_loop runs matches+1 rounds instead of always d_max
-        # (12x faster on sparse scenes, bit-identical matches)
+        # (12x faster on sparse scenes; matches are identical except on
+        # EXACTLY-equal IoU ties, where argmax takes the first flat index
+        # while the object manager's np.argsort(-iou) introsort order on tied
+        # keys is unspecified — a measure-zero float coincidence, excluded
+        # from the parity contract)
         def assoc_cond(c):
             iou_m, _, i = c
             return (i < d_max) & (jnp.max(iou_m) >= iou_threshold)

@@ -21,7 +21,6 @@ class GlobalMotionDetector:
         import cv2
 
         self.method = method
-        self.prev_frame = None
         self.prev_gray = None
         self.motion_history = deque(maxlen=10)
         self.motion_vectors = deque(maxlen=5)
