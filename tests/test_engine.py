@@ -160,3 +160,70 @@ def test_int8_survives_predictor_reuse():
     assert has_int8(m.predictor.params)
     m.predict(img, imgsz=64, verbose=False)  # reuse path refreshes params
     assert has_int8(m.predictor.params)
+
+
+def test_val_dispatches_task_validator():
+    """Model.val routes segment/pose/obb/rtdetr/classify to their validators
+    (it always used DetectionValidator before round 3)."""
+    from yolo_tpu.engine.validator import (
+        DetectionValidator, OBBValidator, PoseValidator, RTDETRValidator,
+        SegmentationValidator, validator_for,
+    )
+
+    class M:
+        task = "detect"
+        is_rtdetr = False
+
+    m = M()
+    assert validator_for(m) is DetectionValidator
+    m.task = "segment"
+    assert validator_for(m) is SegmentationValidator
+    m.task = "pose"
+    assert validator_for(m) is PoseValidator
+    m.task = "obb"
+    assert validator_for(m) is OBBValidator
+    m.is_rtdetr = True
+    assert validator_for(m) is RTDETRValidator
+
+
+def test_predictor_accepts_grayscale_ndarray():
+    """2-D and (H, W, 1) sources run through the Python API (serve.py already
+    normalized channels; the predictor crashed at the stem conv before)."""
+    import numpy as np
+
+    from yolo_tpu import YOLO
+
+    m = YOLO("yolov8n.yaml")
+    gray2d = np.random.default_rng(0).integers(0, 255, (96, 128), np.uint8)
+    gray3d = gray2d[..., None]
+    color = np.random.default_rng(1).integers(0, 255, (96, 128, 3), np.uint8)
+    res = m.predict([gray2d, gray3d, color], imgsz=64, conf=0.9, verbose=False)
+    assert len(res) == 3 and all(r.boxes.xyxy.shape[1] == 4 for r in res)
+
+
+def test_smart_request_rewinds_file_body(monkeypatch, tmp_path):
+    """A retried upload re-sends the WHOLE file (the body was at EOF after a
+    failed first attempt before round 3)."""
+    import io
+    import sys
+    import types
+
+    bodies = []
+
+    def fake_request(method, url, json=None, data=None, headers=None, timeout=None):
+        bodies.append(data.read() if hasattr(data, "read") else data)
+        r = types.SimpleNamespace(status_code=500 if len(bodies) == 1 else 200)
+        return r
+
+    req = types.ModuleType("requests")
+    req.request = fake_request
+    monkeypatch.setitem(sys.modules, "requests", req)
+    monkeypatch.setattr("time.sleep", lambda s: None)
+
+    from yolo_tpu.hub import smart_request
+
+    payload = b"checkpoint-bytes" * 100
+    f = io.BytesIO(payload)
+    r = smart_request("POST", "http://x/upload", data=f)
+    assert r.status_code == 200
+    assert bodies == [payload, payload]

@@ -188,3 +188,24 @@ class ClassificationTrainer:
             top5 += (np.any(order[:, :5] == labels[:, None], axis=-1) & real).sum()
             n += int(real.sum())
         return {"top1": top1 / max(n, 1), "top5": top5 / max(n, 1)}
+
+
+class ClassificationValidator:
+    """Standalone top1/top5 evaluation with the validator call convention
+    (Model.val dispatches here for classify; ref: models/yolo/classify/val.py
+    ClassificationValidator:23). Reuses ClassificationTrainer.validate's
+    cached compiled program."""
+
+    def __init__(self, args=None, data=None):
+        overrides = {k: v for k, v in (args or {}).items() if k in DEFAULT_CFG_DICT}
+        self.args = get_cfg(overrides=overrides)
+
+    def __call__(self, model, params) -> dict:
+        root = Path(self.args.data)
+        val_dir = root / "val" if (root / "val").exists() else (root / "train" if (root / "train").exists() else root)
+        ds = ClassificationDataset(val_dir, imgsz=self.args.imgsz)
+        t = ClassificationTrainer(overrides=vars(self.args), model=model, params=params)
+        metrics = t.validate(params, ds)
+        LOGGER.info(f"classify val: top1 {metrics['top1']:.3f} top5 {metrics['top5']:.3f} ({len(ds)} images)")
+        metrics["fitness"] = metrics["top1"]
+        return metrics

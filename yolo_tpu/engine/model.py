@@ -190,11 +190,22 @@ class YOLO:
         return self.metrics
 
     def val(self, validator=None, **kwargs):
-        """Validate on a dataset (ref: engine/model.py val:603)."""
-        from yolo_tpu.engine.validator import DetectionValidator
+        """Validate on a dataset (ref: engine/model.py val:603).
 
+        Dispatches the task's validator (segment/pose/obb/rtdetr/classify),
+        mirroring DetectionTrainer.validate — the reference routes through
+        task_map the same way."""
         args = {**self.overrides, **kwargs, "mode": "val"}
-        v = (validator or DetectionValidator)(args=args)
+        if validator is None:
+            if self.task == "classify":
+                from yolo_tpu.engine.classify import ClassificationValidator
+
+                validator = ClassificationValidator
+            else:
+                from yolo_tpu.engine.validator import validator_for
+
+                validator = validator_for(self.model)
+        v = validator(args=args)
         self.metrics = v(model=self.model, params=self.params)
         return self.metrics
 

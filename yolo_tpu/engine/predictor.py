@@ -56,12 +56,16 @@ class BasePredictor:
         """Install (raw) params, re-applying PTQ quantization when int8 is on —
         callers that refresh params on a reused predictor (engine/model.py
         predict) must not silently revert an int8 predictor to float."""
+        int8 = bool(getattr(self.args, "int8", False))
+        if params is getattr(self, "_raw_params", None) and int8 == getattr(self, "_installed_int8", None):
+            return  # unchanged tree + same quant mode: keep the installed params
         self._raw_params = params
-        if getattr(self.args, "int8", False):  # PTQ inference (nn/quantize.py)
+        if int8:  # PTQ inference (nn/quantize.py)
             from yolo_tpu.nn.quantize import quantize_params
 
             params = quantize_params(self.model.fuse(params) if hasattr(self.model, "fuse") else params)
         self.params = params
+        self._installed_int8 = int8
 
     # --- device program ------------------------------------------------------
 
@@ -154,7 +158,16 @@ class BasePredictor:
     # --- host pipeline ---------------------------------------------------------
 
     def pre_transform(self, im: np.ndarray) -> tuple[np.ndarray, tuple]:
-        """Letterbox one image to the target size; returns (img, (ratio, pad))."""
+        """Letterbox one image to the target size; returns (img, (ratio, pad)).
+
+        Grayscale inputs (2-D or single-channel) are expanded to 3 channels
+        first — the reference's loaders do the same via cv2 GRAY2BGR, and the
+        model stem expects 3; this also keeps mixed gray/color batches on one
+        compiled shape."""
+        if im.ndim == 2:
+            im = im[..., None]
+        if im.shape[-1] == 1:
+            im = np.repeat(im, 3, axis=-1)
         imgsz = self.args.imgsz
         if isinstance(imgsz, int):
             imgsz = (imgsz, imgsz)
@@ -214,7 +227,7 @@ class BasePredictor:
                 boxes = out["boxes"][i][valid]
                 scores = out["scores"][i][valid]
                 cls = out["cls"][i][valid]
-                boxes = scale_boxes((h, w), boxes, imgs[i].shape[:2])
+                boxes = scale_boxes((h, w), boxes, imgs[i].shape[:2], ratio_pad=lb_meta[i])
                 data = np.concatenate([boxes, scores[:, None], cls[:, None].astype(np.float32)], axis=-1)
                 path, frame_info = metas[i]
                 r = Results(imgs[i], path, self.names, boxes=data)
@@ -261,8 +274,12 @@ class BasePredictor:
             self._vid_writers = {}
         for r, (path, frame_idx) in zip(results, metas):
             stem = Path(str(path)).stem or "image"
+            is_vid = Path(str(path)).suffix.lower().lstrip(".") in VID_FORMATS
             if self.args.save_txt:
-                r.save_txt(self.save_dir / "labels" / f"{stem}.txt", save_conf=self.args.save_conf)
+                # video frames get per-frame files, ref predictor:
+                # txt_path + f'_{frame}' for non-image sources
+                txt_stem = f"{stem}_{frame_idx}" if is_vid else stem
+                r.save_txt(self.save_dir / "labels" / f"{txt_stem}.txt", save_conf=self.args.save_conf)
             if getattr(self.args, "save_crop", False):
                 # per-class detection crops (ref: plotting.py save_one_box:626,
                 # gain 1.02 + 10px pad, square off)
@@ -280,12 +297,19 @@ class BasePredictor:
                     _imwrite(str(d / f"{stem}_{frame_idx}_{j}.jpg"), r.orig_img[y1:y2, x1:x2])
             if self.args.save:
                 annotated = r.plot(line_width=self.args.line_width, labels=self.args.show_labels)
-                suffix = Path(str(path)).suffix.lower().lstrip(".")
-                if suffix in VID_FORMATS:  # accumulate into a video writer per source
+                if is_vid:  # accumulate into a video writer per source
                     if path not in self._vid_writers:
                         h, w = annotated.shape[:2]
                         out_path = str(self.save_dir / f"{stem}.mp4")
-                        self._vid_writers[path] = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"), 30, (w, h))
+                        fps = 30.0
+                        try:  # carry the source fps through (ref: save_predicted_images fps=cap fps)
+                            cap = cv2.VideoCapture(str(path))
+                            fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+                            cap.release()
+                        except Exception:
+                            pass
+                        fps = max(fps / max(1, int(self.args.vid_stride or 1)), 1.0)  # stride drops frames
+                        self._vid_writers[path] = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"), float(fps), (w, h))
                     self._vid_writers[path].write(annotated)
                 else:
                     _imwrite(str(self.save_dir / f"{stem}.jpg"), annotated)

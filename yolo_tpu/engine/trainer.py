@@ -464,6 +464,9 @@ class DetectionTrainer:
                 )
                 if args.save_period > 0 and (epoch + 1) % args.save_period == 0:
                     self.save_checkpoint(self.wdir / f"epoch{epoch}.npz", ema_params)
+                # checkpoint hook (ref: trainer.py save_model → on_model_save;
+                # the hub session uploads last.npz from it)
+                run_callbacks(self.callbacks, "on_model_save", self)
             run_callbacks(self.callbacks, "on_fit_epoch_end", self)
             if self.stopper(epoch, fitness):
                 break

@@ -22,6 +22,39 @@ from yolo_tpu.utils import LOGGER
 from yolo_tpu.utils.metrics import ConfusionMatrix, DetMetrics, match_predictions
 from yolo_tpu.utils.tqdm import TQDM
 
+_VAL_PROGRAMS: "weakref.WeakKeyDictionary" = None  # initialized lazily below
+
+
+def _val_program(model, key, build):
+    """Per-model cache of jitted val programs.
+
+    trainer.validate constructs a fresh validator every epoch; a fresh
+    @jax.jit closure would retrace and recompile the full forward+NMS each
+    time (tens of seconds on TPU), so the compiled callable is cached on the
+    model object keyed by the val config."""
+    global _VAL_PROGRAMS
+    import weakref
+
+    if _VAL_PROGRAMS is None:
+        _VAL_PROGRAMS = weakref.WeakKeyDictionary()
+    try:
+        per = _VAL_PROGRAMS.setdefault(model, {})
+    except TypeError:  # model not weak-referenceable
+        return build()
+    if key not in per:
+        per[key] = build()
+    return per[key]
+
+
+def validator_for(model):
+    """Validator class for a model's task — the facade-side twin of
+    DetectionTrainer.validate's dispatch (ref: Model.task_map val entries,
+    engine/model.py:958)."""
+    if getattr(model, "is_rtdetr", False):
+        return RTDETRValidator
+    task = getattr(model, "task", "detect")
+    return {"segment": SegmentationValidator, "obb": OBBValidator, "pose": PoseValidator}.get(task, DetectionValidator)
+
 
 class DetectionValidator:
     """Evaluate a detection model on a dataset split."""
@@ -50,11 +83,16 @@ class DetectionValidator:
         conf, iou, max_det = float(self.args.conf), float(self.args.iou), int(self.args.max_det)
         dtype = jnp.bfloat16 if self.args.half else jnp.float32
 
-        @jax.jit
-        def infer(p, imgs):
-            x = imgs.astype(dtype) / 255.0  # dataset batches are already RGB (collate_batch)
-            preds = model.predict(p, x, dtype=dtype)
-            return non_max_suppression(preds, conf_thres=conf, iou_thres=iou, max_det=max_det)
+        def _build_infer():
+            @jax.jit
+            def infer(p, imgs):
+                x = imgs.astype(dtype) / 255.0  # dataset batches are already RGB (collate_batch)
+                preds = model.predict(p, x, dtype=dtype)
+                return non_max_suppression(preds, conf_thres=conf, iou_thres=iou, max_det=max_det)
+
+            return infer
+
+        infer = _val_program(model, ("det", conf, iou, max_det, dtype.__name__), _build_infer)
 
         metrics = DetMetrics(names=getattr(model, "names", {}))
         cm = ConfusionMatrix(nc=model.nc)
@@ -70,11 +108,8 @@ class DetectionValidator:
             cat_map = coco80_to_coco91_class()
         else:
             cat_map = None
-        last_shape = None
         for batch in TQDM(loader, desc="val", total=len(loader), unit="batch"):
             imgs = batch["img"]
-            if imgs.shape[0] != (last_shape[0] if last_shape else None):
-                pass  # shape change → new jit cache entry, expected on last partial batch
             pad_to = batch_size
             if imgs.shape[0] < pad_to:  # pad last batch to keep one compiled shape
                 pad = np.zeros((pad_to - imgs.shape[0],) + imgs.shape[1:], imgs.dtype)
@@ -182,11 +217,16 @@ class OBBValidator(DetectionValidator):
         conf, iou, max_det = float(self.args.conf), float(self.args.iou), int(self.args.max_det)
         dtype = jnp.bfloat16 if self.args.half else jnp.float32
 
-        @jax.jit
-        def infer(p, imgs):
-            x = imgs.astype(dtype) / 255.0  # dataset batches are already RGB (collate_batch)
-            preds = model.predict(p, x, dtype=dtype)  # (B, 4+nc+1, A) with angle
-            return non_max_suppression_rotated(preds, conf_thres=conf, iou_thres=iou, max_det=max_det)
+        def _build_infer():
+            @jax.jit
+            def infer(p, imgs):
+                x = imgs.astype(dtype) / 255.0  # dataset batches are already RGB (collate_batch)
+                preds = model.predict(p, x, dtype=dtype)  # (B, 4+nc+1, A) with angle
+                return non_max_suppression_rotated(preds, conf_thres=conf, iou_thres=iou, max_det=max_det)
+
+            return infer
+
+        infer = _val_program(model, ("obb", conf, iou, max_det, dtype.__name__), _build_infer)
 
         metrics = DetMetrics(names=getattr(model, "names", {}))
         n_img = 0
@@ -250,11 +290,16 @@ class PoseValidator(DetectionValidator):
         conf, iou, max_det = float(self.args.conf), float(self.args.iou), int(self.args.max_det)
         dtype = jnp.bfloat16 if self.args.half else jnp.float32
 
-        @jax.jit
-        def infer(p, imgs):
-            x = imgs.astype(dtype) / 255.0  # dataset batches are already RGB (collate_batch)
-            preds = model.predict(p, x, dtype=dtype)  # (B, 4+nc+nk, A)
-            return non_max_suppression(preds, conf_thres=conf, iou_thres=iou, max_det=max_det, nc=model.nc)
+        def _build_infer():
+            @jax.jit
+            def infer(p, imgs):
+                x = imgs.astype(dtype) / 255.0  # dataset batches are already RGB (collate_batch)
+                preds = model.predict(p, x, dtype=dtype)  # (B, 4+nc+nk, A)
+                return non_max_suppression(preds, conf_thres=conf, iou_thres=iou, max_det=max_det, nc=model.nc)
+
+            return infer
+
+        infer = _val_program(model, ("pose", conf, iou, max_det, dtype.__name__), _build_infer)
 
         box_metrics = DetMetrics(names=getattr(model, "names", {}))
         pose_metrics = DetMetrics(names=getattr(model, "names", {}))
@@ -329,14 +374,19 @@ class SegmentationValidator(DetectionValidator):
         conf, iou, max_det = float(self.args.conf), float(self.args.iou), int(self.args.max_det)
         dtype = jnp.bfloat16 if self.args.half else jnp.float32
 
-        @jax.jit
-        def infer(p, imgs):
-            x = imgs.astype(dtype) / 255.0  # dataset batches are already RGB (collate_batch)
-            preds, protos = model.predict(p, x, dtype=dtype)
-            return (
-                non_max_suppression(preds, conf_thres=conf, iou_thres=iou, max_det=max_det, nc=model.nc),
-                protos,
-            )
+        def _build_infer():
+            @jax.jit
+            def infer(p, imgs):
+                x = imgs.astype(dtype) / 255.0  # dataset batches are already RGB (collate_batch)
+                preds, protos = model.predict(p, x, dtype=dtype)
+                return (
+                    non_max_suppression(preds, conf_thres=conf, iou_thres=iou, max_det=max_det, nc=model.nc),
+                    protos,
+                )
+
+            return infer
+
+        infer = _val_program(model, ("seg", conf, iou, max_det, dtype.__name__), _build_infer)
 
         box_metrics = DetMetrics(names=getattr(model, "names", {}))
         m_metrics = DetMetrics(names=getattr(model, "names", {}))
@@ -422,14 +472,19 @@ class RTDETRValidator(DetectionValidator):
         conf = float(self.args.conf)
         dtype = jnp.bfloat16 if self.args.half else jnp.float32
 
-        @jax.jit
-        def infer(p, imgs):
-            x = imgs.astype(dtype) / 255.0  # dataset batches are already RGB (collate_batch)
-            y = model.predict(p, x, dtype=dtype)  # (B, nq, 4+nc) normalized
-            H, W = imgs.shape[1], imgs.shape[2]
-            boxes = _xywh2xyxy(y[..., :4]) * jnp.array([W, H, W, H], jnp.float32)
-            scores = y[..., 4:]
-            return boxes, scores
+        def _build_infer():
+            @jax.jit
+            def infer(p, imgs):
+                x = imgs.astype(dtype) / 255.0  # dataset batches are already RGB (collate_batch)
+                y = model.predict(p, x, dtype=dtype)  # (B, nq, 4+nc) normalized
+                H, W = imgs.shape[1], imgs.shape[2]
+                boxes = _xywh2xyxy(y[..., :4]) * jnp.array([W, H, W, H], jnp.float32)
+                scores = y[..., 4:]
+                return boxes, scores
+
+            return infer
+
+        infer = _val_program(model, ("rtdetr", conf, dtype.__name__), _build_infer)
 
         metrics = DetMetrics(names=getattr(model, "names", {}))
         n_img = 0

@@ -35,6 +35,8 @@ def smart_request(method: str, url: str, *, payload: dict | None = None, data: b
     import requests
 
     for attempt in range(retries):
+        if hasattr(data, "seek"):
+            data.seek(0)  # file-like body: a failed attempt leaves it at EOF
         try:
             r = requests.request(method, url, json=payload, data=data, headers=headers, timeout=timeout)
             if r.status_code < 500:
