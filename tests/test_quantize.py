@@ -165,7 +165,9 @@ def test_int8_flow_uncovered_architectures_run():
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
-    for yaml in ("yolo11n.yaml", "yolov9s.yaml"):
+    # yolo11n: C3k2/C2PSA attention; yolov9s: RepConv/ELAN; yolov10n: C2fCIB
+    # whose CIB residual receives the int8-resident split half
+    for yaml in ("yolo11n.yaml", "yolov9s.yaml", "yolov10n.yaml"):
         m = DetectionModel(yaml)
         p = m.fuse(m.init(0))
         scales = calibrate_act_scales(m, p, x)

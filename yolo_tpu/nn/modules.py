@@ -414,7 +414,9 @@ def int8_flow_paths(module, base: str) -> set:
             paths |= int8_flow_paths(m, f"{base}/m/{i}")
         return paths
     if isinstance(module, Bottleneck):
-        return {f"{base}/cv1", f"{base}/cv2"}
+        # with a residual shortcut the cv2 output is immediately dequantized
+        # for the add — emitting int8 there only adds rounding error
+        return {f"{base}/cv1"} if module.add else {f"{base}/cv1", f"{base}/cv2"}
     if isinstance(module, SPPF):
         return {f"{base}/cv1", f"{base}/cv2"}
     if isinstance(module, ConvBNAct):
@@ -1573,7 +1575,13 @@ class CIB:
 
     def __call__(self, p, x, ctx, path=""):
         y = self.seq(p["cv1"], x, ctx, f"{path}/cv1")
-        return x + y if self.add else y
+        if not self.add:
+            return y
+        if isinstance(x, QTensor) or isinstance(y, QTensor):
+            # C2fCIB's int8-resident split hands CIB a QTensor half — same
+            # residual dequant rule as Bottleneck
+            return deq(x, ctx.dtype) + deq(y, ctx.dtype)
+        return x + y
 
 
 class C2fCIB(C2f):
@@ -1679,10 +1687,12 @@ class v10Detect(Detect):
         """(B, max_det, 6) [x, y, w, h, score, cls] from the one2one branch
         (ref: Detect.postprocess:217)."""
         outs = self.one2one_forward(p, xs, ctx)
-        preds = self.decode(p, outs, xywh=False)  # (B, 4+nc, A) — end2end boxes are xyxy (ref decode_bboxes)
-        preds = jnp.swapaxes(preds, 1, 2)  # (B, A, 4+nc)
-        boxes, scores = preds[..., :4], preds[..., 4:]
-        k = min(self.max_det, preds.shape[1])
+        # anchors-major parts directly — decode() would transpose to the
+        # reference (B, 4+nc, A) layout only for this to transpose straight
+        # back (the same ~26 ms/512 layout churn decode_parts eliminates in
+        # the NMS path); end2end boxes are xyxy (ref decode_bboxes)
+        boxes, scores = self.decode_parts(p, outs, xywh=False)  # (B, A, 4), (B, A, nc)
+        k = min(self.max_det, boxes.shape[1])
         # two-stage (anchor, class) top-k exactly like the reference postprocess
         _, top_idx = jax.lax.top_k(scores.max(-1), k)
         b_sel = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)  # (B, k, 4)

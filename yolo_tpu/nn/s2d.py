@@ -140,3 +140,20 @@ def stem_apply(s2dp, x_packed, dtype, c1: int):
     if r4sq == 4:
         z = _unpack_hw(z, 2)
     return z
+
+
+def validate_stem(model):
+    """Assert the first two graph layers are the yolov8-family stem the fold
+    assumes: plain ConvBNAct, 3x3, stride 2, pad 1, no groups/dilation, SiLU.
+
+    fold_stem only sees params (where stride/act are invisible), so a
+    stride-1 stem (yolov3-tiny) or a relu-family model (yolov6 activation
+    override) would otherwise fold to silently wrong numbers — stem_apply's
+    tap math assumes s=2 and hardcodes SiLU."""
+    for i in (0, 1):
+        m = model.layers[i].module
+        name = type(m).__name__
+        assert name == "ConvBNAct", f"s2d stem fold: layer {i} is {name}, not a plain stem conv"
+        geo = (m.k, m.s, m.p, m.g, m.d)
+        assert geo == (3, 2, 1, 1, 1), f"s2d stem fold: layer {i} geometry k,s,p,g,d={geo} != (3, 2, 1, 1, 1)"
+        assert m.act == "silu", f"s2d stem fold: layer {i} activation {m.act!r} (stem_apply hardcodes SiLU)"

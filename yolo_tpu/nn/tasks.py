@@ -504,6 +504,10 @@ class DetectionModel(BaseModel):
         ctx = M.Ctx(train=False, dtype=dtype)
         outs = self.forward_features(params, x, ctx)
         assert not isinstance(self.head, M.v10Detect), "v10 end2end head decodes in-head; use predict()"
+        assert isinstance(outs, list), (
+            f"{type(self.head).__name__} produces structured outputs (masks/keypoints/angles); "
+            "the parts fast path handles plain Detect heads — use predict()"
+        )
         return self.head.decode_parts(params["model"][str(self.layers[-1].i)], outs)
 
     def predict_s2d(self, params, x, dtype=jnp.float32, parts: bool = False):
@@ -516,8 +520,9 @@ class DetectionModel(BaseModel):
         everything downstream (incl. head decode) is byte-identical to
         predict(). This is the HBM-traffic fix for the (H, W, 1) -> (H/2, W/2,
         16) stem whose activations pad the 128-lane layout at 8-128x waste."""
-        from yolo_tpu.nn.s2d import S2D_KEY, stem_apply
+        from yolo_tpu.nn.s2d import S2D_KEY, stem_apply, validate_stem
 
+        validate_stem(self)  # trace-time only; guards stride-1/relu stems
         z = stem_apply(params[S2D_KEY], x, dtype, c1=self.layers[1].module.c2)
         ctx = M.Ctx(train=False, dtype=dtype)
         outs, _, _ = self._walk(params, z, ctx, start=2)

@@ -137,8 +137,9 @@ class FusedDetectTrack:
             # for the HBM-bound forward's padded small-channel stem traffic
             assert not int8, "s2d and int8 are mutually exclusive (int8 is retired; see nn/quantize.py)"
             assert frame_hw[0] % s2d == 0 and frame_hw[1] % s2d == 0, f"frame {frame_hw} not divisible by s2d={s2d}"
-            from yolo_tpu.nn.s2d import fold_stem
+            from yolo_tpu.nn.s2d import fold_stem, validate_stem
 
+            validate_stem(model)  # stride/act are invisible in params — check the modules
             params = {**params, "s2d": fold_stem(params, s2d)}
         # NMS candidate slots: 4x the track capacity. Measured duplicate-
         # anchor fan-in with the demo-trained P2 model is ~1.25 anchors per
