@@ -86,3 +86,98 @@ def test_shipped_dataset_yaml_registry():
     assert o["nc"] == 15
     ir = check_det_dataset("ir-small-target.yaml")
     assert ir["nc"] == 1 and ir["names"][0] == "aircraft"
+
+
+def _write_img(path, w=32, h=32):
+    import cv2
+    import numpy as np
+
+    cv2.imwrite(str(path), np.full((h, w, 3), 90, np.uint8))
+
+
+def test_single_cls_invalidates_label_cache(tmp_path):
+    """Toggling single_cls must not serve the other mode's cached class ids."""
+    from yolo_tpu.data.dataset import YOLODataset
+
+    (tmp_path / "images").mkdir()
+    (tmp_path / "labels").mkdir()
+    _write_img(tmp_path / "images" / "a.jpg")
+    (tmp_path / "labels" / "a.txt").write_text("3 0.5 0.5 0.2 0.2\n")
+    d_multi = YOLODataset(str(tmp_path / "images"), imgsz=32)
+    assert d_multi.labels[0]["cls"][0] == 3.0
+    d_single = YOLODataset(str(tmp_path / "images"), imgsz=32, single_cls=True)
+    assert d_single.labels[0]["cls"][0] == 0.0  # stale cache served 3.0 before
+
+
+def test_list_file_paths_resolve_relative_to_list(tmp_path, monkeypatch):
+    """./-style entries in a list txt resolve against the txt's parent, not cwd."""
+    from yolo_tpu.data.dataset import YOLODataset
+
+    ds = tmp_path / "ds"
+    (ds / "images").mkdir(parents=True)
+    (ds / "labels").mkdir()
+    _write_img(ds / "images" / "a.jpg")
+    (ds / "labels" / "a.txt").write_text("0 0.5 0.5 0.2 0.2\n")
+    (ds / "train.txt").write_text("./images/a.jpg\n")
+    monkeypatch.chdir(tmp_path)  # cwd != list parent
+    d = YOLODataset(str(ds / "train.txt"), imgsz=32)
+    assert len(d) == 1 and d.load_raw(0)["img"] is not None
+
+
+def test_triangle_polygon_parses_as_segment(tmp_path):
+    """A 3-point polygon row (7 fields) is a segment, not a garbage box."""
+    from yolo_tpu.data.dataset import YOLODataset
+
+    (tmp_path / "images").mkdir()
+    (tmp_path / "labels").mkdir()
+    _write_img(tmp_path / "images" / "a.jpg")
+    (tmp_path / "labels" / "a.txt").write_text("0 0.2 0.2 0.8 0.2 0.5 0.9\n")
+    d = YOLODataset(str(tmp_path / "images"), imgsz=32, task="segment", cache=False)
+    lb = d.labels[0]
+    assert lb["segments"] is not None and lb["segments"][0] is not None
+    assert lb["segments"][0].shape == (3, 2)
+    np.testing.assert_allclose(lb["bboxes"][0], [0.5, 0.55, 0.6, 0.7], atol=1e-6)  # polygon-tight xywh
+
+
+def test_mosaic4_obb_with_background_tile():
+    """A background tile (obb=None) must not drop the obb key for the mosaic."""
+    from yolo_tpu.data.augment import mosaic4
+
+    rng = np.random.default_rng(0)
+    corners = np.array([[[4, 4], [12, 4], [12, 12], [4, 12]]], np.float32)
+    labeled = {
+        "img": np.full((32, 32, 3), 50, np.uint8),
+        "bboxes": np.array([[4, 4, 12, 12]], np.float32),
+        "cls": np.array([0.0], np.float32),
+        "obb": corners,
+    }
+    background = {
+        "img": np.full((32, 32, 3), 20, np.uint8),
+        "bboxes": np.zeros((0, 4), np.float32),
+        "cls": np.zeros((0,), np.float32),
+        "obb": None,
+    }
+    import random as pyrandom
+
+    out = mosaic4([labeled, background, dict(labeled), dict(background)], 32, pyrandom.Random(0))
+    assert "obb" in out and len(out["obb"]) == len(out["bboxes"])
+
+
+def test_copy_paste_clips_out_of_bounds_donor():
+    """Donor boxes extending past the donor frame must not crash the blit."""
+    import random as pyrandom
+
+    from yolo_tpu.data.augment import copy_paste
+
+    labels = {
+        "img": np.full((64, 64, 3), 30, np.uint8),
+        "bboxes": np.zeros((0, 4), np.float32),
+        "cls": np.zeros((0,), np.float32),
+    }
+    donor = {
+        "img": np.full((64, 64, 3), 200, np.uint8),
+        "bboxes": np.array([[50.0, 50.0, 80.0, 80.0]], np.float32),  # extends past 64
+        "cls": np.array([1.0], np.float32),
+    }
+    out = copy_paste(labels, donor, p=1.0, rng=pyrandom.Random(0))
+    assert len(out["bboxes"]) in (0, 1)  # no ValueError; clipped patch pasted or skipped

@@ -71,6 +71,16 @@ def random_flip(labels, lr_p=0.5, ud_p=0.0, rng=None, flip_idx=None):
     kp = labels.get("keypoints")
     ob = labels.get("obb")
     segs = labels.get("segments")
+    if lr_p and kp is not None and flip_idx is None:
+        # mirroring keypoints without swapping left/right pairs silently
+        # trains swapped laterality — the reference disables fliplr and warns
+        # (ref: augment.py v8_transforms flip_idx check)
+        if not getattr(random_flip, "_warned_flip_idx", False):
+            random_flip._warned_flip_idx = True
+            from yolo_tpu.utils import LOGGER
+
+            LOGGER.warning("no 'flip_idx' in the dataset yaml — disabling fliplr for keypoints")
+        lr_p = 0.0
     if ud_p and rng.random() < ud_p:
         img = np.flipud(img)
         b = b.copy()
@@ -236,7 +246,9 @@ def mosaic4(items, imgsz: int, rng=None):
     canvas = np.full((s * 2, s * 2, items[0]["img"].shape[-1]), 114, dtype=np.uint8)
     kpt_dims = next((it["keypoints"].shape[1:] for it in items if it.get("keypoints") is not None), None)
     has_kpts = kpt_dims is not None
-    has_obb = all(it.get("obb") is not None for it in items)
+    # any(): a background tile (empty label file → obb None) must not drop
+    # the obb key for the whole mosaic — collate would KeyError on it
+    has_obb = any(it.get("obb") is not None for it in items)
     has_segs = any(it.get("segments") for it in items)
     all_boxes, all_cls, all_kpts, all_obbs, all_segs = [], [], [], [], []
     for i, it in enumerate(items):
@@ -280,8 +292,9 @@ def mosaic4(items, imgsz: int, rng=None):
                 kp[..., 1] += padh
                 all_kpts.append(kp)
             if has_obb:
-                ob = it["obb"].copy()
-                ob[..., :4] *= r  # cx, cy, w, h scale; angle unchanged
+                ob = it.get("obb")
+                ob = np.zeros((len(b), 4, 2), np.float32) if ob is None else ob.copy()
+                ob *= r  # (N, 4, 2) corner coords in pixels
                 ob[..., 0] += padw
                 ob[..., 1] += padh
                 all_obbs.append(ob)
@@ -316,6 +329,10 @@ def copy_paste(labels, donor, p=0.5, rng=None):
         if rng.random() > p:
             continue
         x1, y1, x2, y2 = map(int, box)
+        dh, dw = donor["img"].shape[:2]
+        # annotation noise can push boxes past the donor frame; clip before
+        # slicing or the blit below broadcasts a short patch and raises
+        x1, y1, x2, y2 = max(x1, 0), max(y1, 0), min(x2, dw), min(y2, dh)
         bw, bh = x2 - x1, y2 - y1
         if bw < 2 or bh < 2 or bw >= w or bh >= h:
             continue
@@ -441,7 +458,10 @@ class TrainTransforms:
                 ]
             border = (0, 0)
 
-        if h.copy_paste > 0 and rng.random() < 0.5:
+        # close_mosaic zeroes mosaic AND copy_paste/mixup/cutmix for the final
+        # epochs (ref: trainer _close_dataloader_mosaic) — gate them all on
+        # mosaic_enabled so the clean fine-tune epochs see no synthetics
+        if self.mosaic_enabled and h.copy_paste > 0 and rng.random() < 0.5:
             donor = self.dataset.load_raw(rng.randrange(len(self.dataset)))
             labels = copy_paste(labels, donor, p=h.copy_paste, rng=rng)
 
@@ -460,7 +480,7 @@ class TrainTransforms:
             # full partner labels — stripping to img/bboxes/cls zeroed the
             # mixed-in instances' keypoints and desynced segments lists
             labels = mixup(labels, other, rng)
-        if getattr(h, "cutmix", 0.0) and rng.random() < h.cutmix:
+        if self.mosaic_enabled and getattr(h, "cutmix", 0.0) and rng.random() < h.cutmix:
             other = self(self.dataset.load_raw(rng.randrange(len(self.dataset))), rng)
             labels = cutmix(labels, other, rng=rng)
 
@@ -617,6 +637,15 @@ def cutmix(labels, other, p: float = 1.0, beta: float = 1.0, num_areas: int = 3,
     if labels.get("keypoints") is not None:
         pad = np.zeros((len(take), *labels["keypoints"].shape[1:]), np.float32)
         labels["keypoints"] = np.concatenate([labels["keypoints"], pad])
+    if labels.get("obb") is not None:
+        # keep the parallel obb array in sync: adopt the donor corners when
+        # present, else axis-aligned corners from the adopted (clipped) boxes
+        donor_obb = other.get("obb")
+        if donor_obb is not None and len(donor_obb) >= len(other["bboxes"]):
+            new_obb = donor_obb[take].copy()
+        else:
+            new_obb = np.stack([nb[:, [0, 1]], nb[:, [2, 1]], nb[:, [2, 3]], nb[:, [0, 3]]], axis=1)
+        labels["obb"] = np.concatenate([labels["obb"], new_obb.astype(np.float32)])
     if labels.get("segments") is not None:
         # keep the per-box segments list aligned with the grown bbox array
         donor_segs = other.get("segments")

@@ -86,7 +86,14 @@ class YOLODataset:
     def _list_images(img_path, fraction: float):
         p = Path(img_path)
         if p.is_file() and p.suffix == ".txt":  # list file
-            files = [line.strip() for line in p.read_text().splitlines() if line.strip()]
+            # relative entries resolve against the list file's parent, the
+            # yolo convention (ref: data/utils.py replaces './' with it) —
+            # resolving against the process cwd breaks every standard dataset
+            files = [
+                t if Path(t).is_absolute() else str((p.parent / t).resolve())
+                for t in (line.strip() for line in p.read_text().splitlines())
+                if t
+            ]
         elif p.is_dir():
             files = sorted(str(f) for f in p.rglob("*") if f.suffix.lower() in IMG_EXTS)
         else:
@@ -109,7 +116,7 @@ class YOLODataset:
 
         stat_sig = ";".join(_sig(lf) for lf in label_files)
         key = hashlib.sha1(
-            ("".join(self.im_files + label_files) + stat_sig + str(self.kpt_shape) + self.task).encode()
+            ("".join(self.im_files + label_files) + stat_sig + str(self.kpt_shape) + self.task + f":sc{self.single_cls}").encode()
         ).hexdigest()[:16]
         cache_path = Path(self.im_files[0]).parent / f".labels_{key}.cache.json"
         if cache and cache_path.exists():
@@ -153,7 +160,7 @@ class YOLODataset:
                         boxes.append([float(x) for x in parts[1:5]])
                         kpts.append(np.array([float(x) for x in parts[5:]], np.float32).reshape(self.kpt_shape))
                         segments.append(None)
-                    elif len(parts) >= 9 and len(parts) % 2 == 1:  # segment row: cls + polygon
+                    elif len(parts) >= 7 and len(parts) % 2 == 1:  # segment row: cls + polygon (≥3 points)
                         cls.append(0.0 if self.single_cls else float(parts[0]))
                         poly = np.array([float(x) for x in parts[1:]], np.float32).reshape(-1, 2)
                         segments.append(poly)

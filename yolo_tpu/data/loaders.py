@@ -77,7 +77,10 @@ class LoadStreams:
                         self.imgs[i] = [im]
             else:
                 time.sleep(0.01)
-        self.running = False
+        # do NOT flip self.running here: that is the loop condition of every
+        # OTHER stream's capture thread — one short/faulty stream must not
+        # stop healthy ones (iteration ends in __next__ when this stream's
+        # buffer drains and its thread is dead, like the reference)
 
     def __iter__(self):
         self.count = -1
@@ -89,8 +92,8 @@ class LoadStreams:
         for i in range(len(self.sources)):
             waited = 0.0
             while not self.imgs[i]:
-                if not self.running and not self.imgs[i]:
-                    raise StopIteration
+                if not self.running or not self.threads[i].is_alive():
+                    raise StopIteration  # this stream is done and drained
                 time.sleep(0.005)
                 waited += 0.005
                 if waited > 5.0:

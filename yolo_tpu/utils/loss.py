@@ -271,7 +271,11 @@ class v8OBBLoss(v8DetectionLoss):
         scale = jnp.array([imgsz[1], imgsz[0], imgsz[1], imgsz[0]], jnp.float32)
         gt_rboxes = jnp.concatenate([raw[..., :4] * scale, raw[..., 4:5]], -1)
         mask_gt = batch["mask_gt"].astype(jnp.float32)
-        # reference filters rboxes under 2px on either side (:705-706)
+        # reference filters rboxes under 2px on either side (:705-706).
+        # PARITY QUIRK kept on purpose: the reference scales normalized width
+        # by imgsz[0]=H and height by imgsz[1]=W (axes swapped); identical on
+        # square imgsz, and matching it keeps the assigner mask bit-equal on
+        # rectangular sizes too
         big_enough = (raw[..., 2] * imgsz[0] >= 2) & (raw[..., 3] * imgsz[1] >= 2)
         mask_gt = (mask_gt * big_enough.astype(jnp.float32))[..., None]
         gt_rboxes = gt_rboxes * mask_gt

@@ -11,13 +11,14 @@ import json
 import time
 from pathlib import Path
 
-_writer = None
+_writers: dict = {}  # keyed by log dir — a 2nd run in one process gets its own
 
 
 def _get_writer(log_dir):
-    global _writer
-    if _writer is not None:
-        return _writer
+    key = str(log_dir)
+    if key in _writers:
+        return _writers[key]
+    _writer = None
     try:
         from torch.utils.tensorboard import SummaryWriter  # torch cpu ships one
 
@@ -36,6 +37,7 @@ def _get_writer(log_dir):
                 pass
 
         _writer = JsonlWriter(log_dir)
+    _writers[key] = _writer
     return _writer
 
 
