@@ -58,3 +58,31 @@ def test_stream_run_loop():
 
     steps = list(runner.run([frames(), frames()], max_steps=5))
     assert len(steps) == 3  # exhausted after 3 frames per stream
+
+
+def test_multistream_run_accepts_generator():
+    """run() materializes the iterable of per-stream iterators — a generator
+    was consumed by the first step and crashed np.stack on the second."""
+    import numpy as np
+
+    from yolo_tpu.parallel.streams import MultiStreamRunner
+
+    class _Detless(MultiStreamRunner):
+        def __init__(self):  # bypass model compile; step() uses _fn + trackers
+            self.n_streams = 2
+            self.conf = 0.5
+            self.params = None
+            self._fn = lambda p, frames: {
+                "boxes": np.zeros((len(frames), 4, 4), np.float32),
+                "scores": np.zeros((len(frames), 4), np.float32),
+                "cls": np.zeros((len(frames), 4), np.float32),
+                "valid": np.zeros((len(frames), 4), bool),
+            }
+            from yolo_tpu.kalman.multi_tracker import EnhancedMultiTargetTracker
+
+            self.trackers = [EnhancedMultiTargetTracker() for _ in range(2)]
+
+    r = _Detless()
+    frames = [np.zeros((8, 8, 1), np.uint8)] * 3
+    steps = list(r.run(iter(f) for f in (frames, frames)))
+    assert len(steps) == 3

@@ -308,3 +308,15 @@ def test_sam_generate_everything():
     if len(r.masks.data):
         assert r.masks.data.shape[1:] == (96, 128)
         assert r.boxes.xyxy.shape[0] == len(r.masks.data)
+
+
+def test_sam2_facade_builds_and_video_predictor():
+    """SAM('sam2_t') resolves through SAM_BUILDERS (it raised ValueError
+    before round 3, making the documented video path unreachable)."""
+    from yolo_tpu.models.sam.model import SAM
+    from yolo_tpu.models.sam.sam2 import SAM2Model
+
+    sam = SAM("sam2_t", img_size=128)
+    assert isinstance(sam.model, SAM2Model)
+    vp = sam.video_predictor()
+    assert vp is not None

@@ -190,3 +190,18 @@ def test_botsort_reid_feats_follow_conf_split():
     assert 6 in by_pos and 46 in by_pos  # tlwh x = cx - w/2
     assert np.argmax(np.abs(by_pos[6].curr_feat)) == 0
     assert np.argmax(np.abs(by_pos[46].curr_feat)) == 2
+
+
+def test_byte_tracker_zero_detections():
+    """Empty detection sets are a valid update call (reshape(0,-1) crashed)."""
+    from yolo_tpu.trackers.byte_tracker import BYTETracker
+    from yolo_tpu.trackers.track import load_tracker_cfg
+
+    t = BYTETracker(args=load_tracker_cfg(None), frame_rate=30)
+    out = t.update(np.zeros((0, 4), np.float32), np.zeros((0,), np.float32), np.zeros((0,), np.float32))
+    assert out.shape[0] == 0
+    # and normal frames still work afterwards (new tracks after frame 1
+    # start unconfirmed, so the track emits from its second hit)
+    for _ in range(2):
+        out = t.update(np.array([[50, 50, 10, 10]], np.float32), np.array([0.9], np.float32), np.array([0], np.float32))
+    assert out.shape[0] == 1

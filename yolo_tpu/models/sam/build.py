@@ -82,9 +82,21 @@ def build_sam_vit_h(img_size=1024):
     return _build_sam(1280, 32, 16, (7, 15, 23, 31), img_size)
 
 
+def _sam2(name):  # lazy: keep sam2's Hiera import cost out of SAM1 builds
+    def build(img_size=1024):
+        from yolo_tpu.models.sam import sam2
+
+        return getattr(sam2, f"build_sam2_{name}")(img_size)
+
+    return build
+
+
 SAM_BUILDERS = {
     "sam_b": build_sam_vit_b,
     "sam_l": build_sam_vit_l,
     "sam_h": build_sam_vit_h,
     "mobile_sam": build_mobile_sam,
+    "sam2_t": _sam2("t"),
+    "sam2_s": _sam2("s"),
+    "sam2_b": _sam2("b"),
 }

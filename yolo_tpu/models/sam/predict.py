@@ -76,16 +76,24 @@ class SAMPredictor:
         if bboxes is not None:
             bxs = jnp.asarray(np.atleast_2d(np.asarray(bboxes, np.float32)) * self._scale)
 
-        if self._decode_jit is None:
-            self._decode_jit = jax.jit(
-                lambda p, feats, pts, bxs: self.model.predict_masks(
-                    p, feats, points=pts, boxes=bxs, multimask_output=multimask_output
-                ),
-                static_argnames=(),
-            )
-        masks, iou = self.model.predict_masks(
-            self.params, self._features, points=pts, boxes=bxs, multimask_output=multimask_output
-        )
+        from yolo_tpu.models.sam.sam2 import SAM2Model
+
+        mm = bool(multimask_output)
+        if self._decode_jit is None or getattr(self, "_decode_mm", None) is not mm:
+            if isinstance(self.model, SAM2Model):
+                # SAM2 features are (embed, [s0, s1]) and its decoder also
+                # returns mask tokens + object score — keep (masks, iou)
+                def _decode(p, feats, pts, bxs):
+                    embed, high_res = feats
+                    out = self.model.predict_masks(p, embed, high_res, points=pts, boxes=bxs, multimask_output=mm)
+                    return out[0], out[1]
+            else:
+                def _decode(p, feats, pts, bxs):
+                    return self.model.predict_masks(p, feats, points=pts, boxes=bxs, multimask_output=mm)
+
+            self._decode_jit = jax.jit(_decode)
+            self._decode_mm = mm
+        masks, iou = self._decode_jit(self.params, self._features, pts, bxs)
         masks = np.asarray(masks)
         iou = np.asarray(iou)
 

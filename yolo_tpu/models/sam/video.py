@@ -76,13 +76,18 @@ class SAM2VideoPredictor:
         """Prompt the conditioning frame. frame: (H, W, 3) or (B, H, W, 3)
         uint8/float RGB at model.img_size; points in pixel coords."""
         frame = self._batch(frame)
+        pts_list, lab_list = [], []
         if box is not None:
             box = np.asarray(box, np.float32).reshape(-1, 4)
-            pts = box.reshape(-1, 2, 2)
-            lab = np.tile(np.array([[2, 3]], np.int32), (pts.shape[0], 1))
-        else:
-            pts = np.asarray(points, np.float32).reshape(frame.shape[0], -1, 2)
-            lab = np.asarray(labels, np.int32).reshape(frame.shape[0], -1)
+            pts_list.append(box.reshape(-1, 2, 2))
+            lab_list.append(np.tile(np.array([[2, 3]], np.int32), (box.shape[0], 1)))
+        if points is not None:
+            pts_list.append(np.asarray(points, np.float32).reshape(frame.shape[0], -1, 2))
+            lab_list.append(np.asarray(labels, np.int32).reshape(frame.shape[0], -1))
+        assert pts_list, "add_prompt needs points and/or box"
+        # box corners (labels 2/3) concatenate with clicks, ref concat_points
+        pts = np.concatenate(pts_list, axis=1)
+        lab = np.concatenate(lab_list, axis=1)
         # ref _use_multimask: multimask only when 0 or 1 clicks
         multimask = pts.shape[1] <= 1
         masks, scores, self.bank = self._init_jit(self.params, frame, jnp.asarray(pts), jnp.asarray(lab), multimask)

@@ -82,6 +82,7 @@ class MultiStreamRunner:
 
     def run(self, stream_iters, max_steps: int | None = None):
         """Drive from an iterable of per-stream frame iterators until exhaustion."""
+        stream_iters = list(stream_iters)  # a generator would be consumed by the 1st pass
         step = 0
         while max_steps is None or step < max_steps:
             frames = []

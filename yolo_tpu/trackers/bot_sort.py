@@ -124,8 +124,9 @@ class BOTSORT(BYTETracker):
             emb_dists[emb_dists > (1 - self.appearance_thresh)] = 1.0
             emb_dists[dists_mask] = 1.0
             dists = np.minimum(dists, emb_dists)
-        else:
-            dists[dists_mask] = 1.0 if self.args.with_reid else dists[dists_mask]
+        # the proximity mask gates only the APPEARANCE cost (ref bot_sort.py
+        # get_dists) — hardening the IoU cost here forbade matches the
+        # reference allows whenever with_reid was on but feats were absent
         return dists
 
     def multi_predict(self, tracks):

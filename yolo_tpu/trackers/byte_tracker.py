@@ -175,7 +175,9 @@ class BYTETracker:
         self.frame_id += 1
         activated, refind, lost, removed = [], [], [], []
         n = len(scores)
-        boxes_xywh = np.asarray(boxes_xywh).reshape(n, -1)
+        boxes_xywh = np.asarray(boxes_xywh)
+        # reshape(0, -1) raises on empty input; zero detections are a valid call
+        boxes_xywh = boxes_xywh.reshape(n, -1) if n else boxes_xywh.reshape(0, 4)
         scores = np.asarray(scores)
         cls = np.asarray(cls)
 
@@ -213,7 +215,14 @@ class BYTETracker:
         strack_pool = joint_stracks(tracked_stracks, self.lost_stracks)
         self.multi_predict(strack_pool)
         if img is not None and hasattr(self, "gmc"):
-            warp = self.gmc.apply(img, dets[:, :4] if len(dets) else None)
+            # GMC masks detection regions as tlbr (ref byte_tracker.py:336
+            # passes results.xyxy) — dets here are center xywh, convert
+            if len(dets):
+                cxy, wh = dets[:, :2], dets[:, 2:4]
+                det_tlbr = np.concatenate([cxy - wh / 2, cxy + wh / 2], axis=1)
+            else:
+                det_tlbr = None
+            warp = self.gmc.apply(img, det_tlbr)
             STrack.multi_gmc(strack_pool, warp)
             STrack.multi_gmc(unconfirmed, warp)
 

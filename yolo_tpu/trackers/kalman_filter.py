@@ -138,11 +138,6 @@ class KalmanFilterXYWH(KalmanFilterXYAH):
     """Same filter over (cx, cy, w, h) measurements (ref :289). Noise scales
     with both w and h instead of h alone."""
 
-    def _wh_std(self, mean_or_meas, pw, vw=None):
-        w, h = mean_or_meas[2], mean_or_meas[3]
-        out = [pw * w, pw * h, pw * w, pw * h]
-        return out
-
     def initiate(self, measurement):
         mean = np.r_[measurement, np.zeros_like(measurement)]
         std = [

@@ -59,14 +59,19 @@ def attach_tracker(model, results, persist: bool = False, stream: bool = False, 
         # feats)) — BOT-SORT's GMC and crop-and-embed ReID both need pixels
         tracks = tracker.update(xywh, det.conf, det.cls, img=getattr(r, "orig_img", None), feats=getattr(r, "feats", None))
         if len(tracks) == 0:
-            r.update(boxes=np.zeros((0, 7), np.float32))
-            return r
+            # subset to zero so masks/keypoints stay aligned with the boxes
+            # (ref: track.py predictor.results[i][idx] subsets the whole Result)
+            kept = r[[]]
+            kept.update(boxes=np.zeros((0, 7), np.float32))
+            return kept
         idx = tracks[:, -1].astype(int)
+        # subset the WHOLE result (masks/keypoints reorder with the boxes) —
+        # mutating the original r paired mask i with the wrong track id
         kept = r[idx.tolist()]
         # [x1,y1,x2,y2, id, conf, cls]
         boxes = np.concatenate([tracks[:, :4], tracks[:, 4:5], kept.boxes.conf[:, None], kept.boxes.cls[:, None]], axis=-1)
-        r.update(boxes=boxes.astype(np.float32))
-        return r
+        kept.update(boxes=boxes.astype(np.float32))
+        return kept
 
     if stream:
         return (process(r) for r in results)
