@@ -124,7 +124,11 @@ def main():
         for b in pbufs:
             state, st, _packed = pipe._fused(pipe.params, state, st, b)
         _ = int(np.asarray(st["frames"]))
-        return n_dev_chunks * chunk / (time.perf_counter() - t0)
+        fps = n_dev_chunks * chunk / (time.perf_counter() - t0)
+        # the donating calls above deleted the buffers pipe.state/pipe.stats
+        # still referenced — rebind so the pipeline object stays usable
+        pipe.state, pipe.stats = state, st
+        return fps
 
     dev_fps = measure_device_fps(ft)
     # int8 PTQ variant (now int8-RESIDENT activations, nn/quantize.py): still

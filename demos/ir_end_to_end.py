@@ -120,7 +120,7 @@ def main():
     # periodic cloud cover → the reference demo's detected/predicted regime)
     det_model = model.model
     params = det_model.fuse(model.params)
-    n_frames = int(os.getenv("DEMO_FRAMES", "3612"))
+    n_frames = max(int(os.getenv("DEMO_FRAMES", "3612")), 128)  # ≥1 fused chunk
     clip, occl = make_clip(n_frames)
     ft = FusedDetectTrack(det_model, params, frame_hw=(512, 640), channels=1, chunk=128,
                           conf=0.15, iou=0.6, max_lost_frames=150, min_hits=1, iou_threshold=0.1)

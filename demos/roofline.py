@@ -39,7 +39,7 @@ def main():
 
     from bench import make_clip
     from yolo_tpu.nn.tasks import DetectionModel
-    from yolo_tpu.ops.nms import non_max_suppression
+    from yolo_tpu.ops.nms import non_max_suppression_parts
     from yolo_tpu.pipeline import FusedDetectTrack
 
     chunk = int(os.getenv("BENCH_CHUNK", "512"))
@@ -68,14 +68,17 @@ def main():
     @jax.jit
     def fwd_only(p, frames):
         x = frames.astype(dtype) / 255.0
-        preds = model.predict(p, x, dtype=dtype)
-        return preds.sum()
+        b, s = model.predict_parts(p, x, dtype=dtype)
+        return b.sum() + s.sum()
 
     @jax.jit
     def fwd_nms(p, frames):
+        # anchors-major parts + the fused program's own max_nms, so
+        # ms_full - ms_fwdnms isolates the scan/stats (the reference-layout
+        # path would pay an extra transpose + 4x top_k and go negative)
         x = frames.astype(dtype) / 255.0
-        preds = model.predict(p, x, dtype=dtype)
-        det = non_max_suppression(preds, conf_thres=0.15, iou_thres=0.6, max_det=16, max_nms=256)
+        b, s = model.predict_parts(p, x, dtype=dtype)
+        det = non_max_suppression_parts(b, s, conf_thres=0.15, iou_thres=0.6, max_det=16, max_nms=ft.max_nms)
         return det["boxes"].sum() + det["scores"].sum()
 
     def timeit(label, fn, *args, n=reps):
@@ -119,7 +122,8 @@ def main():
     ms_scan = ms_full - ms_fwdnms
 
     # analytical roofline of the forward
-    flops_frame = None
+    flops_frame = 0.0
+    bytes_acc = 0.0
     try:
         lowered = fwd_only.lower(p_dev, dev_frames)
         cost = lowered.compile().cost_analysis()
@@ -129,7 +133,6 @@ def main():
         bytes_acc = float(cost.get("bytes accessed", 0.0)) / chunk
     except Exception as e:
         log(f"cost analysis unavailable: {e}")
-        bytes_acc = 0.0
 
     achieved_tflops = flops_frame * chunk / ms_fwd / 1e9 if flops_frame else 0.0
     mfu = achieved_tflops / PEAK_TFLOPS

@@ -30,7 +30,14 @@ def main():
     if len(sys.argv) > 2:
         import cv2
 
-        im = cv2.resize(cv2.imread(sys.argv[2]), (w, h))[None].astype(np.uint8)
+        raw = cv2.imread(sys.argv[2], cv2.IMREAD_GRAYSCALE if c == 1 else cv2.IMREAD_COLOR)
+        if raw is None:
+            print(f"cannot read image {sys.argv[2]}", file=sys.stderr)
+            sys.exit(2)
+        raw = cv2.resize(raw, (w, h))
+        if raw.ndim == 2:
+            raw = raw[..., None]
+        im = np.broadcast_to(raw[None], (b, h, w, c)).astype(np.uint8)
     else:
         im = np.random.default_rng(0).integers(0, 255, (b, h, w, c), np.uint8)
     # params were serialized as example args metadata? No — StableHLO export

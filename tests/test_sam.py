@@ -318,5 +318,5 @@ def test_sam2_facade_builds_and_video_predictor():
 
     sam = SAM("sam2_t", img_size=128)
     assert isinstance(sam.model, SAM2Model)
-    vp = sam.video_predictor()
+    vp = sam.video_predictor(num_frames=4)
     assert vp is not None

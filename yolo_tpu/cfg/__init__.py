@@ -249,6 +249,9 @@ def handle_yolo_settings(args: list[str]):
         if args[0] == "reset":
             settings.reset()
             LOGGER.info("Settings reset successfully")
+        elif any("=" not in a for a in args):
+            # `yolo settings show` (or any bare word) → print, don't traceback
+            LOGGER.info("usage: yolo settings [reset | key=value ...] — current settings:")
         else:
             new = dict(parse_key_value_pair(a) for a in args)
             check_dict_alignment(dict(settings), new)

@@ -294,6 +294,13 @@ class FusedDetectTrack:
 
         T = self.chunk
         n_chunks = len(clip) // T
+        if len(clip) % T:
+            from yolo_tpu.utils import LOGGER
+
+            LOGGER.warning(
+                f"run_clip: dropping the last {len(clip) % T} frames — the fused program "
+                f"runs fixed {T}-frame chunks (pad the clip or pick a chunk that divides it)"
+            )
         device_outs = []
         # prefetch depth k: chunk k+1 uploads while the main thread is inside
         # the (relay-bound) dispatch of chunk k, and up to `prefetch` chunks

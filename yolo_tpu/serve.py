@@ -50,16 +50,25 @@ class _ModelLane:
     """One model's predictor + coalescing queue."""
 
     def __init__(self, source: str, conf, iou, imgsz, max_det):
-        from yolo_tpu import YOLO
-
-        self.yolo = YOLO(source)
-        self.yolo.fuse()
         self.conf, self.iou, self.imgsz, self.max_det = conf, iou, imgsz, max_det
         self.queue: list = []
         self.predictor = None
-        self.error: str | None = None  # set if build()/warmup failed (lane out of service)
+        self.yolo = None
+        self.error: str | None = None  # set if load/build/warmup failed (lane out of service)
+        try:
+            # load inside the out-of-service envelope: a bad model source must
+            # take ONE lane out, not crash the whole multi-model server
+            from yolo_tpu import YOLO
+
+            self.yolo = YOLO(source)
+            self.yolo.fuse()
+        except Exception as e:
+            self.error = f"model '{source}' failed to load: {e}"
+            LOGGER.warning(self.error)
 
     def build(self):
+        if self.yolo is None:
+            raise RuntimeError(self.error or "model not loaded")
         from yolo_tpu.engine.predictor import BasePredictor
 
         self.predictor = BasePredictor(
