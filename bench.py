@@ -73,7 +73,10 @@ def main():
     n_frames = int(os.getenv("BENCH_FRAMES", "3612"))
     # chunk 1024 halves the number of tunnel round trips vs 512: measured
     # end-to-end 113 vs 54 fps at ~2% device-fps cost (2586 vs 2635)
-    chunk = int(os.getenv("BENCH_CHUNK", "1024"))
+    # chunk sweep on v5e (fused fps): 256→5054, 512→5410, 768→5301, 1024→5100
+    # — 512 is the sweet spot (smaller activation working set, same MXU
+    # utilization); raise for hosts with slower dispatch
+    chunk = int(os.getenv("BENCH_CHUNK", "512"))
     h, w = 512, 640
 
     model = DetectionModel("yolov8-small.yaml")
