@@ -223,3 +223,52 @@ def test_remat_grads_match_and_memory_drops():
     # CPU's scheduler keeps most temps either way (~3% saved); the TPU backend
     # shows the real effect (292 -> 142 MB) — assert direction, not magnitude
     assert mem(True) < mem(False), "remat did not reduce temp memory"
+
+
+def test_nc_rebuild_transfers_pretrained_weights(tmp_path):
+    """Fine-tuning pretrained params on a different-nc dataset keeps every
+    shape-compatible tensor (it silently re-randomized everything before)."""
+    import numpy as np
+
+    from yolo_tpu.engine.trainer import _transfer_matching
+    from yolo_tpu.nn.tasks import DetectionModel
+
+    m80 = DetectionModel("yolov8n.yaml", nc=80)
+    p80 = m80.init(0)
+    m3 = DetectionModel("yolov8n.yaml", nc=3)
+    p3_init = m3.init(1)
+    p3, kept, total = _transfer_matching(p80, p3_init)
+    assert kept > 0.8 * total  # only the nc-dependent head convs re-init
+    # a backbone tensor came over verbatim, the nc-dependent cls conv did not
+    np.testing.assert_array_equal(p3["model"]["0"]["conv"]["weight"], p80["model"]["0"]["conv"]["weight"])
+    head_key = str(m3.layers[-1].i)
+    w_new = p3["model"][head_key]["cv3"]["0"]["2"]["weight"]
+    assert w_new.shape[-1] == 3  # stays the rebuilt head's shape
+
+
+def test_optimizer_groups_and_bias_warmup():
+    """Norm gains (1-D weights) get no decay; biases use the bias lr."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from yolo_tpu.utils.optim import SGD, is_bias_param, is_decay_param
+
+    params = {
+        "conv": {"weight": jnp.ones((3, 3, 4, 8))},
+        "norm": {"weight": jnp.ones((8,)), "bias": jnp.zeros((8,))},
+    }
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    by_name = {"/".join(str(getattr(k, "key", k)) for k in path): path for path, _ in flat}
+    assert is_decay_param(by_name["conv/weight"], jnp.ones((3, 3, 4, 8)))
+    assert not is_decay_param(by_name["norm/weight"], jnp.ones((8,)))  # 1-D gain: no decay
+    assert is_bias_param(by_name["norm/bias"]) and not is_bias_param(by_name["conv/weight"])
+
+    opt = SGD(weight_decay=0.0, nesterov=False)
+    st = opt.init(params)
+    # grads small enough that the global-norm clip (10.0) stays inactive
+    grads = jax.tree_util.tree_map(lambda x: 0.01 * jnp.ones_like(x), params)
+    new, _ = opt.update(grads, st, params, lr=0.0, momentum=0.0, lr_bias=0.1)
+    np.testing.assert_allclose(np.asarray(new["norm"]["bias"]), -0.001, rtol=1e-5)  # bias stepped at lr_bias
+    np.testing.assert_allclose(np.asarray(new["conv"]["weight"]), 1.0)  # others at lr=0

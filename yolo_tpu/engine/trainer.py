@@ -52,6 +52,36 @@ class EarlyStopping:
         return stop
 
 
+def _transfer_matching(old, new):
+    """Copy every leaf from `old` into `new` where the path exists and the
+    shape matches (the reference's intersect_dicts, ref torch_utils.py:318) —
+    used when the dataset's nc/kpt_shape forces a head rebuild so pretrained
+    backbone/neck weights survive. Returns (tree, n_kept, n_total)."""
+    import jax
+
+    kept = total = 0
+
+    def walk(o, n):
+        nonlocal kept, total
+        out = {}
+        for k, v in n.items():
+            ov = o.get(k) if isinstance(o, dict) else None
+            if isinstance(v, dict):
+                out[k] = walk(ov, v) if isinstance(ov, dict) else v
+                if not isinstance(ov, dict):
+                    total += len(jax.tree_util.tree_leaves(v))
+            else:
+                total += 1
+                if ov is not None and not isinstance(ov, dict) and getattr(ov, "shape", None) == v.shape:
+                    out[k] = ov
+                    kept += 1
+                else:
+                    out[k] = v
+        return out
+
+    return walk(old, new), kept, total
+
+
 class DetectionTrainer:
     """Trains a DetectionModel on a YOLO-format dataset."""
 
@@ -76,6 +106,7 @@ class DetectionTrainer:
         nc = self.data["nc"] if self.data else None
 
         # model
+        pretrained = model is not None and params is not None
         if model is not None:
             self.model = model
             self.params = params if params is not None else model.init(self.args.seed)
@@ -83,8 +114,16 @@ class DetectionTrainer:
             self.model = DetectionModel(self.args.model or "yolov8n.yaml", nc=nc)
             self.params = self.model.init(self.args.seed)
         if self.data and self.model.nc != self.data["nc"]:
+            old_params = self.params
             self.model = type(self.model)(self.model.yaml, nc=self.data["nc"])  # keep task subclass
             self.params = self.model.init(self.args.seed)
+            if pretrained:
+                # reference intersect_dicts: keep every pretrained tensor whose
+                # shape survives the nc change (only the nc-dependent head
+                # convs re-initialize) — without this, fine-tuning a .pt on a
+                # different-nc dataset silently trained from scratch
+                self.params, kept, total = _transfer_matching(old_params, self.params)
+                LOGGER.info(f"transferred {kept}/{total} pretrained tensors (nc {self.model.nc} head re-initialized)")
         if (
             self.data
             and self.data.get("kpt_shape")
@@ -94,8 +133,12 @@ class DetectionTrainer:
             yaml_d = dict(self.model.yaml) if isinstance(self.model.yaml, dict) else self.model.yaml
             if isinstance(yaml_d, dict):
                 yaml_d["kpt_shape"] = list(self.data["kpt_shape"])
+            old_params = self.params
             self.model = type(self.model)(yaml_d, nc=self.data["nc"])
             self.params = self.model.init(self.args.seed)
+            if pretrained:
+                self.params, kept, total = _transfer_matching(old_params, self.params)
+                LOGGER.info(f"transferred {kept}/{total} pretrained tensors (kpt head re-initialized)")
         if self.data:
             self.model.names = self.data["names"]
         self.loss_fn = self._make_loss()
@@ -223,9 +266,9 @@ class DetectionTrainer:
 
         opt = self.opt
 
-        def train_step(params, opt_state, ema_params, ema_updates, batch, lr, mom):
+        def train_step(params, opt_state, ema_params, ema_updates, batch, lr, mom, lr_bias):
             (total, (comps, stats)), grads = jax.value_and_grad(forward_loss, has_aux=True)(params, batch)
-            params, opt_state = opt.update(grads, opt_state, params, lr, mom)
+            params, opt_state = opt.update(grads, opt_state, params, lr, mom, lr_bias=lr_bias)
             params = apply_bn_stats(params, stats)
             # EMA with reference ramp (ref: torch_utils.py ModelEMA:646)
             ema_updates = ema_updates + 1
@@ -289,7 +332,11 @@ class DetectionTrainer:
             overlap_mask=bool(getattr(args, "overlap_mask", True)),  # seg gt encoding (ref Format overlap)
         )
         nb = max(len(self.train_loader), 1)
-        iterations = nb * args.epochs
+        # auto-optimizer selection counts nominal-batch iterations, NOT loader
+        # steps (ref: trainer build_optimizer — ceil(len(ds)/max(batch, nbs)) *
+        # epochs); using nb*epochs overstated it 4x at batch 16/nbs 64 and
+        # flipped small-dataset runs from AdamW to SGD at 100x the lr
+        iterations = math.ceil(len(trainset) / max(args.batch, args.nbs)) * args.epochs
         self.opt = self.build_optimizer(iterations)
 
         # bf16 numeric sanity run before enabling mixed precision (ref:
@@ -363,7 +410,10 @@ class DetectionTrainer:
         for epoch in range(self.start_epoch, args.epochs):
             run_callbacks(self.callbacks, "on_train_epoch_start", self)
             self.epoch = epoch
-            if epoch == max(args.epochs - args.close_mosaic, 0) and args.close_mosaic:
+            # >= (not ==): a resume that lands past the threshold must still
+            # close mosaic for the remaining clean fine-tune epochs
+            if args.close_mosaic and epoch >= max(args.epochs - args.close_mosaic, 0) \
+                    and getattr(trainset.transforms, "mosaic_enabled", False):
                 LOGGER.info("closing mosaic/mixup augmentation")
                 trainset.close_mosaic()
             self.train_loader.set_epoch(epoch)
@@ -387,9 +437,12 @@ class DetectionTrainer:
                 if ni <= nw:
                     xi = [0, nw]
                     lr = float(np.interp(ni, xi, [0.0, lr_epoch]))
+                    # biases warm from warmup_bias_lr, not 0 (ref :397 — the
+                    # j==0 param group is the bias group)
+                    lr_bias = float(np.interp(ni, xi, [args.warmup_bias_lr, lr_epoch]))
                     mom = float(np.interp(ni, xi, [args.warmup_momentum, args.momentum]))
                 else:
-                    lr, mom = lr_epoch, args.momentum
+                    lr, mom, lr_bias = lr_epoch, args.momentum, lr_epoch
                 dev_batch = {k: v for k, v in batch.items() if k != "meta"}
                 if getattr(args, "multi_scale", False) and "masks" not in dev_batch:
                     # TPU multi-scale: the reference rescales to a random size
@@ -409,7 +462,10 @@ class DetectionTrainer:
                     sh = max(int(bh * sf) // stride * stride, stride)
                     sw = max(int(bw * sf) // stride * stride, stride)
                     if (sh, sw) != (bh, bw):
-                        dev_batch["img"] = np.stack([cv2.resize(im, (sw, sh)) for im in dev_batch["img"]])
+                        # cv2.resize drops a trailing 1-channel axis — re-expand
+                        dev_batch["img"] = np.stack(
+                            [r[..., None] if r.ndim == 2 else r for r in (cv2.resize(im, (sw, sh)) for im in dev_batch["img"])]
+                        )
                 if getattr(self.model, "is_rtdetr", False):
                     from yolo_tpu.utils.cdn import make_cdn_batch
 
@@ -420,7 +476,7 @@ class DetectionTrainer:
 
                     dev_batch = shard_batch(dev_batch, mesh)
                 params, opt_state, ema_params, ema_updates, comps = step_fn(
-                    params, opt_state, ema_params, ema_updates, dev_batch, lr, mom
+                    params, opt_state, ema_params, ema_updates, dev_batch, lr, mom, lr_bias
                 )
                 epoch_losses.append(comps)
                 ni += 1

@@ -438,7 +438,11 @@ class v8SegmentationLoss(v8DetectionLoss):
         hn = (tb[..., 3] - tb[..., 1]) / imgsz[0]
         area = jnp.maximum(wn * hn * mh * mw, 1.0)
         per_slot = (mask_bce * inside).mean((-2, -1)) * (mh * mw) / area  # crop-mean / area
-        loss_seg = (per_slot * slot_valid).sum() / jnp.maximum(fg.sum(), 1.0)
+        # normalize by the slots actually summed: when fg anchors exceed the
+        # static max_fg capacity, dividing by the FULL fg count would shrink
+        # the per-anchor mean by max_fg/fg_count on crowded images (equal to
+        # the reference's all-anchor mean whenever fg fits in capacity)
+        loss_seg = (per_slot * slot_valid).sum() / jnp.maximum(slot_valid.sum(), 1.0)
 
         loss = jnp.stack(
             [loss_iou * self.hyp.box, loss_seg * self.hyp.box, loss_cls * self.hyp.cls, loss_dfl * self.hyp.dfl]

@@ -20,9 +20,21 @@ def _path_keys(path):
     return [str(getattr(p, "key", p)) for p in path]
 
 
-def is_decay_param(path) -> bool:
+def is_decay_param(path, p=None) -> bool:
+    """Decay group = conv/linear KERNEL weights only (ref g0). Norm gains
+    (BN, LayerNorm, BNContrastiveHead.norm, ...) are 1-D 'weight' leaves —
+    the ndim>=2 test puts every norm scale in the no-decay group without
+    needing to enumerate module names."""
     keys = _path_keys(path)
-    return keys[-1] == "weight" and "bn" not in keys and "dfl" not in keys
+    if keys[-1] != "weight" or "bn" in keys or "dfl" in keys:
+        return False
+    return p is None or getattr(p, "ndim", 2) >= 2
+
+
+def is_bias_param(path) -> bool:
+    """The reference's g2 group (all module biases) — warmup starts these at
+    warmup_bias_lr instead of 0 (ref trainer.py:397)."""
+    return _path_keys(path)[-1] == "bias"
 
 
 def is_frozen_param(path) -> bool:
@@ -48,17 +60,18 @@ class SGD:
     def init(self, params):
         return {"mu": jax.tree_util.tree_map(jnp.zeros_like, params)}
 
-    def update(self, grads, state, params, lr, momentum):
+    def update(self, grads, state, params, lr, momentum, lr_bias=None):
         grads, _ = clip_by_global_norm(grads, self.clip_norm)
+        lr_bias = lr if lr_bias is None else lr_bias
 
         def upd(path, g, mu, p):
             if is_frozen_param(path):
                 return jnp.zeros_like(p), mu
-            if self.weight_decay and is_decay_param(path):
+            if self.weight_decay and is_decay_param(path, p):
                 g = g + self.weight_decay * p
             mu_new = momentum * mu + g
             step = g + momentum * mu_new if self.nesterov else mu_new
-            return -lr * step, mu_new
+            return -(lr_bias if is_bias_param(path) else lr) * step, mu_new
 
         flat, treedef = jax.tree_util.tree_flatten_with_path(params)
         g_flat = jax.tree_util.tree_leaves(grads)
@@ -75,8 +88,9 @@ class SGD:
 class AdamW:
     """AdamW with runtime (lr, b1); decoupled decay on the decay group only."""
 
-    def __init__(self, weight_decay: float = 0.0, b2: float = 0.999, eps: float = 1e-8, clip_norm: float = 10.0):
+    def __init__(self, weight_decay: float = 0.0, b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8, clip_norm: float = 10.0):
         self.weight_decay = weight_decay
+        self.b1 = b1
         self.b2 = b2
         self.eps = eps
         self.clip_norm = clip_norm
@@ -85,8 +99,15 @@ class AdamW:
         zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
         return {"m": zeros, "v": jax.tree_util.tree_map(jnp.zeros_like, params), "t": jnp.zeros((), jnp.float32)}
 
-    def update(self, grads, state, params, lr, b1):
+    def update(self, grads, state, params, lr, momentum=None, lr_bias=None):
+        # `momentum` is accepted for a uniform update() signature but IGNORED:
+        # the reference only warms the 'momentum' key of SGD param groups —
+        # Adam betas stay fixed (and the 1-b1**t bias correction below is
+        # only valid for a constant b1)
+        del momentum
+        b1 = self.b1
         grads, _ = clip_by_global_norm(grads, self.clip_norm)
+        lr_bias = lr if lr_bias is None else lr_bias
         t = state["t"] + 1.0
 
         flat, treedef = jax.tree_util.tree_flatten_with_path(params)
@@ -105,9 +126,9 @@ class AdamW:
             mhat = m2 / (1 - b1**t)
             vhat = v2 / (1 - self.b2**t)
             step = mhat / (jnp.sqrt(vhat) + self.eps)
-            if self.weight_decay and is_decay_param(path):
+            if self.weight_decay and is_decay_param(path, p):
                 step = step + self.weight_decay * p
-            new_p.append(p - lr * step)
+            new_p.append(p - (lr_bias if is_bias_param(path) else lr) * step)
             new_m.append(m2)
             new_v.append(v2)
         return (
