@@ -14,6 +14,8 @@ import numpy as np
 from yolo_tpu.engine.model import YOLO
 from yolo_tpu.engine.segment_predictor import SegmentationPredictor
 
+_UNSET = object()  # cache-miss sentinel (ckpt=None is a legal cached key)
+
 
 def adjust_bboxes_to_image_border(boxes: np.ndarray, image_shape, threshold: int = 20) -> np.ndarray:
     """Snap near-border boxes onto the border (ref: fastsam/utils.py:4)."""
@@ -39,7 +41,16 @@ class FastSAMPredictor(SegmentationPredictor):
         self.prompts = dict(prompts or {})
 
     def _run_batch(self, imgs, metas):
-        results = super()._run_batch(imgs, metas)
+        # prompts filter BEFORE save/show/verbose (ref: prompts applied inside
+        # postprocess) — run the parent silent, emit the filtered results below
+        emit = {k: getattr(self.args, k, False) for k in ("save", "save_txt", "save_crop", "show", "verbose")}
+        for k in emit:
+            setattr(self.args, k, False)
+        try:
+            results = super()._run_batch(imgs, metas)
+        finally:
+            for k, v in emit.items():
+                setattr(self.args, k, v)
         from yolo_tpu.ops.boxes import box_iou
 
         bboxes = self.prompts.pop("bboxes", None)
@@ -56,7 +67,17 @@ class FastSAMPredictor(SegmentationPredictor):
             data = np.asarray(r.boxes.data).copy()
             data[iou > 0.9, :4] = full[0]
             r.update(boxes=data)
-        return self.prompt(results, bboxes=bboxes, points=points, labels=labels, texts=texts)
+        out = self.prompt(results, bboxes=bboxes, points=points, labels=labels, texts=texts)
+        if emit["verbose"]:
+            from yolo_tpu.utils import LOGGER
+
+            for r, (path, _) in zip(out, metas):
+                LOGGER.info(f"{path}: {len(r)} dets {r.speed['inference']:.1f}ms")
+        if emit["show"]:
+            self._show_results(out)
+        if emit["save"] or emit["save_txt"] or emit["save_crop"]:
+            self._write_results(out, metas)
+        return out
 
     def prompt(self, results, bboxes=None, points=None, labels=None, texts=None):
         """Filter the everything-results by prompts (ref: predict.py prompt:78)."""
@@ -71,10 +92,12 @@ class FastSAMPredictor(SegmentationPredictor):
 
             clip = self.prompts.pop("clip_model", None)
             ckpt = self.prompts.pop("clip_ckpt", None)
+            if clip is None and getattr(self, "_clip_ckpt", _UNSET) == ckpt:
+                clip = self._clip  # reuse: rebuilding + re-importing per batch is seconds of waste
             if clip is None:
                 clip = CLIPModel()
                 if ckpt:
-                    clip.load_torch(ckpt)
+                    clip.load_torch(ckpt)  # warns if the BPE table is missing
                 else:
                     from yolo_tpu.utils import LOGGER
 
@@ -82,6 +105,7 @@ class FastSAMPredictor(SegmentationPredictor):
                         "FastSAM text prompt: no clip_model/clip_ckpt supplied — scoring with a "
                         "RANDOMLY-initialized CLIP; pass clip_ckpt=... for meaningful selection."
                     )
+                self._clip, self._clip_ckpt = clip, ckpt
         out = []
         if not isinstance(results, list):
             results = [results]
@@ -134,7 +158,20 @@ class FastSAM(YOLO):
 
     def __init__(self, model="FastSAM-s.yaml", verbose: bool = False):
         name = str(model)
-        if name.lower().startswith("fastsam"):
+        if name.lower().endswith(".pt"):
+            from pathlib import Path
+
+            if not Path(name).exists():
+                raise FileNotFoundError(
+                    f"checkpoint '{name}' not found — pass the downloaded released checkpoint's "
+                    "path, or 'FastSAM-s.yaml' for a randomly-initialized graph"
+                )
+            # released checkpoints are ultralytics-format yolov8-seg nc=1 —
+            # route through the YOLO .pt importer (building the yaml graph
+            # here silently produced RANDOM weights before)
+            super().__init__(name, task="segment", verbose=verbose)
+            self.model.names = {0: "object"}
+        elif name.lower().startswith("fastsam"):
             # FastSAM-s == yolov8s-seg with nc=1 (the released checkpoints' graph)
             scale = "s" if "-s" in name.lower() else "x"
             from yolo_tpu.nn.tasks import SegmentationModel

@@ -53,6 +53,12 @@ def _get_pairs(word):
 
 
 def _basic_clean(text: str) -> str:
+    # CLIP's basic_clean runs ftfy.fix_text first; ftfy isn't in this image,
+    # so NFC normalization covers the common decomposed-unicode divergence
+    # ('café' → 'café') — exotic mojibake repair is out of scope
+    import unicodedata
+
+    text = unicodedata.normalize("NFC", text)
     return html.unescape(html.unescape(text)).strip()
 
 
@@ -149,6 +155,7 @@ class SimpleTokenizer:
         self.encoder = {tok: i for i, tok in enumerate(vocab)}
         self.decoder = {i: tok for tok, i in self.encoder.items()}
         self.bpe_ranks = dict(zip(merges, range(len(merges))))
+        self.has_merges = bool(merges)  # False = byte-level fallback ids (divergent vocab)
         self.cache = {"<|startoftext|>": "<|startoftext|>", "<|endoftext|>": "<|endoftext|>"}
         self.sot = self.encoder["<|startoftext|>"]
         self.eot = self.encoder["<|endoftext|>"]
@@ -403,6 +410,14 @@ class CLIPModel:
         """Import a full OpenAI clip checkpoint (text + visual towers)."""
         from yolo_tpu.nn.torch_import import load_torch_checkpoint, state_dict_to_params
 
+        if not getattr(self.text.tokenizer, "has_merges", True):
+            from yolo_tpu.utils import LOGGER
+
+            LOGGER.warning(
+                "CLIP checkpoint loaded but the tokenizer is running byte-level FALLBACK ids "
+                "(no BPE merge table) — text embeddings will be meaningless. Point YOLO_TPU_CLIP_BPE "
+                "(or bpe_path=) at clip's bpe_simple_vocab_16e6.txt.gz."
+            )
         sd, _ = load_torch_checkpoint(path)
         self.text.params = state_dict_to_params(
             {k: v for k, v in sd.items() if not k.startswith("visual.")}, self.text.params
@@ -427,6 +442,14 @@ class CLIPModel:
             if im.dtype == np.uint8:
                 im = im.astype(np.float32) / 255.0
             if im.shape[:2] != (size, size):
-                im = cv2.resize(im, (size, size), interpolation=cv2.INTER_CUBIC)
+                # CLIP preprocess: bicubic resize of the SHORT side to `size`
+                # then center crop — a direct (size, size) resize warps the
+                # aspect ratio and shifts crop-vs-text similarities
+                h0, w0 = im.shape[:2]
+                s = size / min(h0, w0)
+                im = cv2.resize(im, (max(size, round(w0 * s)), max(size, round(h0 * s))), interpolation=cv2.INTER_CUBIC)
+                h1, w1 = im.shape[:2]
+                top, left = (h1 - size) // 2, (w1 - size) // 2
+                im = im[top : top + size, left : left + size]
             ims.append(im)
         return self.vision.encode_image(self.vision_params, np.stack(ims))

@@ -56,9 +56,16 @@ def load_torch_checkpoint(path):
 
 def _convert(torch_key: str, arr: np.ndarray, target_shape) -> np.ndarray:
     """Layout-convert one torch tensor to the target pytree leaf shape."""
-    if arr.ndim == 4 and tuple(arr.shape) != tuple(target_shape):  # conv weight OIHW → HWIO
-        # already-channel-last 4D buffers (e.g. SAM ViT pos_embed) pass through
-        arr = arr.transpose(2, 3, 1, 0)
+    if arr.ndim == 4:
+        t = arr.transpose(2, 3, 1, 0)  # conv weight OIHW → HWIO
+        if tuple(arr.shape) == tuple(target_shape) and tuple(t.shape) == tuple(target_shape):
+            # ambiguous (O==kH and I==kW, e.g. a 3-in/3-out 3x3 conv): decide
+            # by key — conv kernels transpose; channels-last 4-D buffers
+            # (SAM pos_embed/rel_pos) pass through
+            if not any(s in torch_key for s in ("pos_embed", "rel_pos")):
+                arr = t
+        elif tuple(arr.shape) != tuple(target_shape):
+            arr = t
     if tuple(arr.shape) != tuple(target_shape):
         raise ValueError(f"shape mismatch for {torch_key}: torch {arr.shape} vs model {tuple(target_shape)}")
     return arr

@@ -243,8 +243,14 @@ class MSDeformAttn:
         p["sampling_offsets"]["bias"] = grid.reshape(-1).astype(np.float32)
         p["attention_weights"]["weight"][:] = 0.0
         p["attention_weights"]["bias"][:] = 0.0
-        p["value_proj"]["bias"][:] = 0.0
-        p["output_proj"]["bias"][:] = 0.0
+        # xavier_uniform on value/output projections (ref _reset_parameters) —
+        # Linear's default uniform(±sqrt(1/fan_in)) is ~1.7x smaller
+        for name in ("value_proj", "output_proj"):
+            w = p[name]["weight"]
+            fan_in, fan_out = w.shape[0], w.shape[-1]
+            bound = math.sqrt(6.0 / (fan_in + fan_out))
+            p[name]["weight"] = rng.uniform(-bound, bound, w.shape).astype(np.float32)
+            p[name]["bias"][:] = 0.0
         return p
 
     def __call__(self, p, query, refer_bbox, value, value_shapes):
