@@ -655,6 +655,35 @@ class Detect:
         dbox = dist2bbox(dist, anchors[None], xywh=xywh, axis=-1) * strides[None]
         return dbox, jax.nn.sigmoid(cls.astype(jnp.float32))
 
+    def decode_feats_pallas(self, p, xs, xywh: bool = True, interpret: bool = False, dtype=jnp.bfloat16):
+        """decode_parts computed from the head INPUTS via the fused Pallas
+        head kernel (ops/pallas_head.py): per level, both conv branches + the
+        DFL projection run VMEM-resident in one kernel — the 64-channel head
+        intermediates never touch HBM. Requires the legacy branch structure
+        and fused (bn-folded) params. Numerics-parity tested in
+        tests/test_pallas_head.py; gated off by default pending an on-chip
+        win over the XLA path."""
+        from yolo_tpu.ops.anchors import dist2bbox, make_anchors
+        from yolo_tpu.ops.pallas_head import fused_head_level
+
+        assert self.legacy, "pallas head kernel supports the legacy (v8) branch structure"
+        assert "bn" not in p["cv2"]["0"]["0"], "pallas head kernel needs FUSED params (model.fuse)"
+        proj = p["dfl"]["conv"]["weight"].reshape(self.reg_max)
+        dists, clss = [], []
+        for l, x in enumerate(xs):
+            d, c = fused_head_level(
+                x, p["cv2"][str(l)], p["cv3"][str(l)], proj,
+                nc=self.nc, reg_max=self.reg_max, interpret=interpret, dtype=dtype,
+            )
+            dists.append(d)
+            clss.append(c)
+        feat_shapes = [(o.shape[1], o.shape[2]) for o in xs]
+        anchors, strides = make_anchors(feat_shapes, self.stride, 0.5)
+        dist = jnp.concatenate(dists, axis=1)  # (B, A, 4) f32
+        cls = jnp.concatenate(clss, axis=1)
+        dbox = dist2bbox(dist, jnp.asarray(anchors)[None], xywh=xywh, axis=-1) * jnp.asarray(strides)[None]
+        return dbox, jax.nn.sigmoid(cls.astype(jnp.float32))
+
     def decode(self, p, outs, img_hw=None, xywh: bool = True):
         """Fused DFL decode → (B, 4+nc, A) xywh-in-pixels + sigmoid cls.
 

@@ -19,6 +19,7 @@ Stride calibration is static: strides propagate through the graph spec
 from __future__ import annotations
 
 import math
+import os
 import re
 from pathlib import Path
 
@@ -496,19 +497,32 @@ class DetectionModel(BaseModel):
             return outs  # decoded inside the head (eval path)
         return self.head.decode(params["model"][str(self.layers[-1].i)], outs)
 
-    def predict_parts(self, params, x, dtype=jnp.float32):
+    def predict_parts(self, params, x, dtype=jnp.float32, pallas_head: bool = False, pallas_interpret: bool = False):
         """Decoded (boxes (B, A, 4) px-xywh, scores (B, A, nc)) — the
         anchors-major hot path for fused NMS (ops/nms.py
         non_max_suppression_parts); `predict` wraps the same decode into the
-        reference's transposed (B, 4+nc, A) layout."""
+        reference's transposed (B, 4+nc, A) layout.
+
+        pallas_head=True routes the whole Detect head (both conv branches +
+        DFL) through the fused VMEM-resident Pallas kernel
+        (ops/pallas_head.py) instead of the XLA conv walk — also enabled
+        globally by YOLO_TPU_PALLAS_HEAD=1."""
         ctx = M.Ctx(train=False, dtype=dtype)
-        outs = self.forward_features(params, x, ctx)
         assert not isinstance(self.head, M.v10Detect), "v10 end2end head decodes in-head; use predict()"
+        hp = params["model"][str(self.layers[-1].i)]
+        if pallas_head or os.getenv("YOLO_TPU_PALLAS_HEAD") == "1":
+            spec = self.layers[-1]
+            assert type(self.head) is M.Detect, "pallas head kernel covers plain Detect heads"
+            _, _, col = self._walk(params, x, ctx, upto=spec.i, collect=set(spec.f))
+            return self.head.decode_feats_pallas(
+                hp, [col[j] for j in spec.f], interpret=pallas_interpret, dtype=dtype
+            )
+        outs = self.forward_features(params, x, ctx)
         assert isinstance(outs, list), (
             f"{type(self.head).__name__} produces structured outputs (masks/keypoints/angles); "
             "the parts fast path handles plain Detect heads — use predict()"
         )
-        return self.head.decode_parts(params["model"][str(self.layers[-1].i)], outs)
+        return self.head.decode_parts(hp, outs)
 
     def predict_s2d(self, params, x, dtype=jnp.float32, parts: bool = False):
         """Decoded predictions from a space-to-depth packed input (nn/s2d.py).
