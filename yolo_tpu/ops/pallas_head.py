@@ -70,7 +70,7 @@ def _head_level_kernel(
     dist_out,  # (B_t, 1, W, 4) f32 block at row h-1
     cls_out,  # (B_t, 1, W, nc) dtype block at row h-1
     # scratch
-    xwin,  # (B_t, 3, W+2, C) input halo window
+    xwin,  # (2, B_t, 3, W+2, C) double-buffered input halo windows
     t1,  # (B_t, 3, W+2, c2) reg conv1 ring
     c1,  # (B_t, 3, W+2, c3) cls conv1 ring
     sem,  # DMA semaphore
@@ -106,19 +106,31 @@ def _head_level_kernel(
         t1[:, pl.ds(slot, 1)] = jnp.zeros((Bt, 1) + t1.shape[2:], t1.dtype)
         c1[:, pl.ds(slot, 1)] = jnp.zeros((Bt, 1) + c1.shape[2:], c1.dtype)
 
+    def win_dma(row, slot):
+        # 3-row halo window of x for output row `row` (input is pre-padded
+        # H+2/W+2, so rows row..row+2 are always in range, edges already zero)
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(b * Bt, Bt), pl.ds(row, 3)], xwin.at[slot], sem.at[slot]
+        )
+
+    @pl.when(h == 0)
+    def _cold_start():
+        win_dma(0, 0).start()
+
     @pl.when(h < H)
     def _stage1():
-        # ---- fetch the 3-row halo window of x (input is pre-padded H+2/W+2,
-        # so rows h..h+2 are always in range and edges are already zero)
-        cp = pltpu.make_async_copy(
-            x_hbm.at[pl.ds(b * Bt, Bt), pl.ds(h, 3)], xwin, sem
-        )
-        cp.start()
-        cp.wait()
+        # ---- double-buffered window fetch: wait this row's DMA (started at
+        # the previous step), immediately prefetch the next row's window
+        @pl.when(h + 1 < H)
+        def _prefetch():
+            win_dma(h + 1, (h + 1) % 2).start()
+
+        win_dma(h, h % 2).wait()
+        xw = xwin.at[h % 2]
 
         # ---- conv1 (reg & cls merged): im2col (P, 9C) @ (9C, c2+c3)
         a1 = jnp.concatenate(
-            [xwin[:, dy, dx : dx + W, :] for dy in range(3) for dx in range(3)],
+            [xw[:, dy, dx : dx + W, :] for dy in range(3) for dx in range(3)],
             axis=-1,
         ).reshape(P, 9 * C)
         u = jnp.dot(a1, w01[...], preferred_element_type=jnp.float32)
@@ -250,10 +262,10 @@ def fused_head_level(
             jax.ShapeDtypeStruct((B, H, W, nc), dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_b, 3, W + 2, C), dtype),
+            pltpu.VMEM((2, block_b, 3, W + 2, C), dtype),  # double-buffered x windows
             pltpu.VMEM((block_b, 3, W + 2, c2), dtype),
             pltpu.VMEM((block_b, 3, W + 2, c3), dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(
