@@ -155,6 +155,17 @@ def main():
         )
         dev_fps_pallas_head = measure_device_fps(ftp)
 
+    # neck Upsample→Concat→C2f algebra fold (C2f.call_upconcat): exact math,
+    # fewer FLOPs + no upsample materialization. Opt-in until measured.
+    dev_fps_neck_opt = None
+    if os.getenv("BENCH_NECK_OPT"):
+        ftn = FusedDetectTrack(
+            model, params, frame_hw=(h, w), channels=1, chunk=chunk,
+            conf=0.15, iou=0.6, max_lost_frames=150, min_hits=1, iou_threshold=0.1,
+            n_max=64, d_max=16, neck_opt=True,
+        )
+        dev_fps_neck_opt = measure_device_fps(ftn)
+
     # --- stage split (VERDICT r2 next#1): forward vs +NMS vs full fused ---
     # Same folded params / frame geometry as the fused program; tiny-reduction
     # outputs so nothing big crosses the tunnel. demos/roofline.py carries the
@@ -234,6 +245,7 @@ def main():
                 "end_to_end_vs_baseline": round(fps / BASELINE_FPS, 2),
                 "device_fps_int8": round(dev_fps_int8, 2),
                 **({"device_fps_pallas_head": round(dev_fps_pallas_head, 2)} if dev_fps_pallas_head else {}),
+                **({"device_fps_neck_opt": round(dev_fps_neck_opt, 2)} if dev_fps_neck_opt else {}),
                 "h2d_MBps": round(max(h2d, h2d_eff), 1),
                 "transport_ceiling_fps": round(transport_ceiling, 1),
                 "frames": frames_used,

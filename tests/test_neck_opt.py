@@ -1,0 +1,44 @@
+"""Parity tests for the neck Upsample→Concat→C2f algebra fold
+(C2f.call_upconcat + DetectionModel._build_neck_opt): the 1x1 cv1 commutes
+exactly with nearest upsample, so the rewrite must be numerically equivalent
+(bit-wise in f32 up to summation-order rounding)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_tpu.nn.tasks import DetectionModel
+
+
+def _model():
+    m = DetectionModel("yolov8-small.yaml", ch=1, nc=1)
+    return m, m.fuse(m.init(0))
+
+
+def test_upconcat_chains_detected():
+    m, _ = _model()
+    m._build_neck_opt()
+    # yolov8-small has exactly three neck upsample chains: P5→P4 (12),
+    # P4→P3 (15), P3→P2 (18)
+    assert m._upconcat == {12: (6, 2), 15: (4, 2), 18: (2, 2)}
+    assert m._neck_skip == {10, 11, 13, 14, 16, 17}
+
+
+def test_neck_opt_parity_f32():
+    m, params = _model()
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, (2, 64, 96, 1)).astype(np.float32)
+    want_b, want_s = m.predict_parts(params, x, dtype=jnp.float32)
+    got_b, got_s = m.predict_parts(params, x, dtype=jnp.float32, neck_opt=True)
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(want_b), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s), rtol=1e-4, atol=1e-4)
+
+
+def test_neck_opt_parity_bf16():
+    m, params = _model()
+    rng = np.random.default_rng(1)
+    x = rng.uniform(0, 1, (2, 64, 96, 1)).astype(np.float32)
+    want_b, want_s = m.predict_parts(params, x, dtype=jnp.bfloat16)
+    got_b, got_s = m.predict_parts(params, x, dtype=jnp.bfloat16, neck_opt=True)
+    # two bf16 roundings instead of one around the split cv1 matmuls
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(want_b), rtol=0.05, atol=0.5)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s), rtol=0.05, atol=0.02)

@@ -56,6 +56,10 @@ class Ctx:
     # max |input| under its module path (consumed by nn/quantize.py
     # calibrate_act_scales to bake static activation scales)
     calib: Any = None
+    # neck algebra rewrite (inference): compute Upsample→Concat→C2f chains
+    # without materializing the upsampled map or the concat — the 1x1 cv1
+    # commutes with nearest upsample (see C2f.call_upconcat)
+    neck_opt: bool = False
 
 
 def silu(x):
@@ -355,6 +359,10 @@ class C2f:
 
     def __call__(self, p, x, ctx, path=""):
         y = self.cv1(p["cv1"], x, ctx, f"{path}/cv1")
+        return self._tail(p, y, ctx, path)
+
+    def _tail(self, p, y, ctx, path):
+        """Everything after cv1: split, bottleneck chain, concat, cv2."""
         if isinstance(y, QTensor):  # int8-resident split (same scale both halves)
             parts = [QTensor(y.q[..., : self.c], y.s), QTensor(y.q[..., self.c :], y.s)]
         else:
@@ -362,6 +370,36 @@ class C2f:
         for i, m in enumerate(self.m):
             parts.append(m(p["m"][str(i)], parts[-1], ctx, f"{path}/m/{i}"))
         return self.cv2(p["cv2"], qconcat(parts, ctx.dtype), ctx, f"{path}/cv2")
+
+    def call_upconcat(self, p, small, skip, scale, ctx, path=""):
+        """cv1(concat(up_nearest(small), skip)) with neither the upsampled map
+        nor the concat materialized: a 1x1 conv commutes exactly with nearest
+        upsample, so cv1 splits along its input channels into two matmuls —
+        the `small` half runs at LOW resolution (scale² fewer FLOPs) and only
+        its 2c-channel result is broadcast up, fused by XLA into the add+SiLU
+        epilogue. Exact algebra; the measured win is the neck upsample
+        materializations the roofline attributed ~6% of HBM traffic to
+        (demos/roofline.py, README "Roofline"). Inference-only (fused params)."""
+        cv1p = p["cv1"]
+        assert "bn" not in cv1p and "w_int8" not in cv1p["conv"], "neck_opt needs fused float params"
+        dt = ctx.dtype
+        w = cv1p["conv"]["weight"]  # (1, 1, c_small + c_skip, 2c)
+        cs = small.shape[-1]
+
+        def c1x1(x, wpart):
+            return jax.lax.conv_general_dilated(
+                x.astype(dt), wpart.astype(dt), (1, 1), [(0, 0), (0, 0)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        ya = c1x1(deq(small, dt), w[:, :, :cs])  # (B, h, w, 2c) at small res
+        yb = c1x1(deq(skip, dt), w[:, :, cs:])
+        b, h, wd, c = ya.shape
+        up = jnp.broadcast_to(ya[:, :, None, :, None, :], (b, h, scale, wd, scale, c)).reshape(
+            b, h * scale, wd * scale, c
+        )
+        y = silu(up + yb + cv1p["conv"]["bias"].astype(dt))
+        return self._tail(p, y, ctx, path)
 
 
 class SPPF:

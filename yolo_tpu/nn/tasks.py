@@ -373,11 +373,24 @@ class BaseModel:
         Returns (last_out, save_dict, {i: out for i in collect})."""
         if start:
             assert not any(i < start for i in self.save), f"layers <{start} are skip sources; cannot start there"
+        if ctx.neck_opt and not hasattr(self, "_upconcat"):
+            self._build_neck_opt()
         y = {}
         mp = params["model"]
         out = None
         collected = {}
         for spec in self.layers[start:upto]:
+            if ctx.neck_opt and spec.i in self._neck_skip:
+                continue  # folded into the downstream C2f (call_upconcat)
+            if ctx.neck_opt and spec.i in self._upconcat:
+                j, scale = self._upconcat[spec.i]
+                out = spec.module.call_upconcat(mp[str(spec.i)], x, y[j], scale, ctx, f"model/{spec.i}")
+                if spec.i in self.save:
+                    y[spec.i] = out
+                if collect and spec.i in collect:
+                    collected[spec.i] = out
+                x = out
+                continue
             f = spec.f
 
             def src(j, x=x, spec=spec):
@@ -391,6 +404,30 @@ class BaseModel:
                 collected[spec.i] = out
             x = out if not isinstance(out, list) else x
         return out, y, collected
+
+    def _build_neck_opt(self):
+        """Find Upsample→Concat→C2f chains foldable by C2f.call_upconcat:
+        nearest-2x Upsample(-1) feeding a two-input Concat([-1, skip]) feeding
+        a plain C2f(-1), with neither intermediate in the save list (true for
+        every v8-family neck). Populates _upconcat {c2f_idx: (skip_idx, scale)}
+        and _neck_skip (the folded Upsample/Concat indices)."""
+        self._upconcat, self._neck_skip = {}, set()
+        for a, b, c in zip(self.layers, self.layers[1:], self.layers[2:]):
+            if (
+                isinstance(a.module, M.Upsample)
+                and a.f == -1
+                and type(b.module) is M.Concat
+                and isinstance(b.f, list)
+                and len(b.f) == 2
+                and b.f[0] == -1
+                and b.f[1] >= 0
+                and type(c.module) is M.C2f
+                and c.f == -1
+                and a.i not in self.save
+                and b.i not in self.save
+            ):
+                self._upconcat[c.i] = (b.f[1], a.module.scale)
+                self._neck_skip |= {a.i, b.i}
 
     def forward_features(self, params, x, ctx: M.Ctx):
         out, _, _ = self._walk(params, x, ctx)
@@ -497,7 +534,15 @@ class DetectionModel(BaseModel):
             return outs  # decoded inside the head (eval path)
         return self.head.decode(params["model"][str(self.layers[-1].i)], outs)
 
-    def predict_parts(self, params, x, dtype=jnp.float32, pallas_head: bool = False, pallas_interpret: bool = False):
+    def predict_parts(
+        self,
+        params,
+        x,
+        dtype=jnp.float32,
+        pallas_head: bool = False,
+        pallas_interpret: bool = False,
+        neck_opt: bool = False,
+    ):
         """Decoded (boxes (B, A, 4) px-xywh, scores (B, A, nc)) — the
         anchors-major hot path for fused NMS (ops/nms.py
         non_max_suppression_parts); `predict` wraps the same decode into the
@@ -506,8 +551,14 @@ class DetectionModel(BaseModel):
         pallas_head=True routes the whole Detect head (both conv branches +
         DFL) through the fused VMEM-resident Pallas kernel
         (ops/pallas_head.py) instead of the XLA conv walk — also enabled
-        globally by YOLO_TPU_PALLAS_HEAD=1."""
-        ctx = M.Ctx(train=False, dtype=dtype)
+        globally by YOLO_TPU_PALLAS_HEAD=1. neck_opt=True folds the neck's
+        Upsample→Concat→C2f chains (C2f.call_upconcat exact algebra; env
+        YOLO_TPU_NECK_OPT=1)."""
+        ctx = M.Ctx(
+            train=False,
+            dtype=dtype,
+            neck_opt=neck_opt or os.getenv("YOLO_TPU_NECK_OPT") == "1",
+        )
         assert not isinstance(self.head, M.v10Detect), "v10 end2end head decodes in-head; use predict()"
         hp = params["model"][str(self.layers[-1].i)]
         if pallas_head or os.getenv("YOLO_TPU_PALLAS_HEAD") == "1":

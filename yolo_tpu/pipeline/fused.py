@@ -89,6 +89,7 @@ class FusedDetectTrack:
         s2d: int = 0,
         max_nms: int = 0,
         pallas_head: bool = False,
+        neck_opt: bool = False,
     ):
         import jax
         import jax.numpy as jnp
@@ -175,7 +176,9 @@ class FusedDetectTrack:
                     x = jnp.broadcast_to(x, x.shape[:-1] + (3,))
                 elif frames.shape[-1] != 1:
                     x = x[..., ::-1]  # BGR→RGB
-                boxes_xywh, scores = model.predict_parts(p, x, dtype=dtype, pallas_head=pallas_head)
+                boxes_xywh, scores = model.predict_parts(
+                    p, x, dtype=dtype, pallas_head=pallas_head, neck_opt=neck_opt
+                )
             det = non_max_suppression_parts(boxes_xywh, scores, conf_thres=conf, iou_thres=iou, max_det=d_max, max_nms=self.max_nms)
             det_boxes = det["boxes"]  # (T, d_max, 4)
             det_mask = det["valid"] & (det["scores"] > conf)  # (T, d_max)
