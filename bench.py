@@ -166,6 +166,16 @@ def main():
         )
         dev_fps_neck_opt = measure_device_fps(ftn)
 
+    # fused C2f Pallas kernel variant (ops/pallas_c2f.py). Opt-in until it wins.
+    dev_fps_pallas_c2f = None
+    if os.getenv("BENCH_PALLAS_C2F"):
+        ftc = FusedDetectTrack(
+            model, params, frame_hw=(h, w), channels=1, chunk=chunk,
+            conf=0.15, iou=0.6, max_lost_frames=150, min_hits=1, iou_threshold=0.1,
+            n_max=64, d_max=16, pallas_c2f=True,
+        )
+        dev_fps_pallas_c2f = measure_device_fps(ftc)
+
     # --- stage split (VERDICT r2 next#1): forward vs +NMS vs full fused ---
     # Same folded params / frame geometry as the fused program; tiny-reduction
     # outputs so nothing big crosses the tunnel. demos/roofline.py carries the
@@ -246,6 +256,7 @@ def main():
                 "device_fps_int8": round(dev_fps_int8, 2),
                 **({"device_fps_pallas_head": round(dev_fps_pallas_head, 2)} if dev_fps_pallas_head else {}),
                 **({"device_fps_neck_opt": round(dev_fps_neck_opt, 2)} if dev_fps_neck_opt else {}),
+                **({"device_fps_pallas_c2f": round(dev_fps_pallas_c2f, 2)} if dev_fps_pallas_c2f else {}),
                 "h2d_MBps": round(max(h2d, h2d_eff), 1),
                 "transport_ceiling_fps": round(transport_ceiling, 1),
                 "frames": frames_used,

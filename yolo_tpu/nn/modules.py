@@ -60,6 +60,10 @@ class Ctx:
     # without materializing the upsampled map or the concat — the 1x1 cv1
     # commutes with nearest upsample (see C2f.call_upconcat)
     neck_opt: bool = False
+    # route plain C2f blocks through the fused VMEM-resident Pallas kernel
+    # (ops/pallas_c2f.py); inference with fused params only
+    pallas_c2f: bool = False
+    pallas_interpret: bool = False
 
 
 def silu(x):
@@ -358,6 +362,23 @@ class C2f:
         }
 
     def __call__(self, p, x, ctx, path=""):
+        if (
+            ctx.pallas_c2f
+            and type(self) is C2f
+            and not ctx.train
+            and "bn" not in p["cv1"]
+            and "w_int8" not in p["cv1"]["conv"]
+            and not isinstance(x, QTensor)
+            and self.m
+            and self.m[0].cv1.k == 3
+            and self.m[0].cv2.k == 3
+        ):
+            from yolo_tpu.ops.pallas_c2f import fused_c2f
+
+            return fused_c2f(
+                x, p, n=len(self.m), shortcut=self.m[0].add,
+                interpret=ctx.pallas_interpret, dtype=ctx.dtype,
+            )
         y = self.cv1(p["cv1"], x, ctx, f"{path}/cv1")
         return self._tail(p, y, ctx, path)
 

@@ -542,6 +542,7 @@ class DetectionModel(BaseModel):
         pallas_head: bool = False,
         pallas_interpret: bool = False,
         neck_opt: bool = False,
+        pallas_c2f: bool = False,
     ):
         """Decoded (boxes (B, A, 4) px-xywh, scores (B, A, nc)) — the
         anchors-major hot path for fused NMS (ops/nms.py
@@ -558,6 +559,8 @@ class DetectionModel(BaseModel):
             train=False,
             dtype=dtype,
             neck_opt=neck_opt or os.getenv("YOLO_TPU_NECK_OPT") == "1",
+            pallas_c2f=pallas_c2f or os.getenv("YOLO_TPU_PALLAS_C2F") == "1",
+            pallas_interpret=pallas_interpret,
         )
         assert not isinstance(self.head, M.v10Detect), "v10 end2end head decodes in-head; use predict()"
         hp = params["model"][str(self.layers[-1].i)]

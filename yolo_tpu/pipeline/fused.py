@@ -90,6 +90,7 @@ class FusedDetectTrack:
         max_nms: int = 0,
         pallas_head: bool = False,
         neck_opt: bool = False,
+        pallas_c2f: bool = False,
     ):
         import jax
         import jax.numpy as jnp
@@ -177,7 +178,8 @@ class FusedDetectTrack:
                 elif frames.shape[-1] != 1:
                     x = x[..., ::-1]  # BGR→RGB
                 boxes_xywh, scores = model.predict_parts(
-                    p, x, dtype=dtype, pallas_head=pallas_head, neck_opt=neck_opt
+                    p, x, dtype=dtype, pallas_head=pallas_head, neck_opt=neck_opt,
+                    pallas_c2f=pallas_c2f,
                 )
             det = non_max_suppression_parts(boxes_xywh, scores, conf_thres=conf, iou_thres=iou, max_det=d_max, max_nms=self.max_nms)
             det_boxes = det["boxes"]  # (T, d_max, 4)
