@@ -63,6 +63,47 @@ def test_model_predict_parts_pallas_c2f_matches():
     np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s), rtol=1e-3, atol=1e-3)
 
 
+def test_fused_c2f_upconcat_parity_f32():
+    """Upconcat variant vs the call_upconcat module algebra (itself parity-
+    tested against the materialized Upsample→Concat→C2f in test_neck_opt)."""
+    from yolo_tpu.ops.pallas_c2f import fused_c2f_upconcat
+
+    rng = np.random.default_rng(3)
+    cs, ck, c2 = 48, 24, 24  # P3→P2 neck geometry (small=48ch half-res)
+    mod = M.C2f(cs + ck, c2, n=2, shortcut=False)
+    p = _fused_c2f_params(rng, mod)
+    small = rng.normal(0, 1, (2, 4, 10, cs)).astype(np.float32)
+    skip = rng.normal(0, 1, (2, 8, 20, ck)).astype(np.float32)
+
+    ctx = M.Ctx(train=False, dtype=jnp.float32)
+    want = np.asarray(mod.call_upconcat(p, jnp.asarray(small), jnp.asarray(skip), 2, ctx))
+    got = np.asarray(
+        fused_c2f_upconcat(
+            jnp.asarray(small), jnp.asarray(skip), p,
+            n=2, shortcut=False, block_b=2, interpret=True, dtype=jnp.float32,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_model_neck_opt_plus_pallas_c2f_matches():
+    """Both flags together: folded neck chains run fused_c2f_upconcat, the
+    rest run fused_c2f — output equals the plain XLA walk."""
+    from yolo_tpu.nn.tasks import DetectionModel
+
+    model = DetectionModel("yolov8-small.yaml", ch=1, nc=1)
+    params = model.fuse(model.init(0))
+    rng = np.random.default_rng(4)
+    x = rng.uniform(0, 1, (2, 64, 96, 1)).astype(np.float32)
+
+    want_b, want_s = model.predict_parts(params, x, dtype=jnp.float32)
+    got_b, got_s = model.predict_parts(
+        params, x, dtype=jnp.float32, neck_opt=True, pallas_c2f=True, pallas_interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(want_b), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s), rtol=1e-3, atol=1e-3)
+
+
 def test_fused_c2f_parity_bf16():
     rng = np.random.default_rng(1)
     mod = M.C2f(24, 24, n=2, shortcut=True)

@@ -403,6 +403,22 @@ class C2f:
         (demos/roofline.py, README "Roofline"). Inference-only (fused params)."""
         cv1p = p["cv1"]
         assert "bn" not in cv1p and "w_int8" not in cv1p["conv"], "neck_opt needs fused float params"
+        if (
+            ctx.pallas_c2f
+            and type(self) is C2f
+            and scale == 2
+            and not isinstance(small, QTensor)
+            and not isinstance(skip, QTensor)
+            and self.m
+            and self.m[0].cv1.k == 3
+            and self.m[0].cv2.k == 3
+        ):
+            from yolo_tpu.ops.pallas_c2f import fused_c2f_upconcat
+
+            return fused_c2f_upconcat(
+                small, skip, p, n=len(self.m), shortcut=self.m[0].add,
+                interpret=ctx.pallas_interpret, dtype=ctx.dtype,
+            )
         dt = ctx.dtype
         w = cv1p["conv"]["weight"]  # (1, 1, c_small + c_skip, 2c)
         cs = small.shape[-1]
