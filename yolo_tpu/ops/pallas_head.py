@@ -157,17 +157,14 @@ def _head_level_kernel(
         t2 = _silu(t2.astype(dtype) + b1r[...].astype(dtype))
         d = jnp.dot(t2, w2r[...], preferred_element_type=jnp.float32)
         d = d.astype(dtype) + b2r[...].astype(dtype)
-        d = d.reshape(P, 4, reg_max)
+        d = d.reshape(P * 4, reg_max)  # 2-D keeps the dot Mosaic-friendly
         # dfl_project numerics (nn/modules.py): max-sub + exp in dtype, the
         # [ones, proj] contraction accumulates f32, divide in f32
         e = jnp.exp(d - jax.lax.stop_gradient(d.max(axis=-1, keepdims=True)))
-        nd = jax.lax.dot_general(
-            e,
-            proj_rhs[...].astype(e.dtype),
-            (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (P, 4, 2): [sum(e), sum(e * proj)]
-        dist_out[...] = (nd[..., 1] / nd[..., 0]).reshape(Bt, 1, W, 4)
+        nd = jnp.dot(
+            e, proj_rhs[...].astype(e.dtype), preferred_element_type=jnp.float32
+        )  # (P*4, 2): [sum(e), sum(e * proj)]
+        dist_out[...] = (nd[:, 1] / nd[:, 0]).reshape(Bt, 1, W, 4)
 
         # ---- cls branch: conv2 -> 1x1 (logits; sigmoid happens outside)
         cc = jnp.dot(ring_im2col(c1, c3), w1c[...], preferred_element_type=jnp.float32)
