@@ -46,6 +46,7 @@ def test_fused_c2f_parity_f32(B, H, W, c1, c2, n, shortcut):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.heavy
 def test_model_predict_parts_pallas_c2f_matches():
     """Full-model route: every plain C2f (backbone + neck) through the kernel."""
     from yolo_tpu.nn.tasks import DetectionModel
@@ -86,6 +87,7 @@ def test_fused_c2f_upconcat_parity_f32():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.heavy
 def test_model_neck_opt_plus_pallas_c2f_matches():
     """Both flags together: folded neck chains run fused_c2f_upconcat, the
     rest run fused_c2f — output equals the plain XLA walk."""

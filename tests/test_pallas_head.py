@@ -84,6 +84,7 @@ def test_fused_head_level_parity_bf16():
     np.testing.assert_allclose(np.asarray(got_c, np.float32), want_c, rtol=0.1, atol=0.2)
 
 
+@pytest.mark.heavy
 def test_model_predict_parts_pallas_head_matches():
     """Full-model route: predict_parts(pallas_head=True) == predict_parts."""
     from yolo_tpu.nn.tasks import DetectionModel
