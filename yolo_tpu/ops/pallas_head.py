@@ -22,10 +22,12 @@ Design (see /opt/skills/guides/pallas_guide.md):
   (B_t*W, 9*C_in) @ (9*C_in, C_out), so the big streaming dimension is the
   pixel count and output-channel underfill (64 or nc of 128 lanes) costs VMEM,
   not cycles.
-- Streaming: grid = (B/B_t, H+1); each step DMAs a 3-row halo window of the
-  (pre-padded) input, computes conv1 for row h into 3-row VMEM ring buffers,
-  and computes conv2 + 1x1 + DFL for row h-1 from the rings. Intermediates
-  never leave VMEM.
+- Streaming: grid = (B/B_t, H+1); each step reads a 3-row halo window of the
+  (pre-padded) input (three auto-pipelined 1-row BlockSpecs — this
+  environment's remote Mosaic compiler rejects manual ANY+DMA kernels),
+  computes conv1 for row h into 3-row VMEM ring buffers, and computes
+  conv2 + 1x1 + DFL for row h-1 from the rings. Intermediates never leave
+  VMEM.
 - The reg and cls first convs share their input, so they run as ONE matmul
   with the weight matrices concatenated along the output dim.
 - Numerics mirror the fused ConvBNAct path (nn/modules.py): matmuls accumulate
@@ -49,12 +51,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _silu(x):
-    return x * jax.nn.sigmoid(x)
+    # jax.nn.sigmoid on a bf16 vector trips a Mosaic verifier bug on this
+    # toolchain ('vector.broadcast' f32 scalar -> bf16 vector); computing the
+    # logistic in f32 and rounding matches XLA's own bf16 lowering to <=1 ULP
+    # (4/32768 bf16 inputs differ by one ULP; full-model routes are
+    # tolerance-tested in tests/test_pallas_head.py).
+    return x * jax.nn.sigmoid(x.astype(jnp.float32)).astype(x.dtype)
 
 
 def _head_level_kernel(
-    # inputs (VMEM unless noted)
-    x_hbm,  # (B, H+2, W+2, C) in ANY/HBM — DMA'd a 3-row window at a time
+    # inputs (VMEM, auto-pipelined)
+    x0,  # (B_t, 1, W+2, C) pre-padded input halo row h   (this environment's
+    x1,  # (B_t, 1, W+2, C)                     row h+1    remote Mosaic compiler
+    x2,  # (B_t, 1, W+2, C)                     row h+2    rejects manual ANY+DMA,
+    #                                                      so the 3-row window is
+    #                                                      three pipelined specs)
     w01,  # (9C, c2+c3) merged conv1 weights (reg | cls)
     b01,  # (1, c2+c3)
     w1r,  # (9c2, c2) reg conv2
@@ -65,15 +76,14 @@ def _head_level_kernel(
     b2r,  # (1, 4*reg_max)
     w2c,  # (c3, nc) cls 1x1
     b2c,  # (1, nc)
-    proj_rhs,  # (reg_max, 2) f32: [ones, arange] — dfl_project's fused rhs
+    proj_row,  # (1, reg_max) f32: dfl_project's arange (an input ref because
+    #            f32 iota is rejected by the Mosaic verifier)
     # outputs
     dist_out,  # (B_t, 1, W, 4) f32 block at row h-1
     cls_out,  # (B_t, 1, W, nc) dtype block at row h-1
     # scratch
-    xwin,  # (2, B_t, 3, W+2, C) double-buffered input halo windows
     t1,  # (B_t, 3, W+2, c2) reg conv1 ring
     c1,  # (B_t, 3, W+2, c3) cls conv1 ring
-    sem,  # DMA semaphore
     *,
     H: int,
     W: int,
@@ -85,7 +95,6 @@ def _head_level_kernel(
     block_b: int,
     dtype,
 ):
-    b = pl.program_id(0)
     h = pl.program_id(1)
     Bt = block_b
     P = Bt * W
@@ -106,69 +115,64 @@ def _head_level_kernel(
         t1[:, pl.ds(slot, 1)] = jnp.zeros((Bt, 1) + t1.shape[2:], t1.dtype)
         c1[:, pl.ds(slot, 1)] = jnp.zeros((Bt, 1) + c1.shape[2:], c1.dtype)
 
-    def win_dma(row, slot):
-        # 3-row halo window of x for output row `row` (input is pre-padded
-        # H+2/W+2, so rows row..row+2 are always in range, edges already zero)
-        return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(b * Bt, Bt), pl.ds(row, 3)], xwin.at[slot], sem.at[slot]
-        )
-
-    @pl.when(h == 0)
-    def _cold_start():
-        win_dma(0, 0).start()
+    # The remote Mosaic compiler also crashes on lane-axis concatenation of
+    # SHIFTED slices (classic im2col) and on lane-splitting reshapes, so every
+    # 3x3 conv here is 9 shifted (P, ch) @ (ch, c_out) dots accumulated in f32
+    # (same math, summation order differs within the f32 accumulator), and the
+    # DFL softmax runs on lane-sliced reg_max groups instead of a
+    # (P, 4*reg_max) -> (P*4, reg_max) reshape.
 
     @pl.when(h < H)
     def _stage1():
-        # ---- double-buffered window fetch: wait this row's DMA (started at
-        # the previous step), immediately prefetch the next row's window
-        @pl.when(h + 1 < H)
-        def _prefetch():
-            win_dma(h + 1, (h + 1) % 2).start()
-
-        win_dma(h, h % 2).wait()
-        xw = xwin.at[h % 2]
-
-        # ---- conv1 (reg & cls merged): im2col (P, 9C) @ (9C, c2+c3)
-        a1 = jnp.concatenate(
-            [xw[:, dy, dx : dx + W, :] for dy in range(3) for dx in range(3)],
-            axis=-1,
-        ).reshape(P, 9 * C)
-        u = jnp.dot(a1, w01[...], preferred_element_type=jnp.float32)
-        u = _silu(u.astype(dtype) + b01[...].astype(dtype))
+        # ---- conv1 (reg & cls merged): sum of 9 shifted dots against row
+        # slices of the merged (9C, c2+c3) weight, from the 3 pipelined halo
+        # rows (input is pre-padded H+2/W+2, edges zero)
+        acc = None
+        for k, xr in enumerate((x0, x1, x2)):
+            for dx in range(3):
+                a = xr[:, 0, dx : dx + W, :].reshape(P, C)
+                wp = w01[(k * 3 + dx) * C : (k * 3 + dx + 1) * C, :]
+                d = jnp.dot(a, wp, preferred_element_type=jnp.float32)
+                acc = d if acc is None else acc + d
+        u = _silu(acc.astype(dtype) + b01[...].astype(dtype))
         slot = h % 3
         t1[:, pl.ds(slot, 1), 1 : W + 1, :] = u[:, :c2].reshape(Bt, 1, W, c2)
         c1[:, pl.ds(slot, 1), 1 : W + 1, :] = u[:, c2:].reshape(Bt, 1, W, c3)
 
+    def conv3_ring(ring, ch, w, r):
+        """3x3 conv for output row r from a 3-row ring: 9 shifted dots."""
+        acc = None
+        for k, s in enumerate(((r - 1) % 3, r % 3, (r + 1) % 3)):
+            for dx in range(3):
+                a = ring[:, pl.ds(s, 1), dx : dx + W, :].reshape(P, ch)
+                wp = w[(k * 3 + dx) * ch : (k * 3 + dx + 1) * ch, :]
+                d = jnp.dot(a, wp, preferred_element_type=jnp.float32)
+                acc = d if acc is None else acc + d
+        return acc
+
     @pl.when(h >= 1)
     def _stage2():
         r = h - 1  # output row
-        s0, s1, s2 = (r - 1) % 3, r % 3, (r + 1) % 3
-
-        def ring_im2col(ring, ch):
-            rows = [
-                ring[:, pl.ds(s, 1), dx : dx + W, :]
-                for s in (s0, s1, s2)
-                for dx in range(3)
-            ]
-            return jnp.concatenate(rows, axis=-1).reshape(P, 9 * ch)
 
         # ---- reg branch: conv2 -> 1x1 -> DFL projection
-        t2 = jnp.dot(ring_im2col(t1, c2), w1r[...], preferred_element_type=jnp.float32)
-        t2 = _silu(t2.astype(dtype) + b1r[...].astype(dtype))
+        t2 = _silu(conv3_ring(t1, c2, w1r, r).astype(dtype) + b1r[...].astype(dtype))
         d = jnp.dot(t2, w2r[...], preferred_element_type=jnp.float32)
-        d = d.astype(dtype) + b2r[...].astype(dtype)
-        d = d.reshape(P * 4, reg_max)  # 2-D keeps the dot Mosaic-friendly
+        d = d.astype(dtype) + b2r[...].astype(dtype)  # (P, 4*reg_max)
         # dfl_project numerics (nn/modules.py): max-sub + exp in dtype, the
-        # [ones, proj] contraction accumulates f32, divide in f32
-        e = jnp.exp(d - jax.lax.stop_gradient(d.max(axis=-1, keepdims=True)))
-        nd = jnp.dot(
-            e, proj_rhs[...].astype(e.dtype), preferred_element_type=jnp.float32
-        )  # (P*4, 2): [sum(e), sum(e * proj)]
-        dist_out[...] = (nd[:, 1] / nd[:, 0]).reshape(Bt, 1, W, 4)
+        # projection accumulates f32, divide in f32 — per lane-sliced side
+        pr = proj_row[...]  # (1, reg_max) f32
+        sides = []
+        for j in range(4):
+            dj = d[:, j * reg_max : (j + 1) * reg_max]
+            e = jnp.exp(dj - jax.lax.stop_gradient(dj.max(axis=-1, keepdims=True)))
+            ef = e.astype(jnp.float32)
+            sides.append(
+                (ef * pr).sum(axis=-1, keepdims=True) / ef.sum(axis=-1, keepdims=True)
+            )
+        dist_out[...] = jnp.concatenate(sides, axis=-1).reshape(Bt, 1, W, 4)
 
         # ---- cls branch: conv2 -> 1x1 (logits; sigmoid happens outside)
-        cc = jnp.dot(ring_im2col(c1, c3), w1c[...], preferred_element_type=jnp.float32)
-        cc = _silu(cc.astype(dtype) + b1c[...].astype(dtype))
+        cc = _silu(conv3_ring(c1, c3, w1c, r).astype(dtype) + b1c[...].astype(dtype))
         cv = jnp.dot(cc, w2c[...], preferred_element_type=jnp.float32)
         cls_out[...] = (cv.astype(dtype) + b2c[...].astype(dtype)).reshape(Bt, 1, W, nc)
 
@@ -215,9 +219,7 @@ def fused_head_level(
     assert block_b >= 1
 
     xp = jnp.pad(x.astype(dtype), ((0, 0), (1, 1), (1, 1), (0, 0)))
-    proj_rhs = jnp.stack(
-        [jnp.ones_like(proj), proj.astype(jnp.float32)], axis=-1
-    )  # (reg_max, 2)
+    proj_row = proj.astype(jnp.float32).reshape(1, reg_max)
 
     kern = functools.partial(
         _head_level_kernel,
@@ -229,7 +231,16 @@ def fused_head_level(
         kern,
         grid=(B // block_b, H + 1),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # x: manual DMA
+            # 3-row halo window as three auto-pipelined 1-row specs (clamped at
+            # the bottom: stage1 is off at h == H so the clamp row is unread)
+            pl.BlockSpec(
+                (block_b, 1, W + 2, C),
+                lambda b, h, dy=dy: (b, jnp.minimum(h + dy, H + 1), 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            for dy in range(3)
+        ]
+        + [
             const((9 * C, c2 + c3)),
             const((1, c2 + c3)),
             const((9 * c2, c2)),
@@ -240,7 +251,7 @@ def fused_head_level(
             const((1, 4 * reg_max)),
             const((c3, nc)),
             const((1, nc)),
-            const((reg_max, 2)),
+            const((1, reg_max)),
         ],
         out_specs=[
             pl.BlockSpec(
@@ -259,13 +270,13 @@ def fused_head_level(
             jax.ShapeDtypeStruct((B, H, W, nc), dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, block_b, 3, W + 2, C), dtype),  # double-buffered x windows
             pltpu.VMEM((block_b, 3, W + 2, c2), dtype),
             pltpu.VMEM((block_b, 3, W + 2, c3), dtype),
-            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(
+        xp,
+        xp,
         xp,
         jnp.concatenate([_w3x3(p_cv2["0"]), _w3x3(p_cv3["0"])], axis=-1).astype(dtype),
         jnp.concatenate([_bias(p_cv2["0"]), _bias(p_cv3["0"])], axis=-1).astype(dtype),
@@ -277,6 +288,6 @@ def fused_head_level(
         p_cv2["2"]["bias"].reshape(1, -1).astype(dtype),
         p_cv3["2"]["weight"].reshape(c3, nc).astype(dtype),
         p_cv3["2"]["bias"].reshape(1, -1).astype(dtype),
-        proj_rhs,
+        proj_row,
     )
     return dist.reshape(B, H * W, 4), cls.reshape(B, H * W, nc)
