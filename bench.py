@@ -145,7 +145,11 @@ def main():
     dev_fps_int8 = measure_device_fps(ft8)
 
     # fused Pallas head variant (ops/pallas_head.py): head conv branches + DFL
-    # VMEM-resident. Measured opt-in (BENCH_PALLAS_HEAD=1) until it wins.
+    # VMEM-resident. Measured 2026-08-18 on v5e (demos/pallas_ab.py): 638 fps
+    # vs 5170 base — the pallas_call boundary forces C-minor layouts while XLA
+    # keeps batch-minor (lanes=batch), so every boundary pays a full-activation
+    # relayout, and the Mosaic-portable 9-shifted-dot convs underfill the MXU.
+    # Stays opt-in for the record (BENCH_PALLAS_HEAD=1).
     dev_fps_pallas_head = None
     if os.getenv("BENCH_PALLAS_HEAD"):
         ftp = FusedDetectTrack(
@@ -156,17 +160,22 @@ def main():
         dev_fps_pallas_head = measure_device_fps(ftp)
 
     # neck Upsample→Concat→C2f algebra fold (C2f.call_upconcat): exact math,
-    # fewer FLOPs + no upsample materialization. Opt-in until measured.
-    dev_fps_neck_opt = None
-    if os.getenv("BENCH_NECK_OPT"):
+    # fewer FLOPs + no upsample materialization. Won the on-chip A/B (5324 vs
+    # 5170 fps @512, 2026-08-18) — now the DEFAULT for fused float params (the
+    # headline `ft` above runs with it). BENCH_NO_NECK_OPT=1 measures the
+    # no-fold control.
+    dev_fps_no_neck_opt = None
+    if os.getenv("BENCH_NO_NECK_OPT"):
         ftn = FusedDetectTrack(
             model, params, frame_hw=(h, w), channels=1, chunk=chunk,
             conf=0.15, iou=0.6, max_lost_frames=150, min_hits=1, iou_threshold=0.1,
-            n_max=64, d_max=16, neck_opt=True,
+            n_max=64, d_max=16, neck_opt=False,
         )
-        dev_fps_neck_opt = measure_device_fps(ftn)
+        dev_fps_no_neck_opt = measure_device_fps(ftn)
 
-    # fused C2f Pallas kernel variant (ops/pallas_c2f.py). Opt-in until it wins.
+    # fused C2f Pallas kernel variant (ops/pallas_c2f.py). Measured 2026-08-18:
+    # 885 fps vs 5170 base (same boundary-relayout story as the head kernel);
+    # opt-in for the record.
     dev_fps_pallas_c2f = None
     if os.getenv("BENCH_PALLAS_C2F"):
         ftc = FusedDetectTrack(
@@ -192,13 +201,13 @@ def main():
     @jax.jit
     def _fwd_only(p, frames):
         x = frames.astype(bdtype) / 255.0
-        b, s = model.predict_parts(p, x, dtype=bdtype)
+        b, s = model.predict_parts(p, x, dtype=bdtype, neck_opt=ft.neck_opt)
         return b.sum() + s.sum()
 
     @jax.jit
     def _fwd_nms(p, frames):
         x = frames.astype(bdtype) / 255.0
-        b, s = model.predict_parts(p, x, dtype=bdtype)
+        b, s = model.predict_parts(p, x, dtype=bdtype, neck_opt=ft.neck_opt)
         det = non_max_suppression_parts(b, s, conf_thres=0.15, iou_thres=0.6, max_det=16, max_nms=ft.max_nms)
         return det["boxes"].sum() + det["scores"].sum()
 
@@ -255,7 +264,7 @@ def main():
                 "end_to_end_vs_baseline": round(fps / BASELINE_FPS, 2),
                 "device_fps_int8": round(dev_fps_int8, 2),
                 **({"device_fps_pallas_head": round(dev_fps_pallas_head, 2)} if dev_fps_pallas_head else {}),
-                **({"device_fps_neck_opt": round(dev_fps_neck_opt, 2)} if dev_fps_neck_opt else {}),
+                **({"device_fps_no_neck_opt": round(dev_fps_no_neck_opt, 2)} if dev_fps_no_neck_opt else {}),
                 **({"device_fps_pallas_c2f": round(dev_fps_pallas_c2f, 2)} if dev_fps_pallas_c2f else {}),
                 "h2d_MBps": round(max(h2d, h2d_eff), 1),
                 "transport_ceiling_fps": round(transport_ceiling, 1),

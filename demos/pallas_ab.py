@@ -34,7 +34,7 @@ def main():
     clip = make_clip(chunk * 3, h, w)
 
     VARIANTS = {
-        "base": {},
+        "base": {"neck_opt": False},  # neck_opt defaults ON for fused params now
         "head": {"pallas_head": True},
         "c2f": {"pallas_c2f": True},
         "neck": {"neck_opt": True},

@@ -42,3 +42,33 @@ def test_neck_opt_parity_bf16():
     # two bf16 roundings instead of one around the split cv1 matmuls
     np.testing.assert_allclose(np.asarray(got_b), np.asarray(want_b), rtol=0.05, atol=0.5)
     np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s), rtol=0.05, atol=0.02)
+
+
+def test_params_are_fused_float():
+    from yolo_tpu.nn.tasks import params_are_fused_float
+
+    m = DetectionModel("yolov8-small.yaml", ch=1, nc=1)
+    raw = m.init(0)
+    assert not params_are_fused_float(raw)  # unfused: BN groups present
+    assert params_are_fused_float(m.fuse(raw))
+
+
+def test_fused_pipeline_defaults_neck_opt(monkeypatch):
+    """The fold is the shipped default for fused float params (the on-chip
+    A/B winner), auto-off for unfused trees, and env-killable."""
+    from yolo_tpu.pipeline import FusedDetectTrack
+
+    m, fused = _model()
+    ft = FusedDetectTrack(m, fused, frame_hw=(64, 96), channels=1, chunk=4)
+    assert ft.neck_opt is True
+
+    raw = m.init(0)
+    ft_raw = FusedDetectTrack(m, raw, frame_hw=(64, 96), channels=1, chunk=4)
+    assert ft_raw.neck_opt is False
+
+    monkeypatch.setenv("YOLO_TPU_NECK_OPT", "0")
+    from yolo_tpu.nn.tasks import _neck_opt_flag
+
+    assert _neck_opt_flag(True) is False
+    monkeypatch.setenv("YOLO_TPU_NECK_OPT", "1")
+    assert _neck_opt_flag(False) is True

@@ -66,6 +66,11 @@ class BasePredictor:
             params = quantize_params(self.model.fuse(params) if hasattr(self.model, "fuse") else params)
         self.params = params
         self._installed_int8 = int8
+        # fused float trees unlock the neck Upsample→Concat→C2f fold (the
+        # on-chip A/B winner, demos/pallas_ab.py) in _predict_fn
+        from yolo_tpu.nn.tasks import params_are_fused_float
+
+        self._params_fused_float = not int8 and params_are_fused_float(params)
 
     # --- device program ------------------------------------------------------
 
@@ -84,6 +89,7 @@ class BasePredictor:
             bool(getattr(self.args, "augment", False)),
             classes_key,
             int(self.args.max_det),
+            bool(getattr(self, "_params_fused_float", False)),
         )
         if key in self._fn_cache:
             return self._fn_cache[key]
@@ -133,11 +139,23 @@ class BasePredictor:
             LOGGER.warning("model does not support augment=True, using single-scale prediction")
             augment = False
 
+        # the neck fold applies only to fused float trees; DetectionModel
+        # carries the kwarg, task subclasses with their own predict may not
+        import inspect
+
+        neck_opt = bool(getattr(self, "_params_fused_float", False)) and (
+            "neck_opt" in inspect.signature(model.predict).parameters
+        )
+
         @jax.jit
         def fn(params, imgs):
             # imgs: uint8 NHWC BGR (cv2 convention) → RGB fp [0,1]
             x = imgs[..., ::-1].astype(dtype) / 255.0
-            preds = model.predict_augment(params, x, dtype=dtype) if augment else model.predict(params, x, dtype=dtype)
+            preds = (
+                model.predict_augment(params, x, dtype=dtype)
+                if augment
+                else model.predict(params, x, dtype=dtype, **({"neck_opt": True} if neck_opt else {}))
+            )
             return non_max_suppression(
                 preds, conf_thres=conf, iou_thres=iou, classes=classes, agnostic=agnostic, max_det=max_det
             )

@@ -96,6 +96,36 @@ MODULE_MAP = {
 }
 
 
+def _neck_opt_flag(explicit: bool) -> bool:
+    """Resolve the neck Upsample→Concat→C2f fold flag: YOLO_TPU_NECK_OPT=0/1
+    force-overrides the caller (kill switch for the shipped-default fold)."""
+    env = os.getenv("YOLO_TPU_NECK_OPT")
+    if env == "0":
+        return False
+    if env == "1":
+        return True
+    return explicit
+
+
+def params_are_fused_float(params) -> bool:
+    """True when no conv in the tree still carries a separate BN group or an
+    int8-quantized weight — the precondition for the neck fold
+    (C2f.call_upconcat) and the Pallas fusion kernels."""
+    found = {"ok": True}
+
+    def walk(t):
+        if not found["ok"] or not isinstance(t, dict):
+            return
+        if "bn" in t or ("conv" in t and isinstance(t["conv"], dict) and "w_int8" in t["conv"]):
+            found["ok"] = False
+            return
+        for v in t.values():
+            walk(v)
+
+    walk(params)
+    return found["ok"]
+
+
 def _lazy_rtdetr():
     from yolo_tpu.nn import transformer as T
 
@@ -525,10 +555,13 @@ class DetectionModel(BaseModel):
         outs = self.forward_features(params, x, ctx)
         return outs, ctx.stats
 
-    def predict(self, params, x, dtype=jnp.float32):
+    def predict(self, params, x, dtype=jnp.float32, neck_opt: bool = False):
         """Decoded predictions — (B, 4+nc, A) for NMS heads; v10Detect (end2end)
-        returns final (B, max_det, 6) [x, y, w, h, conf, cls] with no NMS."""
-        ctx = M.Ctx(train=False, dtype=dtype)
+        returns final (B, max_det, 6) [x, y, w, h, conf, cls] with no NMS.
+
+        neck_opt folds Upsample→Concat→C2f chains (fused float params only;
+        see predict_parts). Env YOLO_TPU_NECK_OPT=0/1 force-overrides."""
+        ctx = M.Ctx(train=False, dtype=dtype, neck_opt=_neck_opt_flag(neck_opt))
         outs = self.forward_features(params, x, ctx)
         if isinstance(self.head, M.v10Detect):
             return outs  # decoded inside the head (eval path)
@@ -558,7 +591,7 @@ class DetectionModel(BaseModel):
         ctx = M.Ctx(
             train=False,
             dtype=dtype,
-            neck_opt=neck_opt or os.getenv("YOLO_TPU_NECK_OPT") == "1",
+            neck_opt=_neck_opt_flag(neck_opt),
             pallas_c2f=pallas_c2f or os.getenv("YOLO_TPU_PALLAS_C2F") == "1",
             pallas_interpret=pallas_interpret,
         )

@@ -89,7 +89,7 @@ class FusedDetectTrack:
         s2d: int = 0,
         max_nms: int = 0,
         pallas_head: bool = False,
-        neck_opt: bool = False,
+        neck_opt: bool | None = None,
         pallas_c2f: bool = False,
     ):
         import jax
@@ -151,6 +151,14 @@ class FusedDetectTrack:
         # scales hard with K on TPU (51.3 -> 19.0 ms per 1024-frame chunk
         # going 256 -> 64, identical outputs). Scenes with large/defocused
         # targets (higher fan-in) can pass max_nms explicitly.
+        if neck_opt is None:
+            # shipped default: the Upsample→Concat→C2f fold won the on-chip
+            # A/B (5324 vs 5170 fps @512, demos/pallas_ab.py 2026-08-18); it
+            # needs fused float params, so auto-off for int8/unfused trees.
+            from yolo_tpu.nn.tasks import params_are_fused_float
+
+            neck_opt = not int8 and params_are_fused_float(params)
+        self.neck_opt = neck_opt
         self.max_nms = max_nms or max(4 * d_max, 64)
         self.s2d = s2d
         self.chunk = chunk
