@@ -185,7 +185,17 @@ def _c2f_kernel(
     # against row slices of w_cv2, ordered [y_a | y_b | m_out[0..n-2] | t].
     r = h - 2 * n
 
-    @pl.when((r >= 0) & (r < H))
+    @pl.when(r < 0)
+    def _cv2_prefill():
+        # the output block at clamped index 0 is REVISITED for every h < 2n;
+        # Pallas TPU buffers are double-buffered, so a revisited block must be
+        # written on EVERY visit or the flush takes a stale/garbage buffer
+        # (measured on chip: output row 0 garbage for batch tiles > 0;
+        # interpret mode single-buffers and masks it). The real row-0 write at
+        # h == 2n is the block's last visit and wins.
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(r >= 0)
     def _cv2():
         t = m_conv2(n - 1, r)
         segs = [
@@ -229,7 +239,10 @@ def _call(inputs, in_specs, cv1_ws, p, n, shortcut, H, W, c1, cs, c, c2o, block_
     const = lambda shape: pl.BlockSpec(shape, lambda b, h: (0,) * len(shape), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
-        grid=(inputs[0].shape[0] // block_b, H + 2 * n + 1),
+        # grid rows: the deepest stage is cv2 for row H-1 at h = H-1+2n (the
+        # deepest zero-row stages land earlier), so H+2n steps suffice — and
+        # keep the clamped output index map in range (max h-2n = H-1)
+        grid=(inputs[0].shape[0] // block_b, H + 2 * n),
         in_specs=in_specs
         + [const(w.shape) for w in cv1_ws]
         + [const(w.shape) for w in wm]

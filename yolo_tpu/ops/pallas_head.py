@@ -150,6 +150,15 @@ def _head_level_kernel(
                 acc = d if acc is None else acc + d
         return acc
 
+    @pl.when(h == 0)
+    def _out_prefill():
+        # the output blocks at clamped index 0 are revisited at h == 0 and 1;
+        # Pallas TPU double-buffers output windows, so every visit must write
+        # (see ops/pallas_c2f.py _cv2_prefill — measured on chip). The real
+        # row-0 write at h == 1 is the later visit and wins.
+        dist_out[...] = jnp.zeros_like(dist_out)
+        cls_out[...] = jnp.zeros_like(cls_out)
+
     @pl.when(h >= 1)
     def _stage2():
         r = h - 1  # output row
