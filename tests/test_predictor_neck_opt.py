@@ -1,7 +1,10 @@
-"""The engine predictor's neck-fold wiring: a fused model facade must produce
-the same detections as the raw one (the fold is exact algebra), and the
-program cache must key on the fused-params state so set_params can't serve a
-stale program."""
+"""The engine predictor's inference-fuse + neck-fold wiring.
+
+AutoBackend parity: the predictor folds Conv+BN at setup (ref
+nn/autobackend.py fuse=True) while the facade's raw trainable params stay
+unfused; the fused tree turns on the neck Upsample→Concat→C2f fold (exact
+algebra). The program cache keys on the fused-params state so set_params can
+never serve a stale program."""
 
 import numpy as np
 import pytest
@@ -9,38 +12,48 @@ import pytest
 import yolo_tpu
 
 
-@pytest.mark.heavy  # 4 predictor compiles; the wiring test below stays default
-def test_fused_facade_matches_raw():
+@pytest.mark.heavy  # several predictor compiles; the wiring tests below stay default
+def test_fold_parity_through_facade(monkeypatch):
     rng = np.random.default_rng(0)
     img = rng.integers(0, 255, (64, 96, 3), np.uint8)
 
-    m_raw = yolo_tpu.YOLO("yolov8-small.yaml")
-    r_raw = m_raw.predict(img, conf=0.001, imgsz=(64, 96), verbose=False)[0]
+    m = yolo_tpu.YOLO("yolov8-small.yaml")
+    r_fold = m.predict(img, conf=0.001, imgsz=(64, 96), verbose=False)[0]
 
-    m_fused = yolo_tpu.YOLO("yolov8-small.yaml")
-    # same weights as m_raw (deterministic init), then fuse -> fold kicks in
-    m_fused.params = m_raw.params
-    m_fused.fuse()
-    r_fused = m_fused.predict(img, conf=0.001, imgsz=(64, 96), verbose=False)[0]
+    monkeypatch.setenv("YOLO_TPU_NECK_OPT", "0")  # kill switch → plain graph
+    m2 = yolo_tpu.YOLO("yolov8-small.yaml")
+    r_plain = m2.predict(img, conf=0.001, imgsz=(64, 96), verbose=False)[0]
 
-    assert len(r_raw) == len(r_fused)
-    if len(r_raw):
-        np.testing.assert_allclose(
-            r_fused.boxes.xyxy, r_raw.boxes.xyxy, rtol=1e-2, atol=0.5
-        )
-        np.testing.assert_allclose(
-            r_fused.boxes.conf, r_raw.boxes.conf, rtol=5e-2, atol=1e-3
-        )
+    assert len(r_fold) == len(r_plain)
+    if len(r_fold):
+        np.testing.assert_allclose(r_fold.boxes.xyxy, r_plain.boxes.xyxy, rtol=1e-2, atol=0.5)
+        np.testing.assert_allclose(r_fold.boxes.conf, r_plain.boxes.conf, rtol=5e-2, atol=1e-3)
 
 
-def test_predictor_cache_keys_on_fused_state():
+def test_predictor_autofuses_and_facade_stays_raw():
     model = yolo_tpu.YOLO("yolov8-small.yaml")
     model.predict(np.zeros((64, 96, 3), np.uint8), conf=0.25, imgsz=(64, 96), verbose=False)
     pred = model.predictor
-    assert pred._params_fused_float is False
-    key_raw = len(pred._fn_cache)
-    model.fuse()
-    model.predict(np.zeros((64, 96, 3), np.uint8), conf=0.25, imgsz=(64, 96), verbose=False)
+    # the predictor runs a fused float tree (AutoBackend fuse=True parity)...
     assert pred._params_fused_float is True
-    # a fresh program was compiled for the fused tree (cache key changed)
-    assert len(pred._fn_cache) > key_raw
+    from yolo_tpu.nn.tasks import params_are_fused_float
+
+    assert params_are_fused_float(pred.params)
+    # ...while the facade keeps the raw (trainable, BN-carrying) tree
+    assert not params_are_fused_float(model.params)
+
+
+def test_predictor_cache_keys_on_fused_state(monkeypatch):
+    model = yolo_tpu.YOLO("yolov8-small.yaml")
+    model.predict(np.zeros((64, 96, 3), np.uint8), conf=0.25, imgsz=(64, 96), verbose=False)
+    pred = model.predictor
+    assert pred._params_fused_float is True
+    n_fused = len(pred._fn_cache)
+
+    # a tree the fuse walk rejects falls back to unfused — and must compile a
+    # FRESH program rather than serve the fold-enabled one
+    monkeypatch.setattr(type(model.model), "fuse", lambda self, p: (_ for _ in ()).throw(RuntimeError("boom")))
+    pred.set_params(dict(model.params))  # new tree object → re-setup
+    assert pred._params_fused_float is False
+    model.predict(np.zeros((64, 96, 3), np.uint8), conf=0.25, imgsz=(64, 96), verbose=False)
+    assert len(pred._fn_cache) > n_fused

@@ -64,6 +64,17 @@ class BasePredictor:
             from yolo_tpu.nn.quantize import quantize_params
 
             params = quantize_params(self.model.fuse(params) if hasattr(self.model, "fuse") else params)
+        elif hasattr(self.model, "fuse"):
+            # AutoBackend parity (ref nn/autobackend.py:72 loads with
+            # fuse=True): inference always runs Conv+BN folded. Exact algebra
+            # (parity pinned in tests/test_model.py); the facade's raw
+            # trainable params are untouched — Model.train keeps Model.params,
+            # mirroring the reference fusing only the deploy copy. This also
+            # turns on the neck fold below for standard float inference.
+            try:
+                params = self.model.fuse(params)
+            except Exception as e:
+                LOGGER.warning(f"Conv+BN fuse at predictor setup failed ({e}); running unfused")
         self.params = params
         self._installed_int8 = int8
         # fused float trees unlock the neck Upsample→Concat→C2f fold (the
