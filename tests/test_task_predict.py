@@ -1,0 +1,73 @@
+"""Predict-mode routing for the non-detect tasks through the facade
+(ref: models/yolo/{classify,pose,obb}/predict.py): pose keypoints must ride
+the NMS extra channel with nc explicit (NOT be parsed as class scores), OBB
+must go through rotated probiou NMS and come back as xywhr `.obb`, classify
+must return `.probs` with no NMS at all — plus the Results plot/save_txt
+surfaces for each."""
+
+import os
+import tempfile
+
+import numpy as np
+
+import yolo_tpu
+
+IMG = np.random.default_rng(0).integers(0, 255, (64, 96, 3), np.uint8)
+
+
+def test_pose_predict_keypoints():
+    m = yolo_tpu.YOLO("yolov8n-pose.yaml")
+    r = m.predict(IMG, conf=0.001, imgsz=(64, 96), verbose=False)[0]
+    assert r.keypoints is not None
+    n = len(r)
+    assert r.keypoints.data.shape == (n, 17, 3)
+    # keypoint xy are inverse-letterboxed into original-image coords
+    if n:
+        assert r.keypoints.data[..., 0].max() <= IMG.shape[1]
+        assert r.keypoints.data[..., 1].max() <= IMG.shape[0]
+    # conf must come from the nc class channels, not the 51 kpt channels:
+    # every reported confidence is a plausible sigmoid score
+    assert (np.asarray(r.boxes.conf) <= 1.0).all()
+    r.plot()  # draws skeleton without error
+
+
+def test_obb_predict_rotated():
+    m = yolo_tpu.YOLO("yolov8n-obb.yaml")
+    r = m.predict(IMG, conf=1e-6, imgsz=(64, 96), verbose=False)[0]
+    assert getattr(r, "obb", None) is not None
+    assert r.obb.data.shape[-1] == 7  # cx, cy, w, h, angle, conf, cls
+    assert len(r) == len(r.obb)  # __len__ counts obb results
+    r.plot()  # rotated quads
+    with tempfile.TemporaryDirectory() as d:
+        f = os.path.join(d, "t.txt")
+        r.save_txt(f)
+        lines = [ln for ln in open(f) if ln.strip()]
+        assert len(lines) == len(r)
+        if lines:
+            assert len(lines[0].split()) == 9  # cls + 8 corner coords
+
+
+def test_classify_predict_probs():
+    m = yolo_tpu.YOLO("yolov8n-cls.yaml")
+    r = m.predict(IMG, conf=0.25, imgsz=(64, 96), verbose=False)[0]
+    assert getattr(r, "probs", None) is not None
+    p = r.probs
+    assert 0 <= p.top1 < m.model.nc
+    assert len(p.top5) == 5
+    np.testing.assert_allclose(p.data.sum(), 1.0, rtol=1e-3)  # softmaxed
+    r.plot()  # top-5 text block
+    with tempfile.TemporaryDirectory() as d:
+        f = os.path.join(d, "t.txt")
+        r.save_txt(f)
+        assert sum(1 for _ in open(f)) == 5
+
+
+def test_detect_plot_flags():
+    """show_conf / show_boxes flow from args into Results.plot."""
+    m = yolo_tpu.YOLO("yolov8-small.yaml")
+    r = m.predict(IMG, conf=0.001, imgsz=(64, 96), verbose=False)[0]
+    base = r.plot(boxes=True)
+    blank = r.plot(boxes=False)
+    if len(r):  # drawing must change pixels only when boxes are on
+        assert (base != blank).any()
+    assert (blank == r.plot(boxes=False)).all()

@@ -144,6 +144,54 @@ class BasePredictor:
             self._fn_cache[key] = fn
             return fn
 
+        task = getattr(model, "task", "detect")
+        if task == "classify":
+            # ref: models/yolo/classify/predict.py — probabilities, no NMS
+            @jax.jit
+            def fn(params, imgs):
+                x = imgs[..., ::-1].astype(dtype) / 255.0
+                return {"probs": model.predict(params, x, dtype=dtype)}
+
+            self._fn_cache[key] = fn
+            return fn
+
+        if task == "pose":
+            # keypoints ride the NMS `extra` channel; nc must be explicit or
+            # the kpt dims would be parsed as class scores
+            # (ref: models/yolo/pose/predict.py PosePredictor)
+            nc_pose = model.nc
+
+            @jax.jit
+            def fn(params, imgs):
+                x = imgs[..., ::-1].astype(dtype) / 255.0
+                preds = model.predict(params, x, dtype=dtype)
+                return non_max_suppression(
+                    preds, conf_thres=conf, iou_thres=iou, classes=classes,
+                    agnostic=agnostic, max_det=max_det, nc=nc_pose,
+                )
+
+            self._fn_cache[key] = fn
+            return fn
+
+        if task == "obb":
+            # rotated probiou NMS; boxes come back (max_det, 5) xywhr
+            # (ref: models/yolo/obb/predict.py OBBPredictor)
+            from yolo_tpu.ops.nms import non_max_suppression_rotated
+
+            nc_obb = model.nc
+
+            @jax.jit
+            def fn(params, imgs):
+                x = imgs[..., ::-1].astype(dtype) / 255.0
+                preds = model.predict(params, x, dtype=dtype)
+                return non_max_suppression_rotated(
+                    preds, conf_thres=conf, iou_thres=iou, classes=classes,
+                    agnostic=agnostic, max_det=max_det, nc=nc_obb,
+                )
+
+            self._fn_cache[key] = fn
+            return fn
+
         augment = bool(getattr(self.args, "augment", False))
         if augment and (type(model).__name__ != "DetectionModel" or getattr(model.head, "end2end", False)):
             # ref _predict_augment:445 — TTA only for plain detection models
@@ -248,18 +296,59 @@ class BasePredictor:
         with profilers[1]:
             out = fn(self.params, batch)
             out = jax.tree_util.tree_map(lambda a: np.asarray(jax.block_until_ready(a)), out)
+        if getattr(self.args, "visualize", False) and hasattr(self.model, "_walk"):
+            self._visualize_features(batch[:1])
 
         with profilers[2]:
             results = []
             for i in range(n):
+                path, frame_info = metas[i]
+                if "probs" in out:  # classify: probabilities, no boxes
+                    from yolo_tpu.engine.results import Probs
+
+                    r = Results(imgs[i], path, self.names, boxes=None)
+                    r.probs = Probs(out["probs"][i])
+                    r.speed = {
+                        "preprocess": profilers[0].dt * 1e3 / n,
+                        "inference": profilers[1].dt * 1e3 / n,
+                        "postprocess": profilers[2].dt * 1e3 / n,
+                    }
+                    results.append(r)
+                    continue
                 valid = out["valid"][i]
                 boxes = out["boxes"][i][valid]
                 scores = out["scores"][i][valid]
                 cls = out["cls"][i][valid]
+                if boxes.shape[-1] == 5:  # obb: xywhr — scale centers/wh, keep angle
+                    from yolo_tpu.engine.results import OBBoxes
+
+                    xywh = scale_boxes((h, w), boxes[:, :4], imgs[i].shape[:2], ratio_pad=lb_meta[i], xywh=True)
+                    data = np.concatenate(
+                        [xywh, boxes[:, 4:5], scores[:, None], cls[:, None].astype(np.float32)], axis=-1
+                    )
+                    r = Results(imgs[i], path, self.names, boxes=None)
+                    r.obb = OBBoxes(data, imgs[i].shape[:2])
+                    r.speed = {
+                        "preprocess": profilers[0].dt * 1e3 / n,
+                        "inference": profilers[1].dt * 1e3 / n,
+                        "postprocess": profilers[2].dt * 1e3 / n,
+                    }
+                    results.append(r)
+                    continue
                 boxes = scale_boxes((h, w), boxes, imgs[i].shape[:2], ratio_pad=lb_meta[i])
                 data = np.concatenate([boxes, scores[:, None], cls[:, None].astype(np.float32)], axis=-1)
-                path, frame_info = metas[i]
                 r = Results(imgs[i], path, self.names, boxes=data)
+                if "extra" in out and getattr(self.model, "task", "") == "pose":
+                    # keypoints: inverse-letterbox xy, clip, keep conf column
+                    from yolo_tpu.engine.results import Keypoints
+
+                    K, nd = self.model.head.kpt_shape
+                    kd = out["extra"][i][valid].reshape(-1, K, nd).copy()
+                    (gain, _), pad = lb_meta[i][0], lb_meta[i][1]
+                    H0, W0 = imgs[i].shape[:2]
+                    kd[..., 0] = np.clip((kd[..., 0] - pad[0]) / gain, 0, W0)
+                    kd[..., 1] = np.clip((kd[..., 1] - pad[1]) / gain, 0, H0)
+                    r.keypoints = Keypoints(kd, imgs[i].shape[:2])
                 r.speed = {
                     "preprocess": profilers[0].dt * 1e3 / n,
                     "inference": profilers[1].dt * 1e3 / n,
@@ -282,7 +371,7 @@ class BasePredictor:
 
         for r in results:
             try:
-                cv2.imshow("yolo_tpu", r.plot(line_width=self.args.line_width, labels=self.args.show_labels))
+                cv2.imshow("yolo_tpu", r.plot(**self._plot_kwargs()))
                 cv2.waitKey(1)
             except cv2.error as e:
                 if not getattr(self, "_show_warned", False):
@@ -290,6 +379,44 @@ class BasePredictor:
                     self._show_warned = True
                 self.args.show = False
                 return
+
+    def _visualize_features(self, imgs):
+        """Per-layer feature-map dumps for image 0 of the batch (ref:
+        predictor.py:179 visualize= → tasks.py:183 feature_visualization).
+        Eager (unjitted) graph walk — a debug feature, not the hot path."""
+        import jax.numpy as jnp
+
+        from yolo_tpu.cfg import get_save_dir
+        from yolo_tpu.nn.modules import Ctx
+        from yolo_tpu.utils.plotting import feature_visualization
+
+        if getattr(self, "save_dir", None) is None:
+            self.save_dir = get_save_dir(self.args)
+            self.save_dir.mkdir(parents=True, exist_ok=True)
+            self._vid_writers = {}
+        x = imgs[..., ::-1].astype(np.float32) / 255.0
+        model = self.model
+        _, _, col = model._walk(
+            self.params, jnp.asarray(x), Ctx(train=False, dtype=jnp.float32),
+            collect={s.i for s in model.layers},
+        )
+        for spec in model.layers:
+            out = col.get(spec.i)
+            if out is None or not hasattr(out, "shape"):
+                continue
+            feature_visualization(
+                np.asarray(out), type(spec.module).__name__, spec.i, save_dir=self.save_dir
+            )
+
+    def _plot_kwargs(self):
+        """Annotation flags from args (ref: predictor save_preds → plot(:446):
+        boxes=show_boxes, conf=show_conf, labels=show_labels)."""
+        return {
+            "line_width": self.args.line_width,
+            "labels": self.args.show_labels,
+            "conf": getattr(self.args, "show_conf", True),
+            "boxes": getattr(self.args, "show_boxes", True),
+        }
 
     def _write_results(self, results, metas):
         """Persist annotated media / txt labels (ref: predictor write_results:368)."""
@@ -325,7 +452,12 @@ class BasePredictor:
                     d.mkdir(parents=True, exist_ok=True)
                     _imwrite(str(d / f"{stem}_{frame_idx}_{j}.jpg"), r.orig_img[y1:y2, x1:x2])
             if self.args.save:
-                annotated = r.plot(line_width=self.args.line_width, labels=self.args.show_labels)
+                annotated = r.plot(**self._plot_kwargs())
+                if is_vid and getattr(self.args, "save_frames", False):
+                    # per-frame jpgs next to the video (ref: save_predicted_images:479)
+                    d = self.save_dir / f"{stem}_frames"
+                    d.mkdir(parents=True, exist_ok=True)
+                    _imwrite(str(d / f"{frame_idx}.jpg"), annotated)
                 if is_vid:  # accumulate into a video writer per source
                     if path not in self._vid_writers:
                         h, w = annotated.shape[:2]

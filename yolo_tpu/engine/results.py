@@ -87,7 +87,10 @@ class Results:
         self.save_dir = None
 
     def __len__(self):
-        return len(self.boxes)
+        if len(self.boxes):
+            return len(self.boxes)
+        obb = getattr(self, "obb", None)
+        return len(obb) if obb is not None else 0
 
     def __getitem__(self, idx):
         sel = idx if isinstance(idx, (slice, list, np.ndarray)) else [idx]
@@ -106,24 +109,69 @@ class Results:
         if boxes is not None:
             self.boxes = Boxes(boxes, self.orig_shape)
 
-    def plot(self, conf: bool = True, line_width: int | None = None, labels: bool = True, img: np.ndarray | None = None):
-        """Draw boxes on the image (BGR). Minimal reference-style annotator."""
+    def plot(
+        self,
+        conf: bool = True,
+        line_width: int | None = None,
+        labels: bool = True,
+        boxes: bool = True,
+        masks: bool = True,
+        probs: bool = True,
+        kpt_radius: int = 5,
+        kpt_line: bool = True,
+        img: np.ndarray | None = None,
+    ):
+        """Draw detections on the image (BGR): boxes (per-class reference
+        palette), alpha-blended instance masks, keypoints + skeleton, rotated
+        OBB quads, classify top-5 text (ref: engine/results.py Results.plot)."""
         import cv2
+
+        from yolo_tpu.utils.plotting import Annotator, color_for
 
         im = (img if img is not None else self.orig_img).copy()
         if im.ndim == 2:
             im = cv2.cvtColor(im, cv2.COLOR_GRAY2BGR)
-        lw = line_width or max(round(sum(im.shape[:2]) / 2 * 0.003), 2)
-        for row in self.boxes.data:
-            x1, y1, x2, y2 = map(int, row[:4])
-            c, conf_v = int(row[-1]), float(row[-2])
-            color = (56, 56, 255)
-            cv2.rectangle(im, (x1, y1), (x2, y2), color, lw)
-            if labels:
-                name = self.names.get(c, str(c))
-                label = f"{name} {conf_v:.2f}" if conf else name
-                cv2.putText(im, label, (x1, max(y1 - 4, 12)), cv2.FONT_HERSHEY_SIMPLEX, lw / 6, color, max(lw - 1, 1))
-        return im
+        ann = Annotator(im, line_width=line_width)
+
+        def _label(c, conf_v, tid=None):
+            name = self.names.get(int(c), str(int(c)))
+            if tid is not None:
+                name = f"id:{int(tid)} {name}"
+            return (f"{name} {conf_v:.2f}" if conf else name) if labels else ""
+
+        pr = getattr(self, "probs", None)
+        if pr is not None and probs:  # classify: top-5 text block (ref :~700)
+            text = "\n".join(f"{self.names.get(j, j)} {pr.data[j]:.2f}" for j in pr.top5)
+            for k, line in enumerate(text.split("\n")):
+                ann.text((8, 8 + k * (ann.lw * 12)), line, box_color=(64, 64, 64))
+            return ann.result()
+
+        obb = getattr(self, "obb", None)
+        if obb is not None and len(obb) and boxes:
+            for j, corners in enumerate(np.asarray(obb.xyxyxyxy)):
+                c = int(obb.cls[j])
+                col = color_for(c)
+                cv2.polylines(ann.im, [corners.astype(np.int32).reshape(-1, 1, 2)], True, col, ann.lw, cv2.LINE_AA)
+                lab = _label(c, float(obb.conf[j]))
+                if lab:
+                    x1, y1 = corners.min(0)
+                    ann.text((int(x1), int(max(y1 - 4, 12))), lab, box_color=col)
+            return ann.result()
+
+        mk = getattr(self, "masks", None)
+        if mk is not None and masks and len(mk.data):
+            cols = [color_for(int(c)) for c in self.boxes.cls] if len(self.boxes) else [color_for(j) for j in range(len(mk.data))]
+            ann.masks(mk.data, cols)
+        if boxes:
+            for row in self.boxes.data:
+                c = int(row[-1])
+                tid = row[4] if self.boxes.is_track else None
+                ann.box_label(row[:4], _label(c, float(row[-2]), tid), color=color_for(c))
+        kp = getattr(self, "keypoints", None)
+        if kp is not None:
+            for k in np.asarray(kp.data):
+                ann.kpts(k, radius=kpt_radius, kpt_line=kpt_line)
+        return ann.result()
 
     def save(self, filename: str | None = None):
         import cv2
@@ -134,8 +182,20 @@ class Results:
         return filename
 
     def save_txt(self, txt_file, save_conf: bool = False):
-        """Save detections in YOLO txt format (normalized xywh)."""
+        """Save detections in YOLO txt format (normalized xywh; OBB results
+        write normalized 8-coord corners, ref Results.save_txt obb branch;
+        classify writes top-5 `conf name` lines)."""
         lines = []
+        pr = getattr(self, "probs", None)
+        if pr is not None:
+            lines = [f"{pr.data[j]:.2f} {self.names.get(j, j)}" for j in pr.top5]
+        obb = getattr(self, "obb", None)
+        if obb is not None and len(obb):
+            H, W = self.orig_shape
+            corners = np.asarray(obb.xyxyxyxy) / np.array([W, H], np.float32)
+            for j, c8 in enumerate(corners.reshape(len(obb), 8)):
+                vals = [int(obb.cls[j]), *c8.tolist()] + ([float(obb.conf[j])] if save_conf else [])
+                lines.append(" ".join(f"{v:.6g}" if isinstance(v, float) else str(v) for v in vals))
         for row in self.boxes.data:
             from yolo_tpu.ops.boxes import xyxy2xywhn
 

@@ -125,7 +125,9 @@ def scale_boxes(img1_shape, boxes, img0_shape, ratio_pad=None, padding: bool = T
     if padding:
         boxes = boxes - xp.asarray([pad[0], pad[1], 0 if xywh else pad[0], 0 if xywh else pad[1]], dtype=boxes.dtype)
     boxes = boxes / gain
-    return clip_boxes(boxes, img0_shape)
+    # xywh (cx, cy, w, h — e.g. OBB centers) must NOT be clipped: clip_boxes
+    # treats columns as xyxy corners (the reference returns unclipped too)
+    return boxes if xywh else clip_boxes(boxes, img0_shape)
 
 
 def box_iou(box1, box2, eps: float = 1e-7):

@@ -287,3 +287,39 @@ def plot_confusion_matrix(matrix: np.ndarray, names=None, save_path="confusion_m
     fig.savefig(save_path, dpi=120)
     plt.close(fig)
     return Path(save_path)
+
+
+def feature_visualization(x, module_type: str, stage: int, n: int = 32, save_dir: Path = Path("runs/detect/exp")):
+    """Save a grid of a layer's feature maps + the raw array (ref:
+    utils/plotting.py feature_visualization:1007). `x` is NHWC (batch 0 used);
+    head outputs and 1-pixel maps are skipped, mirroring the reference."""
+    for m in ("Detect", "Segment", "Pose", "Classify", "OBB", "RTDETRDecoder"):
+        if m in module_type:
+            return
+    x = np.asarray(x)
+    if x.ndim != 4 or x.shape[1] <= 1 or x.shape[2] <= 1:
+        return
+    if x.dtype not in (np.float32, np.float64):  # bf16 → plottable
+        x = x.astype(np.float32)
+    import math
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    channels = x.shape[-1]
+    f = Path(save_dir) / f"stage{stage}_{module_type.rsplit('.', 1)[-1]}_features.png"
+    f.parent.mkdir(parents=True, exist_ok=True)
+    n = min(n, channels)
+    _, ax = plt.subplots(math.ceil(n / 8), 8, tight_layout=True)
+    ax = np.atleast_1d(ax).ravel()
+    plt.subplots_adjust(wspace=0.05, hspace=0.05)
+    for i in range(len(ax)):
+        if i < n:
+            ax[i].imshow(x[0, :, :, i])
+        ax[i].axis("off")
+    LOGGER.info(f"Saving {f}... ({n}/{channels})")
+    plt.savefig(f, dpi=150, bbox_inches="tight")
+    plt.close()
+    np.save(str(f.with_suffix(".npy")), x[0])
