@@ -71,3 +71,36 @@ def test_detect_plot_flags():
     if len(r):  # drawing must change pixels only when boxes are on
         assert (base != blank).any()
     assert (blank == r.plot(boxes=False)).all()
+
+
+def test_obb_tracking_ids_persist():
+    """OBB results track on xywhr with probiou association; ids persist and
+    angles ride through (ref: trackers/track.py is_obb branch,
+    byte_tracker.py STrack angle)."""
+    from yolo_tpu.engine.results import OBBoxes, Results
+    from yolo_tpu.trackers.track import attach_tracker
+
+    img = np.zeros((200, 200, 3), np.uint8)
+
+    def frame(dx):
+        r = Results(img, "f.jpg", {0: "plane"}, boxes=None)
+        r.obb = OBBoxes(
+            np.array(
+                [[50 + dx, 50, 30, 10, 0.5, 0.9, 0], [150 + dx, 150, 20, 8, -0.3, 0.8, 0]],
+                np.float32,
+            ),
+            img.shape[:2],
+        )
+        return r
+
+    class _M:
+        pass
+
+    m = _M()
+    out1 = attach_tracker(m, [frame(0)], persist=True, tracker_cfg="bytetrack.yaml")[0]
+    out2 = attach_tracker(m, [frame(3)], persist=True, tracker_cfg="bytetrack.yaml")[0]
+    assert len(out1) == len(out2) == 2
+    assert out1.obb.is_track and out2.obb.is_track
+    assert list(out1.obb.id) == list(out2.obb.id)
+    np.testing.assert_allclose(out2.obb.xywhr[:, 4], [0.5, -0.3], atol=1e-6)
+    out2.plot()  # rotated quads with id labels

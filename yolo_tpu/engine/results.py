@@ -94,20 +94,24 @@ class Results:
 
     def __getitem__(self, idx):
         sel = idx if isinstance(idx, (slice, list, np.ndarray)) else [idx]
-        r = Results(self.orig_img, self.path, self.names, boxes=self.boxes.data[sel])
+        r = Results(self.orig_img, self.path, self.names, boxes=self.boxes.data[sel] if len(self.boxes) else None)
         if getattr(self, "masks", None) is not None:
             r.masks = Masks(np.asarray(self.masks.data)[sel], self.orig_shape)
         if getattr(self, "keypoints", None) is not None:
             r.keypoints = Keypoints(np.asarray(self.keypoints.data)[sel], self.orig_shape)
+        if getattr(self, "obb", None) is not None:
+            r.obb = self.obb[sel]
         r.speed = self.speed
         return r
 
     def new(self, boxes: np.ndarray | None = None):
         return Results(self.orig_img, self.path, self.names, boxes=boxes, speed=self.speed)
 
-    def update(self, boxes: np.ndarray | None = None):
+    def update(self, boxes: np.ndarray | None = None, obb: np.ndarray | None = None):
         if boxes is not None:
             self.boxes = Boxes(boxes, self.orig_shape)
+        if obb is not None:
+            self.obb = OBBoxes(obb, self.orig_shape)
 
     def plot(
         self,
@@ -152,7 +156,7 @@ class Results:
                 c = int(obb.cls[j])
                 col = color_for(c)
                 cv2.polylines(ann.im, [corners.astype(np.int32).reshape(-1, 1, 2)], True, col, ann.lw, cv2.LINE_AA)
-                lab = _label(c, float(obb.conf[j]))
+                lab = _label(c, float(obb.conf[j]), obb.id[j] if obb.is_track else None)
                 if lab:
                     x1, y1 = corners.min(0)
                     ann.text((int(x1), int(max(y1 - 4, 12))), lab, box_color=col)
@@ -331,15 +335,22 @@ class Probs:
 class OBBoxes:
     """Oriented boxes container (ref: engine/results.py OBB:1434).
 
-    data: (N, 7) [cx, cy, w, h, angle, conf, cls] — angle in radians.
+    data: (N, 7) [cx, cy, w, h, angle, conf, cls] — angle in radians — or
+    (N, 8) with a track id before conf (like Boxes).
     """
 
     def __init__(self, data: np.ndarray, orig_shape):
-        self.data = np.asarray(data, np.float32).reshape(-1, 7)
+        data = np.asarray(data, np.float32)
+        self.data = data.reshape(-1, data.shape[-1] if data.ndim > 1 else 7)
+        assert self.data.shape[-1] in (7, 8)
+        self.is_track = self.data.shape[-1] == 8
         self.orig_shape = orig_shape
 
     def __len__(self):
         return len(self.data)
+
+    def __getitem__(self, idx):
+        return OBBoxes(self.data[idx], self.orig_shape)
 
     @property
     def xywhr(self):
@@ -347,11 +358,15 @@ class OBBoxes:
 
     @property
     def conf(self):
-        return self.data[:, 5]
+        return self.data[:, -2]
 
     @property
     def cls(self):
-        return self.data[:, 6]
+        return self.data[:, -1]
+
+    @property
+    def id(self):
+        return self.data[:, 5] if self.is_track else None
 
     @property
     def xyxyxyxy(self):

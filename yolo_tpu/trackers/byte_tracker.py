@@ -23,7 +23,10 @@ class STrack(BaseTrack):
 
     def __init__(self, xywh, score, cls):
         super().__init__()
-        # xywh: (cx, cy, w, h) [+ optional det index]
+        # xywh: (cx, cy, w, h) [+ optional det index], or (cx, cy, w, h,
+        # angle, idx) for OBB tracking (ref: byte_tracker.py STrack:84 —
+        # the Kalman filter tracks the axis-aligned part; the angle rides
+        # along, refreshed on every matched detection)
         self._tlwh = np.asarray(
             [xywh[0] - xywh[2] / 2, xywh[1] - xywh[3] / 2, xywh[2], xywh[3]], dtype=np.float32
         )
@@ -34,7 +37,7 @@ class STrack(BaseTrack):
         self.tracklet_len = 0
         self.cls = cls
         self.idx = xywh[-1] if len(xywh) > 4 else -1
-        self.angle = None
+        self.angle = np.float32(xywh[4]) if len(xywh) == 6 else None
 
     def predict(self):
         mean_state = self.mean.copy()
@@ -134,9 +137,16 @@ class STrack(BaseTrack):
         return ret
 
     @property
+    def xywha(self):
+        """(cx, cy, w, h, angle) — OBB tracks only (ref: STrack.xywha:222)."""
+        return np.concatenate([self.xywh, [self.angle]]).astype(np.float32)
+
+    @property
     def result(self):
-        """[x1, y1, x2, y2, track_id, score, cls, det_idx] row."""
-        return [*self.xyxy, self.track_id, self.score, self.cls, self.idx]
+        """[coords..., track_id, score, cls, det_idx] row — coords are xyxy
+        (4) for axis-aligned tracks, xywha (5) for OBB (ref STrack.result:230)."""
+        coords = self.xyxy if self.angle is None else self.xywha
+        return [*coords, self.track_id, self.score, self.cls, self.idx]
 
     @staticmethod
     def tlwh_to_xyah(tlwh):

@@ -33,18 +33,24 @@ def linear_assignment(cost_matrix: np.ndarray, thresh: float):
 
 
 def iou_distance(atracks: list, btracks: list) -> np.ndarray:
-    """1 - IoU cost between two track/box lists (ref: matching.py:64)."""
-    if atracks and not isinstance(atracks[0], np.ndarray):
-        atlbrs = [t.xyxy for t in atracks]
-    else:
-        atlbrs = atracks
-    if btracks and not isinstance(btracks[0], np.ndarray):
-        btlbrs = [t.xyxy for t in btracks]
-    else:
-        btlbrs = btracks
+    """1 - IoU cost between two track/box lists (ref: matching.py:64); OBB
+    tracks (5-col xywha) use probiou like the reference."""
+
+    def coords(tracks):
+        if tracks and not isinstance(tracks[0], np.ndarray):
+            return [t.xywha if getattr(t, "angle", None) is not None else t.xyxy for t in tracks]
+        return tracks
+
+    atlbrs, btlbrs = coords(atracks), coords(btracks)
     if len(atlbrs) == 0 or len(btlbrs) == 0:
         return np.zeros((len(atlbrs), len(btlbrs)), dtype=np.float32)
-    ious = np.asarray(box_iou(np.stack(atlbrs), np.stack(btlbrs)), dtype=np.float32)
+    a, b = np.stack(atlbrs).astype(np.float32), np.stack(btlbrs).astype(np.float32)
+    if a.shape[-1] == 5 and b.shape[-1] == 5:  # rotated (ref matching.py:90)
+        from yolo_tpu.ops.boxes import probiou
+
+        ious = np.asarray(probiou(a[:, None], b[None]), dtype=np.float32)[..., 0]
+    else:
+        ious = np.asarray(box_iou(a, b), dtype=np.float32)
     return 1.0 - ious
 
 

@@ -51,10 +51,13 @@ def attach_tracker(model, results, persist: bool = False, stream: bool = False, 
     def process(r):
         from yolo_tpu.ops.boxes import xyxy2xywh
 
-        det = r.boxes
+        # OBB results track on xywhr with probiou association (ref:
+        # track.py:86 is_obb → result.obb fed to tracker.update)
+        is_obb = getattr(r, "obb", None) is not None and len(r.boxes) == 0
+        det = r.obb if is_obb else r.boxes
         if len(det) == 0:
             return r
-        xywh = np.asarray(xyxy2xywh(det.xyxy))
+        xywh = np.asarray(det.xywhr) if is_obb else np.asarray(xyxy2xywh(det.xyxy))
         # pass the frame through (ref: track.py:95 update(det, result.orig_img,
         # feats)) — BOT-SORT's GMC and crop-and-embed ReID both need pixels
         tracks = tracker.update(xywh, det.conf, det.cls, img=getattr(r, "orig_img", None), feats=getattr(r, "feats", None))
@@ -62,12 +65,23 @@ def attach_tracker(model, results, persist: bool = False, stream: bool = False, 
             # subset to zero so masks/keypoints stay aligned with the boxes
             # (ref: track.py predictor.results[i][idx] subsets the whole Result)
             kept = r[[]]
-            kept.update(boxes=np.zeros((0, 7), np.float32))
+            if is_obb:
+                kept.update(obb=np.zeros((0, 8), np.float32))
+            else:
+                kept.update(boxes=np.zeros((0, 7), np.float32))
             return kept
         idx = tracks[:, -1].astype(int)
         # subset the WHOLE result (masks/keypoints reorder with the boxes) —
         # mutating the original r paired mask i with the wrong track id
         kept = r[idx.tolist()]
+        if is_obb:
+            # rows: [cx, cy, w, h, angle, id, score, cls, det_idx] →
+            # OBBoxes (n, 8) [xywhr, id, conf, cls] (id before conf, like Boxes)
+            obb = np.concatenate(
+                [tracks[:, :5], tracks[:, 5:6], kept.obb.conf[:, None], kept.obb.cls[:, None]], axis=-1
+            )
+            kept.update(obb=obb.astype(np.float32))
+            return kept
         # [x1,y1,x2,y2, id, conf, cls]
         boxes = np.concatenate([tracks[:, :4], tracks[:, 4:5], kept.boxes.conf[:, None], kept.boxes.cls[:, None]], axis=-1)
         kept.update(boxes=boxes.astype(np.float32))
