@@ -248,6 +248,15 @@ class BasePredictor:
         imgsz = self.args.imgsz
         if isinstance(imgsz, int):
             imgsz = (imgsz, imgsz)
+        if getattr(self.model, "task", "") == "classify":
+            # classify trains/validates on square-resized images
+            # (engine/classify.py ClassificationDataset); letterbox gray
+            # padding at predict time would be a train/serve mismatch
+            # (ref: classify/predict.py uses classify_transforms, not LetterBox)
+            import cv2
+
+            out = cv2.resize(im, (imgsz[1], imgsz[0]), interpolation=cv2.INTER_LINEAR)
+            return out, ((1.0, 1.0), (0.0, 0.0))
         lb = LetterBox(tuple(imgsz), auto=False, stride=max(self.model.stride))
         return lb(im, return_meta=True)
 
