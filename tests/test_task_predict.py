@@ -104,3 +104,20 @@ def test_obb_tracking_ids_persist():
     assert list(out1.obb.id) == list(out2.obb.id)
     np.testing.assert_allclose(out2.obb.xywhr[:, 4], [0.5, -0.3], atol=1e-6)
     out2.plot()  # rotated quads with id labels
+
+
+def test_segment_retina_masks():
+    """retina_masks=True produces native-resolution masks that agree with the
+    default two-step path (ref: segment/predict.py process_mask_native)."""
+    m = yolo_tpu.YOLO("yolov8n-seg.yaml")
+    r0 = m.predict(IMG, conf=1e-6, imgsz=(64, 96), verbose=False)[0]
+    m2 = yolo_tpu.YOLO("yolov8n-seg.yaml")
+    m2.params = m.params
+    r1 = m2.predict(IMG, conf=1e-6, imgsz=(64, 96), retina_masks=True, verbose=False)[0]
+    assert len(r0) == len(r1)
+    assert r0.masks.data.shape == r1.masks.data.shape == (len(r0),) + IMG.shape[:2]
+    if len(r0):
+        a, b = r0.masks.data, r1.masks.data
+        inter = (a & b).sum()
+        union = (a | b).sum()
+        assert union == 0 or inter / union > 0.7  # same masks, crisper edges

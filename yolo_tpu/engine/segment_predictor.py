@@ -73,11 +73,18 @@ class SegmentationPredictor(BasePredictor):
                 )
                 r = Results(imgs[i], metas[i][0], self.names, boxes=data)
                 vm = out["masks"][i][valid]  # (n, mh, mw) proto resolution
-                if len(vm):
-                    import cv2
+                if getattr(self.args, "retina_masks", False):
+                    # hi-res masks (ref: predict.py retina_masks →
+                    # process_mask_native): strip the letterbox pad at PROTO
+                    # scale and resize once, straight to the original image —
+                    # one interpolation instead of proto→letterbox→original
+                    masks = scale_masks_np(vm, imgs[i].shape[:2], vm.shape[1:] if len(vm) else (h, w))
+                else:
+                    if len(vm):
+                        import cv2
 
-                    vm = np.stack([cv2.resize(m_, (w, h), interpolation=cv2.INTER_LINEAR) for m_ in vm])
-                masks = scale_masks_np(vm.reshape(-1, h, w) if len(vm) else vm.reshape(0, h, w), imgs[i].shape[:2], (h, w))
+                        vm = np.stack([cv2.resize(m_, (w, h), interpolation=cv2.INTER_LINEAR) for m_ in vm])
+                    masks = scale_masks_np(vm.reshape(-1, h, w) if len(vm) else vm.reshape(0, h, w), imgs[i].shape[:2], (h, w))
                 r.masks = Masks(masks > 0.5, imgs[i].shape[:2])
                 r.speed = {
                     "preprocess": profilers[0].dt * 1e3 / n,
