@@ -461,9 +461,21 @@ class TrainTransforms:
         # close_mosaic zeroes mosaic AND copy_paste/mixup/cutmix for the final
         # epochs (ref: trainer _close_dataloader_mosaic) — gate them all on
         # mosaic_enabled so the clean fine-tune epochs see no synthetics
-        if self.mosaic_enabled and h.copy_paste > 0 and rng.random() < 0.5:
-            donor = self.dataset.load_raw(rng.randrange(len(self.dataset)))
-            labels = copy_paste(labels, donor, p=h.copy_paste, rng=rng)
+        if self.mosaic_enabled and h.copy_paste > 0:
+            # copy_paste_mode (ref v8_transforms:2565): "flip" pastes the
+            # image's own mirrored instances (no donor image); "mixup" pulls
+            # patches from a random other image
+            if getattr(h, "copy_paste_mode", "flip") == "mixup":
+                if rng.random() < 0.5:
+                    donor = self.dataset.load_raw(rng.randrange(len(self.dataset)))
+                    labels = copy_paste(labels, donor, p=h.copy_paste, rng=rng)
+            elif len(labels["bboxes"]):
+                img = labels["img"]
+                w = img.shape[1]
+                fb = np.asarray(labels["bboxes"], np.float32).copy()
+                fb[:, [0, 2]] = w - fb[:, [2, 0]]
+                donor = {"img": np.ascontiguousarray(img[:, ::-1]), "bboxes": fb, "cls": labels["cls"]}
+                labels = copy_paste(labels, donor, p=h.copy_paste, rng=rng)
 
         labels = random_perspective(
             labels,
@@ -653,3 +665,78 @@ def cutmix(labels, other, p: float = 1.0, beta: float = 1.0, num_areas: int = 3,
             donor_segs[t] if donor_segs is not None and t < len(donor_segs) else None for t in take
         ]
     return labels
+
+
+def rand_augment(img, rng=None, n_ops: int = 2, magnitude: float = 9.0):
+    """Compact RandAugment for classification (ref: data/augment.py
+    classify_augmentations auto_augment='randaugment' via torchvision; same
+    N=2/M=9 defaults). Pure numpy/cv2 photometric + affine ops on a uint8
+    BGR/gray image; geometry-only ops keep the label unchanged (classify)."""
+    import cv2
+
+    rng = rng or np.random
+    m = magnitude / 30.0  # normalized magnitude in [0, 1]
+
+    def _blend(a, b, alpha):
+        return np.clip(a.astype(np.float32) * (1 - alpha) + b.astype(np.float32) * alpha, 0, 255).astype(np.uint8)
+
+    def autocontrast(x, _):
+        lo, hi = np.percentile(x, 0.5), np.percentile(x, 99.5)
+        if hi <= lo:
+            return x
+        return np.clip((x.astype(np.float32) - lo) * 255.0 / (hi - lo), 0, 255).astype(np.uint8)
+
+    def equalize(x, _):
+        if x.ndim == 2:
+            return cv2.equalizeHist(x)
+        ycc = cv2.cvtColor(x, cv2.COLOR_BGR2YCrCb)
+        ycc[..., 0] = cv2.equalizeHist(ycc[..., 0])
+        return cv2.cvtColor(ycc, cv2.COLOR_YCrCb2BGR)
+
+    def posterize(x, v):  # keep 8..4 bits
+        bits = max(4, 8 - int(round(v * 4)))
+        return (x >> (8 - bits)) << (8 - bits)
+
+    def solarize(x, v):
+        thr = int(255 - v * 110)
+        return np.where(x >= thr, 255 - x, x).astype(np.uint8)
+
+    def brightness(x, v):
+        return _blend(np.zeros_like(x), x, 1.0 + (v if rng.random() < 0.5 else -v) * 0.9)
+
+    def contrast(x, v):
+        mean = np.full_like(x, int(x.mean()))
+        return _blend(mean, x, 1.0 + (v if rng.random() < 0.5 else -v) * 0.9)
+
+    def sharpness(x, v):
+        blur = cv2.GaussianBlur(x, (3, 3), 0)
+        return _blend(blur, x, 1.0 + (v if rng.random() < 0.5 else -v) * 0.9)
+
+    def _warp(x, M):
+        return cv2.warpAffine(x, M, (x.shape[1], x.shape[0]), borderValue=(128, 128, 128))
+
+    def rotate(x, v):
+        a = (v if rng.random() < 0.5 else -v) * 30.0
+        return _warp(x, cv2.getRotationMatrix2D((x.shape[1] / 2, x.shape[0] / 2), a, 1.0))
+
+    def shear_x(x, v):
+        s = (v if rng.random() < 0.5 else -v) * 0.3
+        return _warp(x, np.float32([[1, s, 0], [0, 1, 0]]))
+
+    def shear_y(x, v):
+        s = (v if rng.random() < 0.5 else -v) * 0.3
+        return _warp(x, np.float32([[1, 0, 0], [s, 1, 0]]))
+
+    def translate_x(x, v):
+        t = (v if rng.random() < 0.5 else -v) * 0.45 * x.shape[1]
+        return _warp(x, np.float32([[1, 0, t], [0, 1, 0]]))
+
+    def translate_y(x, v):
+        t = (v if rng.random() < 0.5 else -v) * 0.45 * x.shape[0]
+        return _warp(x, np.float32([[1, 0, 0], [0, 1, t]]))
+
+    ops = [autocontrast, equalize, posterize, solarize, brightness, contrast,
+           sharpness, rotate, shear_x, shear_y, translate_x, translate_y]
+    for _ in range(n_ops):
+        img = ops[rng.randint(len(ops))](np.ascontiguousarray(img), m)
+    return img

@@ -37,7 +37,7 @@ def build_yolo_dataset(cfg, img_path, batch: int, data: dict, mode: str = "train
 class DataLoader:
     """Epoch-based threaded loader with deterministic shuffling."""
 
-    def __init__(self, dataset: YOLODataset, batch_size: int = 16, shuffle: bool = True, workers: int = 4, seed: int = 0, max_boxes: int = 64, drop_last: bool = True, process_fn=None, overlap_mask: bool = True):
+    def __init__(self, dataset: YOLODataset, batch_size: int = 16, shuffle: bool = True, workers: int = 4, seed: int = 0, max_boxes: int = 64, drop_last: bool = True, process_fn=None, overlap_mask: bool = True, mask_ratio: int = 4):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -45,6 +45,7 @@ class DataLoader:
         self.seed = seed
         self.max_boxes = max_boxes
         self.overlap_mask = overlap_mask
+        self.mask_ratio = mask_ratio
         self.drop_last = drop_last
         self.epoch = 0
         self.process_fn = process_fn or (lambda b: b)
@@ -83,7 +84,7 @@ class DataLoader:
                         else:
                             s = self.dataset[j]
                         samples.append(s)
-                    out_q.put((bi, self.process_fn(collate_batch(samples, self.max_boxes, overlap=self.overlap_mask))))
+                    out_q.put((bi, self.process_fn(collate_batch(samples, self.max_boxes, overlap=self.overlap_mask, mask_ratio=self.mask_ratio))))
                 out_q.put((None, None))
             except BaseException as e:  # surface in the consumer — a silent dead
                 # producer would hang the training loop forever on out_q.get()
@@ -147,8 +148,8 @@ def _derive_max_boxes(dataset) -> int:
     return int(min(max(64, derived), 256))
 
 
-def build_dataloader(dataset, batch: int, workers: int = 4, shuffle: bool = True, seed: int = 0, max_boxes: int | None = None, drop_last: bool = True, overlap_mask: bool = True):
+def build_dataloader(dataset, batch: int, workers: int = 4, shuffle: bool = True, seed: int = 0, max_boxes: int | None = None, drop_last: bool = True, overlap_mask: bool = True, mask_ratio: int = 4):
     """Factory mirroring the reference name (ref: data/build.py:180)."""
     if max_boxes is None:
         max_boxes = _derive_max_boxes(dataset)
-    return DataLoader(dataset, batch_size=batch, shuffle=shuffle, workers=workers, seed=seed, max_boxes=max_boxes, drop_last=drop_last, overlap_mask=overlap_mask)
+    return DataLoader(dataset, batch_size=batch, shuffle=shuffle, workers=workers, seed=seed, max_boxes=max_boxes, drop_last=drop_last, overlap_mask=overlap_mask, mask_ratio=mask_ratio)

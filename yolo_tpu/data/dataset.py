@@ -249,7 +249,7 @@ class YOLODataset:
             self.transforms.mosaic_enabled = False
 
 
-def collate_batch(samples: list[dict], max_boxes: int = 64, overlap: bool = True):
+def collate_batch(samples: list[dict], max_boxes: int = 64, overlap: bool = True, mask_ratio: int = 4):
     """Stack samples into fixed-shape arrays for the jitted step.
 
     Returns dict: img (B,H,W,3) uint8, cls (B,N), bboxes (B,N,4) normalized xywh,
@@ -310,7 +310,8 @@ def collate_batch(samples: list[dict], max_boxes: int = 64, overlap: bool = True
     if any(s.get("segments") for s in samples):
         import cv2
 
-        mh, mw = H // 4, W // 4
+        r = max(int(mask_ratio), 1)  # gt mask downsample (ref Format mask_ratio; default 4 = proto stride)
+        mh, mw = H // r, W // r
         if overlap:
             # overlap-index instance map at proto (stride-4) resolution; value
             # = padded label row + 1 (the loss gathers gt masks by that index;
@@ -319,7 +320,7 @@ def collate_batch(samples: list[dict], max_boxes: int = 64, overlap: bool = True
             for i, s in enumerate(samples):
                 segs = s.get("segments") or []
                 polys = [
-                    (j, np.round(sg / 4.0).astype(np.int32))
+                    (j, np.round(sg / r).astype(np.int32))
                     for j, sg in enumerate(segs[:max_boxes])
                     if sg is not None and len(sg) >= 3
                 ]
@@ -341,7 +342,7 @@ def collate_batch(samples: list[dict], max_boxes: int = 64, overlap: bool = True
                 for j, sg in enumerate(segs[:max_boxes]):
                     if sg is None or len(sg) < 3:
                         continue
-                    pts = np.round(sg / 4.0).astype(np.int32)
+                    pts = np.round(sg / r).astype(np.int32)
                     cv2.fillPoly(maps[i, j], [pts], 1)
             batch["masks"] = maps
     return batch

@@ -23,7 +23,8 @@ IMG_EXTS = {".bmp", ".jpg", ".jpeg", ".png", ".tif", ".tiff", ".webp"}
 class ClassificationDataset:
     """root/<class_name>/*.jpg layout (torchvision ImageFolder convention)."""
 
-    def __init__(self, root, imgsz: int = 224, augment: bool = False, fliplr: float = 0.5):
+    def __init__(self, root, imgsz: int = 224, augment: bool = False, fliplr: float = 0.5,
+                 erasing: float = 0.0, auto_augment: str | None = None):
         root = Path(root)
         classes = sorted(d.name for d in root.iterdir() if d.is_dir())
         if not classes:
@@ -37,6 +38,8 @@ class ClassificationDataset:
         self.imgsz = imgsz
         self.augment = augment
         self.fliplr = fliplr
+        self.erasing = erasing
+        self.auto_augment = auto_augment
 
     def __len__(self):
         return len(self.samples)
@@ -50,8 +53,26 @@ class ClassificationDataset:
         if img is None:
             raise FileNotFoundError(f"unreadable image {path}")
         img = cv2.resize(img, (self.imgsz, self.imgsz), interpolation=cv2.INTER_LINEAR)
-        if self.augment and np.random.random() < self.fliplr:
-            img = np.fliplr(img)
+        if self.augment:
+            if self.auto_augment:
+                from yolo_tpu.data.augment import rand_augment
+
+                img = rand_augment(img, np.random)
+            if np.random.random() < self.fliplr:
+                img = np.fliplr(img)
+            if self.erasing > 0 and np.random.random() < self.erasing:
+                # random erasing (ref classify_augmentations erasing=0.4;
+                # torchvision RandomErasing defaults: area 2-33%, aspect 0.3-3.3)
+                img = np.ascontiguousarray(img)
+                H, W = img.shape[:2]
+                for _ in range(10):
+                    area = np.random.uniform(0.02, 0.33) * H * W
+                    ar = np.exp(np.random.uniform(np.log(0.3), np.log(3.3)))
+                    eh, ew = int(round(np.sqrt(area * ar))), int(round(np.sqrt(area / ar)))
+                    if eh < H and ew < W:
+                        y0, x0 = np.random.randint(0, H - eh), np.random.randint(0, W - ew)
+                        img[y0 : y0 + eh, x0 : x0 + ew] = 0
+                        break
         return np.ascontiguousarray(img), cls
 
     def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0, epoch: int = 0, drop_last: bool = True):
@@ -97,7 +118,11 @@ class ClassificationTrainer:
 
         args = self.args
         root = Path(args.data)
-        train_ds = ClassificationDataset(root / "train" if (root / "train").exists() else root, imgsz=args.imgsz, augment=True, fliplr=args.fliplr)
+        train_ds = ClassificationDataset(
+            root / "train" if (root / "train").exists() else root, imgsz=args.imgsz, augment=True,
+            fliplr=args.fliplr, erasing=float(getattr(args, "erasing", 0.0) or 0.0),
+            auto_augment=getattr(args, "auto_augment", None),
+        )
         val_dir = root / "val" if (root / "val").exists() else (root / "train" if (root / "train").exists() else root)
         val_ds = ClassificationDataset(val_dir, imgsz=args.imgsz)
         nc = len(train_ds.names)
@@ -118,8 +143,10 @@ class ClassificationTrainer:
         opt_state = opt.init(self.params)
         dtype = jnp.bfloat16 if args.amp else jnp.float32
 
-        def loss_fn(p, imgs, labels):
-            ctx = Ctx(train=True, dtype=dtype)
+        dropout = float(getattr(args, "dropout", 0.0) or 0.0)
+
+        def loss_fn(p, imgs, labels, key):
+            ctx = Ctx(train=True, dtype=dtype, dropout=dropout, rng=key)
             x = imgs[..., ::-1].astype(dtype) / 255.0
             logits = model.forward_features(p, x, ctx)
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
@@ -129,8 +156,8 @@ class ClassificationTrainer:
         from yolo_tpu.utils.optim import apply_bn_stats as apply_stats
 
         @jax.jit
-        def step(p, opt_state, imgs, labels, lr):
-            (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(p, imgs, labels)
+        def step(p, opt_state, imgs, labels, lr, key):
+            (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(p, imgs, labels, key)
             p, opt_state = opt.update(grads, opt_state, p, lr, 0.9)
             p = apply_stats(p, stats)
             return p, opt_state, loss
@@ -143,8 +170,9 @@ class ClassificationTrainer:
         for epoch in range(args.epochs):
             lr = args.lr0 * ((1 - epoch / args.epochs) * (1 - args.lrf) + args.lrf)
             losses = []
-            for imgs, labels in train_ds.batches(min(args.batch, len(train_ds)), seed=args.seed, epoch=epoch):
-                params, opt_state, loss = step(params, opt_state, imgs, labels, lr)
+            for bi, (imgs, labels) in enumerate(train_ds.batches(min(args.batch, len(train_ds)), seed=args.seed, epoch=epoch)):
+                key = jax.random.PRNGKey(args.seed * 100003 + epoch * 9973 + bi)  # dropout rng
+                params, opt_state, loss = step(params, opt_state, imgs, labels, lr, key)
                 losses.append(float(loss))
             self.metrics = self.validate(params, val_ds)
             LOGGER.info(

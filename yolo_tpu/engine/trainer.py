@@ -266,10 +266,34 @@ class DetectionTrainer:
 
         opt = self.opt
 
+        # frozen layers (ref: trainer.py:261-267 freeze_layer_names): int n =
+        # first n layer indices, or an explicit index list. The frozen
+        # subtrees are restored after the optimizer step — masking grads alone
+        # would still let weight decay / momentum drift them (torch
+        # requires_grad=False freezes both). BN running stats keep updating,
+        # like frozen torch BN modules left in train mode.
+        fz = getattr(self.args, "freeze", None)
+        if isinstance(fz, str):  # CLI "freeze=10" / "freeze=4,6,9"
+            fz = [int(x) for x in fz.replace("[", "").replace("]", "").split(",") if x.strip()]
+        frozen = frozenset(
+            str(int(i))
+            for i in (range(int(fz)) if isinstance(fz, (int, float)) else fz or [])
+        )
+        if frozen:
+            LOGGER.info(f"freezing layers {sorted(frozen, key=int)}")
+
         def train_step(params, opt_state, ema_params, ema_updates, batch, lr, mom, lr_bias):
             (total, (comps, stats)), grads = jax.value_and_grad(forward_loss, has_aux=True)(params, batch)
-            params, opt_state = opt.update(grads, opt_state, params, lr, mom, lr_bias=lr_bias)
-            params = apply_bn_stats(params, stats)
+            new_params, opt_state = opt.update(grads, opt_state, params, lr, mom, lr_bias=lr_bias)
+            if frozen:
+                new_params = {
+                    **new_params,
+                    "model": {
+                        k: (params["model"][k] if k in frozen else v)
+                        for k, v in new_params["model"].items()
+                    },
+                }
+            params = apply_bn_stats(new_params, stats)
             # EMA with reference ramp (ref: torch_utils.py ModelEMA:646)
             ema_updates = ema_updates + 1
             d = 0.9999 * (1 - jnp.exp(-ema_updates / 2000.0))
@@ -280,7 +304,7 @@ class DetectionTrainer:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             repl = NamedSharding(mesh, P())
-            data = NamedSharding(mesh, P("batch"))
+            data = NamedSharding(mesh, P(mesh.axis_names[0]))  # cfg mesh_axes
             # donation audit: params/opt_state/ema_params alias their outputs
             # (in-place update, halves peak param memory); ema_updates (3) is a
             # clean scalar alias; the batch (4) is fresh every step and never
@@ -330,6 +354,7 @@ class DetectionTrainer:
             trainset, args.batch, workers=args.workers, shuffle=True, seed=args.seed,
             drop_last=len(trainset) > args.batch,
             overlap_mask=bool(getattr(args, "overlap_mask", True)),  # seg gt encoding (ref Format overlap)
+            mask_ratio=int(getattr(args, "mask_ratio", 4) or 4),
         )
         nb = max(len(self.train_loader), 1)
         # auto-optimizer selection counts nominal-batch iterations, NOT loader
@@ -358,7 +383,7 @@ class DetectionTrainer:
         if n_dev > 1:
             from yolo_tpu.parallel.mesh import get_mesh
 
-            mesh = get_mesh(n_dev)
+            mesh = get_mesh(n_dev, axis=str(getattr(args, "mesh_axes", "batch") or "batch"))
             LOGGER.info(f"data-parallel over mesh {mesh}")
         step_fn = self._build_step(mesh)
 

@@ -64,6 +64,10 @@ class Ctx:
     # (ops/pallas_c2f.py); inference with fused params only
     pallas_c2f: bool = False
     pallas_interpret: bool = False
+    # classify-head dropout on the pooled features (ref head.py Classify:427
+    # nn.Dropout(p)); active only when train and an rng key is supplied
+    dropout: float = 0.0
+    rng: Any = None
 
 
 def silu(x):
@@ -1212,6 +1216,11 @@ class Classify:
     def __call__(self, p, x, ctx, path=""):
         y = self.conv(p["conv"], x, ctx, f"{path}/conv")  # (B, H, W, c_)
         pooled = y.mean(axis=(1, 2))  # global average pool
+        if ctx.train and ctx.dropout > 0 and ctx.rng is not None:
+            # inverted dropout on the pooled features (ref Classify nn.Dropout)
+            keep = 1.0 - float(ctx.dropout)
+            mask = jax.random.bernoulli(ctx.rng, keep, pooled.shape)
+            pooled = jnp.where(mask, pooled / keep, jnp.zeros((), pooled.dtype))
         logits = pooled.astype(jnp.float32) @ p["linear"]["weight"].astype(jnp.float32) + p["linear"]["bias"]
         return logits
 

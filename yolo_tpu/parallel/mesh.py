@@ -24,9 +24,11 @@ def get_mesh(n_devices: int | None = None, axis: str = "batch") -> Mesh:
     return Mesh(np.array(devices[:n]), (axis,))
 
 
-def shard_batch(batch, mesh: Mesh, axis: str = "batch"):
-    """Shard every array leaf along its leading dim; pass through non-arrays."""
-    sharding = NamedSharding(mesh, P(axis))
+def shard_batch(batch, mesh: Mesh, axis: str | None = None):
+    """Shard every array leaf along its leading dim; pass through non-arrays.
+    `axis` defaults to the mesh's own (first) axis name, so a cfg `mesh_axes`
+    rename flows through without every caller passing it."""
+    sharding = NamedSharding(mesh, P(axis or mesh.axis_names[0]))
 
     def put(x):
         if isinstance(x, (np.ndarray, jax.Array)) and getattr(x, "ndim", 0) >= 1:
