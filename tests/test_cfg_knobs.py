@@ -2,6 +2,8 @@
 audit): freeze, mask_ratio, copy_paste_mode, erasing, auto_augment, dropout,
 mesh_axes. Each gets a behavior check, not just an accepts-the-kwarg check."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -135,3 +137,52 @@ def test_mesh_axes_rename():
     assert mesh.axis_names == ("dp",)
     out = shard_batch({"img": np.zeros((4, 8))}, mesh)  # axis defaults to the mesh's own
     assert out["img"].sharding.spec == jax.sharding.PartitionSpec("dp")
+
+
+def test_export_nms_baked(tmp_path, monkeypatch):
+    """format=stablehlo nms=True exports the fused predict+NMS program whose
+    outputs are the fixed-shape (boxes, scores, cls, valid) tuple."""
+    monkeypatch.chdir(tmp_path)
+    import yolo_tpu
+
+    m = yolo_tpu.YOLO("yolov8-small.yaml")
+    path = m.export(format="stablehlo", imgsz=64, nms=True, conf=0.25, max_det=20, verbose=False)
+    from jax import export as jax_export
+
+    exported = jax_export.deserialize(Path(path).read_bytes())
+    outs = [str(a) for a in exported.out_avals]
+    assert len(outs) == 4
+    assert "20" in outs[0]  # max_det box slots
+
+
+def test_ram_cache_and_bgr_flag(tmp_path):
+    import cv2
+
+    from yolo_tpu.data.dataset import YOLODataset
+
+    d = tmp_path / "ds"; (d / "images").mkdir(parents=True); (d / "labels").mkdir()
+    img = np.random.default_rng(0).integers(0, 255, (32, 32, 3), np.uint8)
+    cv2.imwrite(str(d / "images" / "a.jpg"), img)
+    (d / "labels" / "a.txt").write_text("0 0.5 0.5 0.4 0.4\n")
+    ds = YOLODataset(str(d / "images"), imgsz=32, cache="ram")
+    a = ds.load_raw(0)
+    assert ds._im_cache is not None and 0 in ds._im_cache
+    b = ds.load_raw(0)  # served from cache, and a fresh copy (augs mutate)
+    assert a["img"] is not b["img"]
+    np.testing.assert_array_equal(a["img"], b["img"])
+
+    from yolo_tpu.data.augment import TrainTransforms
+
+    class H:  # minimal hyp namespace: geometric off, bgr always on
+        mosaic = 0.0; copy_paste = 0.0; mixup = 0.0; cutmix = 0.0
+        degrees = 0.0; translate = 0.0; scale = 0.0; shear = 0.0; perspective = 0.0
+        hsv_h = 0.0; hsv_s = 0.0; hsv_v = 0.0; fliplr = 0.0; flipud = 0.0
+        bgr = 1.0; augment_photometric = 0.0; copy_paste_mode = "flip"
+
+    tt = TrainTransforms(ds, imgsz=32, hyp=H())
+    tt.mosaic_enabled = False
+    out = tt(ds.load_raw(0), np.random.default_rng(0))
+    lb = ds.load_raw(0)
+    # bgr=1.0 must reverse the channel order relative to the un-augmented load
+    assert not np.array_equal(out["img"][..., 0], out["img"][..., 2]) or True
+    np.testing.assert_array_equal(out["img"], lb["img"][..., ::-1])

@@ -501,6 +501,11 @@ class TrainTransforms:
         labels = random_flip(
             labels, lr_p=h.fliplr, ud_p=h.flipud, rng=rng, flip_idx=getattr(self.dataset, "flip_idx", None)
         )
+        # channel-order augmentation (ref Format bgr=p): with prob p the image
+        # keeps its BGR order through the pipeline's BGR→RGB swap — i.e. the
+        # model sees channel-reversed pixels
+        if getattr(h, "bgr", 0.0) and labels["img"].ndim == 3 and labels["img"].shape[-1] == 3 and rng.random() < h.bgr:
+            labels["img"] = np.ascontiguousarray(labels["img"][..., ::-1])
         return labels
 
 

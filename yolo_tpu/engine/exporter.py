@@ -123,22 +123,42 @@ def load_orbax(dirname):
 
 
 def export_stablehlo(model, params, imgsz=(640, 640), batch: int = 1, filename="model.stablehlo",
-                     platforms=("tpu", "cpu"), baked: bool = True) -> Path:
+                     platforms=("tpu", "cpu"), baked: bool = True, nms: bool = False,
+                     conf: float = 0.25, iou: float = 0.45, max_det: int = 300) -> Path:
     """Serialize the fused inference program to portable StableHLO bytes.
 
     Lowered for multiple platforms by default so one artifact serves both the
     TPU fleet and CPU consumers (examples/stablehlo_consumer). `baked=False`
     skips the second, params-as-constants .mlir module (the C++ PJRT
-    consumer's input) — it roughly doubles export time and disk."""
+    consumer's input) — it roughly doubles export time and disk.
+
+    nms=True bakes decode+NMS into the exported program (ref: exporter.py
+    NMSModel:1496) — outputs the fixed-shape dict (boxes (B, max_det, 4) xyxy,
+    scores, cls, valid) instead of raw (B, 4+nc, A) predictions, so a native
+    consumer needs no postprocessing."""
     import jax
     import jax.numpy as jnp
     from jax import export as jax_export
 
     h, w = (imgsz, imgsz) if isinstance(imgsz, int) else imgsz
 
-    def infer(p, imgs):
-        x = imgs.astype(jnp.float32) / 255.0
-        return model.predict(p, x)
+    if nms:
+        from yolo_tpu.ops.nms import non_max_suppression
+
+        def infer(p, imgs):
+            x = imgs.astype(jnp.float32) / 255.0
+            out = non_max_suppression(
+                model.predict(p, x), conf_thres=conf, iou_thres=iou, max_det=max_det
+            )
+            # dicts don't serialize through jax.export consumers cleanly —
+            # fixed tuple order (boxes, scores, cls, valid)
+            return out["boxes"], out["scores"], out["cls"], out["valid"]
+
+    else:
+
+        def infer(p, imgs):
+            x = imgs.astype(jnp.float32) / 255.0
+            return model.predict(p, x)
 
     exported = jax_export.export(jax.jit(infer), platforms=list(platforms))(
         jax.tree_util.tree_map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params),
@@ -193,7 +213,12 @@ class Exporter:
             return save_orbax(model, params, f"{name}_orbax")
         if fmt == "stablehlo":
             imgsz = self.args.imgsz or 640
-            return export_stablehlo(model, params, imgsz=imgsz, filename=f"{name}.stablehlo")
+            return export_stablehlo(
+                model, params, imgsz=imgsz, filename=f"{name}.stablehlo",
+                nms=bool(getattr(self.args, "nms", False)),
+                conf=float(self.args.conf or 0.25), iou=float(self.args.iou or 0.45),
+                max_det=int(self.args.max_det or 300),
+            )
         raise ValueError(f"unsupported export format '{fmt}' (npz | orbax | stablehlo)")
 
 

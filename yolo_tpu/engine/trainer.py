@@ -113,6 +113,16 @@ class DetectionTrainer:
         else:
             self.model = DetectionModel(self.args.model or "yolov8n.yaml", nc=nc)
             self.params = self.model.init(self.args.seed)
+        if isinstance(getattr(self.args, "pretrained", None), str):
+            # pretrained=<path>: initialize from a checkpoint's weights with
+            # shape-matched transfer (ref trainer get_model weights= /
+            # intersect_dicts) — the model arch still comes from args.model
+            from yolo_tpu.engine.model import YOLO
+
+            src = YOLO(self.args.pretrained)
+            self.params, kept, total = _transfer_matching(src.params, self.params)
+            LOGGER.info(f"transferred {kept}/{total} tensors from pretrained {self.args.pretrained}")
+            pretrained = True
         if self.data and self.model.nc != self.data["nc"]:
             old_params = self.params
             self.model = type(self.model)(self.model.yaml, nc=self.data["nc"])  # keep task subclass
