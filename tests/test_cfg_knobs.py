@@ -186,3 +186,19 @@ def test_ram_cache_and_bgr_flag(tmp_path):
     # bgr=1.0 must reverse the channel order relative to the un-augmented load
     assert not np.array_equal(out["img"][..., 0], out["img"][..., 2]) or True
     np.testing.assert_array_equal(out["img"], lb["img"][..., ::-1])
+
+
+def test_export_dynamic_batch(tmp_path, monkeypatch):
+    """dynamic=True exports with a symbolic batch dim: one artifact serves
+    any batch size (the TPU-native analog of dynamic ONNX axes)."""
+    monkeypatch.chdir(tmp_path)
+    import yolo_tpu
+
+    m = yolo_tpu.YOLO("yolov8-small.yaml")
+    path = m.export(format="stablehlo", imgsz=64, dynamic=True, baked=False, verbose=False)
+    from jax import export as jax_export
+
+    exported = jax_export.deserialize(Path(path).read_bytes())
+    for b in (1, 3):
+        out = exported.call(m.params, np.zeros((b, 64, 64, 3), np.uint8))
+        assert out.shape[0] == b

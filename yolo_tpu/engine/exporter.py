@@ -124,7 +124,8 @@ def load_orbax(dirname):
 
 def export_stablehlo(model, params, imgsz=(640, 640), batch: int = 1, filename="model.stablehlo",
                      platforms=("tpu", "cpu"), baked: bool = True, nms: bool = False,
-                     conf: float = 0.25, iou: float = 0.45, max_det: int = 300) -> Path:
+                     conf: float = 0.25, iou: float = 0.45, max_det: int = 300,
+                     dynamic: bool = False) -> Path:
     """Serialize the fused inference program to portable StableHLO bytes.
 
     Lowered for multiple platforms by default so one artifact serves both the
@@ -160,9 +161,17 @@ def export_stablehlo(model, params, imgsz=(640, 640), batch: int = 1, filename="
             x = imgs.astype(jnp.float32) / 255.0
             return model.predict(p, x)
 
+    if dynamic:
+        # symbolic batch dim (ref: exporter 'dynamic' ONNX axes) — the
+        # envelope accepts any batch at call time; the baked single-platform
+        # .mlir below stays static (the PJRT C consumer compiles fixed shapes)
+        (bdim,) = jax_export.symbolic_shape("b")
+        in_shape = (bdim, h, w, 3)
+    else:
+        in_shape = (batch, h, w, 3)
     exported = jax_export.export(jax.jit(infer), platforms=list(platforms))(
         jax.tree_util.tree_map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params),
-        jax.ShapeDtypeStruct((batch, h, w, 3), jnp.uint8),
+        jax.ShapeDtypeStruct(in_shape, jnp.uint8),
     )
     blob = exported.serialize()
     Path(filename).write_bytes(blob)
@@ -218,6 +227,7 @@ class Exporter:
                 nms=bool(getattr(self.args, "nms", False)),
                 conf=float(self.args.conf or 0.25), iou=float(self.args.iou or 0.45),
                 max_det=int(self.args.max_det or 300),
+                dynamic=bool(getattr(self.args, "dynamic", False)),
             )
         raise ValueError(f"unsupported export format '{fmt}' (npz | orbax | stablehlo)")
 
