@@ -27,7 +27,7 @@ def build_yolo_dataset(cfg, img_path, batch: int, data: dict, mode: str = "train
         stride=stride,
         single_cls=cfg.single_cls,
         fraction=cfg.fraction if mode == "train" else 1.0,
-        cache=getattr(cfg, "cache", True),  # "ram" adds decoded-image caching
+        cache=(getattr(cfg, "cache", None) or None),  # "ram"/True adds image caching; the label cache is unconditional
         names=data.get("names"),
         kpt_shape=data.get("kpt_shape"),
         flip_idx=data.get("flip_idx"),

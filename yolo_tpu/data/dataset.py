@@ -58,7 +58,7 @@ def img2label_path(img_path: str) -> str:
 class YOLODataset:
     """Detection dataset over a directory (or list file) of images."""
 
-    def __init__(self, img_path, imgsz: int = 640, augment: bool = False, hyp=None, stride: int = 32, single_cls: bool = False, fraction: float = 1.0, names=None, cache=True, kpt_shape=None, flip_idx=None, task: str = "detect"):
+    def __init__(self, img_path, imgsz: int = 640, augment: bool = False, hyp=None, stride: int = 32, single_cls: bool = False, fraction: float = 1.0, names=None, cache=None, kpt_shape=None, flip_idx=None, task: str = "detect"):
         self.task = task
         self.img_path = img_path
         self.imgsz = imgsz
@@ -72,11 +72,14 @@ class YOLODataset:
         self.im_files = self._list_images(img_path, fraction)
         if not self.im_files:
             raise FileNotFoundError(f"no images found in {img_path}")
+        # label cache is unconditional, like the reference's .cache files —
+        # the cfg `cache` key controls IMAGE caching only (here explicit
+        # cache=False in tests still disables it for fixture isolation)
         self.labels = self._load_labels(cache is not False)
-        # image RAM cache (ref BaseDataset cache='ram': decoded images kept
-        # in memory; 'disk' is pointless here — the label cache already
+        # image RAM cache (ref BaseDataset cache='ram'/True: decoded images
+        # kept in memory; 'disk' is pointless here — the label cache already
         # skips re-parsing and imread is the cheap part of the disk path)
-        self._im_cache = {} if cache == "ram" else None
+        self._im_cache = {} if cache in ("ram", True) else None
         if augment and hyp is not None:
             from yolo_tpu.data.augment import TrainTransforms
 
@@ -224,14 +227,15 @@ class YOLODataset:
         import cv2
 
         from yolo_tpu.utils.files import imread
-        if self._im_cache is not None and i in self._im_cache:
-            img = self._im_cache[i].copy()  # augs mutate in place
+        im_cache = getattr(self, "_im_cache", None)  # subclasses with own __init__
+        if im_cache is not None and i in im_cache:
+            img = im_cache[i].copy()  # augs mutate in place
         else:
             img = imread(self.im_files[i])
             if img is None:
                 raise FileNotFoundError(self.im_files[i])
-            if self._im_cache is not None:
-                self._im_cache[i] = img.copy()
+            if im_cache is not None:
+                im_cache[i] = img.copy()
         h, w = img.shape[:2]
         lb = self.labels[i]
         from yolo_tpu.ops.boxes import xywhn2xyxy
