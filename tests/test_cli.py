@@ -114,3 +114,31 @@ def test_settings_manager(tmp_path, monkeypatch):
     out = handle_yolo_settings([f"weights_dir={tmp_path / 'w'}"])
     assert out["weights_dir"] == str(tmp_path / "w")
     assert S.SettingsManager(file=f)["weights_dir"] == str(tmp_path / "w")
+
+
+def test_cli_cfg_copycfg_hub(tmp_path, monkeypatch, capsys):
+    """`yolo cfg`, `yolo copy-cfg`, and the hub login/logout specials
+    (ref cfg/__init__.py :863 cfg printer, copy_default_cfg, handle_yolo_hub)."""
+    import importlib
+
+    monkeypatch.setenv("YOLO_TPU_CONFIG_DIR", str(tmp_path / "cfgdir"))
+    import yolo_tpu.utils.settings as S
+
+    importlib.reload(S)
+    monkeypatch.chdir(tmp_path)
+    from yolo_tpu.cfg import entrypoint
+
+    entrypoint(["cfg"])  # prints the default config — must not raise
+    entrypoint(["copy-cfg"])
+    assert (tmp_path / "default_copy.yaml").exists()
+    entrypoint(["hub", "login", "k123"])
+    assert S.get_settings().get("api_key") == "k123"
+    from yolo_tpu.hub import Auth
+
+    assert Auth().api_key == "k123"  # persisted key feeds sessions
+    try:
+        entrypoint(["logout"])
+        assert S.get_settings().get("api_key") == ""
+    finally:
+        monkeypatch.delenv("YOLO_TPU_CONFIG_DIR")
+        importlib.reload(S)  # restore the real config dir for later tests

@@ -195,6 +195,16 @@ def entrypoint(argv: list[str] | None = None):
             return None
         elif a == "solutions":
             return handle_yolo_solutions(args[args.index(a) + 1 :])
+        elif a == "cfg":  # bare `yolo cfg`: print the default config (ref :863)
+            LOGGER.info(Path(__file__).with_name("default.yaml").read_text())
+            return None
+        elif a == "copy-cfg":  # copy default.yaml to cwd for editing (ref copy_default_cfg)
+            dst = Path.cwd() / "default_copy.yaml"
+            dst.write_text(Path(__file__).with_name("default.yaml").read_text())
+            LOGGER.info(f"{dst} copied — edit and use with: yolo cfg={dst} <task> <mode>")
+            return None
+        elif a in ("hub", "login", "logout"):
+            return handle_yolo_hub(args[args.index(a) :])
         else:
             check_dict_alignment(DEFAULT_CFG_DICT, {a: ""})
 
@@ -261,6 +271,35 @@ def handle_yolo_settings(args: list[str]):
                 LOGGER.info(f"Updated '{k}={v}'")
     LOGGER.info("\n".join(f"{k}={v}" for k, v in settings.items()))
     return settings
+
+
+def handle_yolo_hub(args: list[str]):
+    """`yolo hub login [KEY] | hub logout | login | logout` — persist/clear the
+    hub api key (ref: cfg/__init__.py handle_yolo_hub:585 → hub.login/logout);
+    the key feeds hub.Auth / HUBTrainingSession (YOLO_TPU_HUB_KEY also works)."""
+    from yolo_tpu.utils.settings import get_settings
+
+    cmd = args[1] if args and args[0] == "hub" and len(args) > 1 else (args[0] if args else "")
+    rest = args[2:] if args and args[0] == "hub" else args[1:]
+    settings = get_settings()
+    if cmd == "login":
+        key = rest[0] if rest else ""
+        if not key:
+            LOGGER.info("usage: yolo login API_KEY")
+            return None
+        settings.update({"api_key": key})
+        settings.save()
+        from yolo_tpu.hub import Auth
+
+        ok = Auth(api_key=key).authenticate()
+        LOGGER.info("logged in" + ("" if ok else " (recorded locally; hub endpoint unreachable)"))
+    elif cmd == "logout":
+        settings.update({"api_key": ""})
+        settings.save()
+        LOGGER.info("logged out — api_key cleared")
+    else:
+        LOGGER.info("usage: yolo hub login API_KEY | yolo hub logout")
+    return None
 
 
 def handle_yolo_solutions(args: list[str]):

@@ -54,7 +54,16 @@ class Auth:
     validated via POST /v1/auth; locally a deterministic token is issued."""
 
     def __init__(self, api_key: str | None = None, api_root: str | None = None):
-        self.api_key = api_key or os.getenv("YOLO_TPU_HUB_KEY")
+        if not api_key:
+            api_key = os.getenv("YOLO_TPU_HUB_KEY")
+        if not api_key:  # `yolo login KEY` persists it (cfg handle_yolo_hub)
+            try:
+                from yolo_tpu.utils.settings import get_settings
+
+                api_key = get_settings().get("api_key") or None
+            except Exception:
+                api_key = None
+        self.api_key = api_key
         self.api_root = api_root or _api_root()
         self.id_token = None
 
