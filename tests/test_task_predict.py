@@ -121,3 +121,32 @@ def test_segment_retina_masks():
         inter = (a & b).sum()
         union = (a | b).sum()
         assert union == 0 or inter / union > 0.7  # same masks, crisper edges
+
+
+def test_summary_covers_all_result_kinds():
+    """summary()/to_json include probs / obb corners / keypoints / mask
+    segments / track ids (ref Results.summary:788)."""
+    from yolo_tpu.engine.results import Keypoints, Masks, OBBoxes, Probs, Results
+
+    img = np.zeros((40, 60, 3), np.uint8)
+
+    r = Results(img, "x", {0: "a", 1: "b"}, boxes=None)
+    r.probs = Probs(np.array([0.1, 0.9], np.float32))
+    s = r.summary()
+    assert s == [{"name": "b", "class": 1, "confidence": 0.9}]
+
+    r = Results(img, "x", {0: "t"}, boxes=None)
+    r.obb = OBBoxes(np.array([[30, 20, 10, 6, 0.3, 7.0, 0.8, 0]], np.float32)[:, [0, 1, 2, 3, 4, 5, 6, 7]], img.shape[:2])
+    s = r.summary()
+    assert s[0]["track_id"] == 7 and "x4" in s[0]["box"]
+
+    boxes = np.array([[5, 5, 20, 20, 0.9, 0]], np.float32)
+    r = Results(img, "x", {0: "t"}, boxes=boxes)
+    mk = np.zeros((1, 40, 60), bool); mk[0, 8:18, 8:18] = True
+    r.masks = Masks(mk, img.shape[:2])
+    r.keypoints = Keypoints(np.array([[[10, 10, 1.0], [12, 14, 0.8]]], np.float32), img.shape[:2])
+    s = r.summary(normalize=True)
+    assert "segments" in s[0] and "keypoints" in s[0]
+    assert max(s[0]["segments"]["x"]) <= 1.0
+    assert len(s[0]["keypoints"]["x"]) == 2
+    r.to_json()

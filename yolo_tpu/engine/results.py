@@ -211,17 +211,56 @@ class Results:
             f.write("\n".join(lines) + ("\n" if lines else ""))
 
     def summary(self, normalize: bool = False, decimals: int = 5):
+        """Per-detection dicts (ref: Results.summary:788): classify returns
+        the top class; obb returns 8-corner boxes; masks add polygon segments
+        and pose adds keypoints; track ids ride along when present."""
         out = []
-        for row in self.boxes.data:
-            b = row[:4] / np.array([self.orig_shape[1], self.orig_shape[0]] * 2) if normalize else row[:4]
-            out.append(
+        pr = getattr(self, "probs", None)
+        if pr is not None:
+            return [
                 {
-                    "name": self.names.get(int(row[-1]), str(int(row[-1]))),
-                    "class": int(row[-1]),
-                    "confidence": round(float(row[-2]), decimals),
-                    "box": {k: round(float(v), decimals) for k, v in zip("x1 y1 x2 y2".split(), b)},
+                    "name": self.names.get(pr.top1, str(pr.top1)),
+                    "class": pr.top1,
+                    "confidence": round(pr.top1conf, decimals),
                 }
+            ]
+        h, w = self.orig_shape if normalize else (1, 1)
+        obb = getattr(self, "obb", None)
+        data = obb if obb is not None and len(self.boxes) == 0 and len(obb) else self.boxes
+        is_obb = data is obb
+        mk = getattr(self, "masks", None)
+        kp = getattr(self, "keypoints", None)
+        for i in range(len(data)):
+            corners = (
+                np.asarray(obb.xyxyxyxy[i]) if is_obb else np.asarray(self.boxes.xyxy[i]).reshape(-1, 2)
             )
+            xy = {}
+            for j, (bx, by) in enumerate(corners):
+                xy[f"x{j + 1}"] = round(float(bx) / w, decimals)
+                xy[f"y{j + 1}"] = round(float(by) / h, decimals)
+            c = int(data.cls[i])
+            res = {
+                "name": self.names.get(c, str(c)),
+                "class": c,
+                "confidence": round(float(data.conf[i]), decimals),
+                "box": xy,
+            }
+            if data.is_track:
+                res["track_id"] = int(data.id[i])
+            if mk is not None and i < len(mk.data):
+                poly = mk.xy[i]
+                res["segments"] = {
+                    "x": (poly[:, 0] / w).round(decimals).tolist(),
+                    "y": (poly[:, 1] / h).round(decimals).tolist(),
+                }
+            if kp is not None and i < len(kp.data):
+                k = np.asarray(kp.data[i], np.float64)
+                res["keypoints"] = {
+                    "x": (k[:, 0] / w).round(decimals).tolist(),
+                    "y": (k[:, 1] / h).round(decimals).tolist(),
+                    "visible": k[:, 2].round(decimals).tolist() if k.shape[-1] == 3 else [1.0] * len(k),
+                }
+            out.append(res)
         return out
 
     def to_json(self, normalize: bool = False):
