@@ -202,3 +202,35 @@ def test_export_dynamic_batch(tmp_path, monkeypatch):
     for b in (1, 3):
         out = exported.call(m.params, np.zeros((b, 64, 64, 3), np.uint8))
         assert out.shape[0] == b
+
+
+def test_runs_dir_and_datasets_dir_settings(tmp_path, monkeypatch):
+    """Persisted runs_dir feeds get_save_dir; datasets_dir resolves relative
+    dataset yamls (ref get_save_dir:389 RUNS_DIR, check_det_dataset DATASETS_DIR)."""
+    import importlib
+
+    monkeypatch.setenv("YOLO_TPU_CONFIG_DIR", str(tmp_path / "cfg"))
+    import yolo_tpu.utils.settings as S
+
+    importlib.reload(S)
+    try:
+        s = S.get_settings()
+        s.update({"runs_dir": str(tmp_path / "myruns"), "datasets_dir": str(tmp_path / "mydata")})
+        s.save()
+
+        from yolo_tpu.cfg import get_cfg, get_save_dir
+
+        args = get_cfg(overrides={"task": "detect", "mode": "predict"})
+        args.project = None
+        out = get_save_dir(args)
+        assert str(out).startswith(str(tmp_path / "myruns"))
+
+        (tmp_path / "mydata").mkdir()
+        (tmp_path / "mydata" / "toy.yaml").write_text("path: .\ntrain: images\nnames: {0: t}\n")
+        from yolo_tpu.data.dataset import check_det_dataset
+
+        d = check_det_dataset("toy.yaml")
+        assert d["names"] == {0: "t"}
+    finally:
+        monkeypatch.delenv("YOLO_TPU_CONFIG_DIR")
+        importlib.reload(S)

@@ -118,7 +118,18 @@ def get_save_dir(args, name: str | None = None) -> Path:
     """Compute the run save directory (ref: cfg/__init__.py:389)."""
     if getattr(args, "save_dir", None):
         return Path(args.save_dir)
-    project = args.project or Path("runs") / args.task
+    if args.project:
+        project = Path(args.project)
+    else:
+        # persisted runs_dir from `yolo settings` (ref get_save_dir:389 uses
+        # SETTINGS runs_dir); defaults to ./runs
+        try:
+            from yolo_tpu.utils.settings import get_settings
+
+            runs = Path(get_settings().get("runs_dir") or "runs")
+        except Exception:
+            runs = Path("runs")
+        project = runs / args.task
     name = name or args.name or f"{args.mode}"
     return increment_path(Path(project) / name, exist_ok=getattr(args, "exist_ok", False))
 

@@ -28,6 +28,16 @@ def check_det_dataset(data) -> dict:
             shipped = Path(__file__).resolve().parents[1] / "cfg" / "datasets" / p.name
             if shipped.exists():  # registry lookup, like the reference's checks
                 data = shipped
+        if not Path(data).exists() and not Path(data).is_absolute():
+            # persisted datasets_dir (ref check_det_dataset → DATASETS_DIR)
+            try:
+                from yolo_tpu.utils.settings import get_settings
+
+                alt = Path(get_settings().get("datasets_dir") or "datasets") / data
+                if alt.exists():
+                    data = alt
+            except Exception:
+                pass
         d = yaml_load(data)
         d.setdefault("yaml_file", str(data))
     root = Path(d.get("path") or Path(d.get("yaml_file", ".")).parent)
