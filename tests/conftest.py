@@ -8,6 +8,9 @@ import sys
 from pathlib import Path
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # force: shell exports axon (real TPU)
+# isolate persisted user settings (runs_dir/datasets_dir/api_key) from the
+# machine's real ~/.config — tests must see fresh relative defaults
+os.environ.setdefault("YOLO_TPU_CONFIG_DIR", "/tmp/yolo_tpu_test_config")
 # trainer-level bf16 sanity run costs 2 extra full-model compiles per training
 # test — covered once, explicitly, in test_checks.py instead
 os.environ.setdefault("YOLO_TPU_SKIP_AMP_CHECK", "1")

@@ -25,12 +25,15 @@ SETTINGS_FILE = CONFIG_DIR / "settings.json"
 
 
 def _defaults(file: Path) -> dict:
-    root = Path.cwd()
+    # RELATIVE defaults: an untouched settings file keeps runs/datasets
+    # resolving against the current working directory (absolutizing at
+    # first-creation time pinned every later run to a stale cwd); an explicit
+    # `yolo settings runs_dir=/abs/path` is honored as-is by get_save_dir
     return {
         "settings_version": SETTINGS_VERSION,
-        "datasets_dir": str(root / "datasets"),
-        "weights_dir": str(root / "weights"),
-        "runs_dir": str(root / "runs"),
+        "datasets_dir": "datasets",
+        "weights_dir": "weights",
+        "runs_dir": "runs",
         # anonymized machine id, same derivation as the reference (sha256 of the MAC)
         "uuid": hashlib.sha256(str(uuid.getnode()).encode()).hexdigest(),
         "sync": True,
