@@ -4,6 +4,8 @@ mesh_axes. Each gets a behavior check, not just an accepts-the-kwarg check."""
 
 from pathlib import Path
 
+import os
+
 import numpy as np
 import pytest
 
@@ -209,6 +211,7 @@ def test_runs_dir_and_datasets_dir_settings(tmp_path, monkeypatch):
     dataset yamls (ref get_save_dir:389 RUNS_DIR, check_det_dataset DATASETS_DIR)."""
     import importlib
 
+    prev = os.environ.get("YOLO_TPU_CONFIG_DIR", "/tmp/yolo_tpu_test_config")
     monkeypatch.setenv("YOLO_TPU_CONFIG_DIR", str(tmp_path / "cfg"))
     import yolo_tpu.utils.settings as S
 
@@ -232,5 +235,5 @@ def test_runs_dir_and_datasets_dir_settings(tmp_path, monkeypatch):
         d = check_det_dataset("toy.yaml")
         assert d["names"] == {0: "t"}
     finally:
-        monkeypatch.delenv("YOLO_TPU_CONFIG_DIR")
+        monkeypatch.setenv("YOLO_TPU_CONFIG_DIR", prev)
         importlib.reload(S)

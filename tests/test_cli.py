@@ -1,5 +1,7 @@
 """CLI entrypoint tests (ref: tests/test_cli.py pattern — task×mode k=v parsing)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -121,6 +123,7 @@ def test_cli_cfg_copycfg_hub(tmp_path, monkeypatch, capsys):
     (ref cfg/__init__.py :863 cfg printer, copy_default_cfg, handle_yolo_hub)."""
     import importlib
 
+    prev = os.environ.get("YOLO_TPU_CONFIG_DIR", "/tmp/yolo_tpu_test_config")
     monkeypatch.setenv("YOLO_TPU_CONFIG_DIR", str(tmp_path / "cfgdir"))
     import yolo_tpu.utils.settings as S
 
@@ -140,5 +143,7 @@ def test_cli_cfg_copycfg_hub(tmp_path, monkeypatch, capsys):
         entrypoint(["logout"])
         assert S.get_settings().get("api_key") == ""
     finally:
-        monkeypatch.delenv("YOLO_TPU_CONFIG_DIR")
-        importlib.reload(S)  # restore the real config dir for later tests
+        # restore the suite-wide isolation dir (conftest) — deleting the var
+        # would reload the REAL user config into later tests
+        monkeypatch.setenv("YOLO_TPU_CONFIG_DIR", prev)
+        importlib.reload(S)
