@@ -366,7 +366,7 @@ class BasePredictor:
                 results.append(r)
         if self.args.verbose:
             for r, (path, _) in zip(results, metas):
-                LOGGER.info(f"{path}: {len(r)} dets {r.speed['inference']:.1f}ms")
+                LOGGER.info(f"{path}: {r.verbose()}{r.speed['inference']:.1f}ms")
         if getattr(self.args, "show", False):
             self._show_results(results)
         if self.args.save or self.args.save_txt or getattr(self.args, 'save_crop', False):

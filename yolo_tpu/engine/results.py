@@ -177,6 +177,25 @@ class Results:
                 ann.kpts(k, radius=kpt_radius, kpt_line=kpt_line)
         return ann.result()
 
+    def verbose(self) -> str:
+        """Per-image log fragment, reference format (ref Results.verbose:~560):
+        '384x640 2 persons, 1 dog, ' / top-1 for classify / '(no detections), '."""
+        pr = getattr(self, "probs", None)
+        if pr is not None:
+            return f"{self.names.get(pr.top1, pr.top1)} {pr.top1conf:.2f}, "
+        obb = getattr(self, "obb", None)
+        data = obb if obb is not None and len(self.boxes) == 0 else self.boxes
+        h, w = self.orig_shape
+        if not len(data):
+            return f"{h}x{w} (no detections), "
+        cls = np.asarray(data.cls).astype(int)
+        parts = []
+        for c in sorted(set(cls.tolist())):
+            n = int((cls == c).sum())
+            name = self.names.get(c, str(c))
+            parts.append(f"{n} {name}{'s' if n > 1 else ''}")
+        return f"{h}x{w} " + ", ".join(parts) + ", "
+
     def save(self, filename: str | None = None):
         import cv2
 
