@@ -11,10 +11,12 @@ to bound recompilation.
 from __future__ import annotations
 
 import functools
+import os
 from pathlib import Path
 
 import numpy as np
 
+from yolo_tpu import native
 from yolo_tpu.cfg import get_cfg
 from yolo_tpu.engine.results import Results
 from yolo_tpu.ops.boxes import scale_boxes
@@ -257,6 +259,11 @@ class BasePredictor:
 
             out = cv2.resize(im, (imgsz[1], imgsz[0]), interpolation=cv2.INTER_LINEAR)
             return out, ((1.0, 1.0), (0.0, 0.0))
+        if native.available() and os.environ.get("YOLO_TPU_NATIVE_PRE", "1") != "0":
+            # C++ fast path (native/preprocess.cpp): same geometry as LetterBox
+            # (ratio-preserving bilinear + centered 114 pad); bilinear rounding
+            # may differ from cv2 by ±1 intensity level (tests/test_native.py)
+            return native.letterbox(im, tuple(imgsz))
         lb = LetterBox(tuple(imgsz), auto=False, stride=max(self.model.stride))
         return lb(im, return_meta=True)
 
