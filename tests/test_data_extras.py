@@ -181,3 +181,30 @@ def test_copy_paste_clips_out_of_bounds_donor():
     }
     out = copy_paste(labels, donor, p=1.0, rng=pyrandom.Random(0))
     assert len(out["bboxes"]) in (0, 1)  # no ValueError; clipped patch pasted or skipped
+
+
+def test_copy_paste_keeps_segments_aligned():
+    """Segment-task labels: pasted instances must extend the segments list
+    (a shorter list crashes random_perspective's keep-mask; None entries would
+    silently drop the pasted instances)."""
+    import random as pyrandom
+
+    from yolo_tpu.data.augment import copy_paste, random_perspective
+
+    labels = {
+        "img": np.full((64, 64, 3), 30, np.uint8),
+        "bboxes": np.array([[2.0, 2.0, 10.0, 10.0]], np.float32),
+        "cls": np.array([0.0], np.float32),
+        "segments": [np.array([[2, 2], [10, 2], [10, 10], [2, 10]], np.float32)],
+    }
+    donor = {
+        "img": np.full((64, 64, 3), 200, np.uint8),
+        "bboxes": np.array([[20.0, 20.0, 40.0, 40.0]], np.float32),
+        "cls": np.array([1.0], np.float32),
+    }
+    out = copy_paste(labels, donor, p=1.0, rng=pyrandom.Random(3))
+    assert len(out["bboxes"]) == 2  # the paste actually happened
+    assert len(out["segments"]) == len(out["bboxes"]) == len(out["cls"])
+    # and the full aug chain stays consistent (this crashed pre-fix)
+    out = random_perspective(out, degrees=0, translate=0.1, scale=0.1, rng=pyrandom.Random(0))
+    assert len(out["segments"]) == len(out["bboxes"]) == len(out["cls"])

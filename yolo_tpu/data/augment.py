@@ -368,6 +368,17 @@ def copy_paste(labels, donor, p=0.5, rng=None):
             [bb[:, [0, 1]], bb[:, [2, 1]], bb[:, [2, 3]], bb[:, [0, 3]]], axis=1
         ).astype(np.float32)
         labels["obb"] = np.concatenate([labels["obb"], corners])
+    if labels.get("segments") is not None and n_new:
+        # keep the per-box segments list aligned with the grown bbox array:
+        # the blit is the full rectangular patch, so its honest footprint is
+        # the box's 4-corner polygon (a None entry would make
+        # random_perspective drop the instance, and a shorter list crashes
+        # its keep-mask indexing)
+        bb = labels["bboxes"][-n_new:]
+        labels["segments"] = list(labels["segments"]) + [
+            np.array([[b[0], b[1]], [b[2], b[1]], [b[2], b[3]], [b[0], b[3]]], np.float32)
+            for b in bb
+        ]
     return labels
 
 

@@ -259,7 +259,7 @@ class BasePredictor:
 
             out = cv2.resize(im, (imgsz[1], imgsz[0]), interpolation=cv2.INTER_LINEAR)
             return out, ((1.0, 1.0), (0.0, 0.0))
-        if native.available() and os.environ.get("YOLO_TPU_NATIVE_PRE", "1") != "0":
+        if im.dtype == np.uint8 and native.available() and os.environ.get("YOLO_TPU_NATIVE_PRE", "1") != "0":
             # C++ fast path (native/preprocess.cpp): same geometry as LetterBox
             # (ratio-preserving bilinear + centered 114 pad); bilinear rounding
             # may differ from cv2 by ±1 intensity level (tests/test_native.py)
