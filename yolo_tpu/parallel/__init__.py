@@ -8,5 +8,9 @@ group, no rank bookkeeping — `jit` compiles the psum into the step.
 """
 
 from yolo_tpu.parallel.mesh import get_mesh, shard_batch, replicate, shard_module_params
+from yolo_tpu.parallel.spatial import spatial_mesh, shard_spatial, spatial_predict_fn
 
-__all__ = ["get_mesh", "shard_batch", "replicate", "shard_module_params"]
+__all__ = [
+    "get_mesh", "shard_batch", "replicate", "shard_module_params",
+    "spatial_mesh", "shard_spatial", "spatial_predict_fn",
+]
