@@ -90,3 +90,34 @@ def test_smart_request_retries_then_gives_up(monkeypatch):
     monkeypatch.setattr("time.sleep", lambda s: None)
     r = smart_request("POST", "http://x/y", retries=3)
     assert r is None and calls["n"] == 3
+
+
+def test_unknown_model_raises_hub_model_error(tmp_path):
+    """A definite 404 on the model-existence probe raises HUBModelError (ref
+    hub/session.py load_model); unreachable hubs still never raise."""
+    import pytest
+
+    from yolo_tpu.hub import HUBTrainingSession
+    from yolo_tpu.utils.errors import HUBModelError
+
+    srv = _HubServer()
+    # teach the server GET: 404 for the "missing" model, 200 otherwise
+    outer_handler = srv.httpd.RequestHandlerClass
+
+    def do_GET(self):
+        code = 404 if "missing" in self.path else 200
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.end_headers()
+        self.wfile.write(b"{}")
+
+    outer_handler.do_GET = do_GET
+    try:
+        with pytest.raises(HUBModelError):
+            HUBTrainingSession("org/missing", api_key="k", run_dir=tmp_path,
+                               api_root=f"http://127.0.0.1:{srv.port}")
+        s = HUBTrainingSession("org/model2", api_key="k", run_dir=tmp_path,
+                               api_root=f"http://127.0.0.1:{srv.port}")
+        s.stop()
+    finally:
+        srv.close()

@@ -105,6 +105,15 @@ class HUBTrainingSession:
         self.auth = Auth(api_key, api_root=self.api_root)
         if self.api_root:
             self.auth.authenticate()
+            # model-existence probe (ref: hub/session.py load_model → HUBModelError
+            # on a bad model URL). Only a definite 404 raises — an unreachable or
+            # erroring hub must never kill training (same policy as smart_request).
+            r = smart_request("GET", f"{self.api_root}/v1/models/{identifier}",
+                              headers=self.auth.header, retries=1)
+            if r is not None and r.status_code == 404:
+                from yolo_tpu.utils.errors import HUBModelError
+
+                raise HUBModelError(f"model '{identifier}' not found on the hub")
         self.run_dir = Path(run_dir) / identifier.replace("/", "_")
         self.run_dir.mkdir(parents=True, exist_ok=True)
         self.metrics_queue: dict = {}
