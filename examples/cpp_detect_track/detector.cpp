@@ -276,6 +276,10 @@ PjrtDetector::PjrtDetector(const std::string& plugin_path,
   im.Check(im.api->PJRT_Plugin_Initialize(&init), "Plugin_Initialize");
 
   // client options (axon-TPU defaults mirror pjrt_consumer.cpp)
+  // NamedValues hold raw pointers into opt_keys/opt_svals — reserve so
+  // push_back never reallocates under them.
+  im.opt_keys.reserve(16);
+  im.opt_svals.reserve(16);
   std::vector<PJRT_NamedValue> named;
   auto add_int = [&](const std::string& k, int64_t v) {
     im.opt_keys.push_back(k);
