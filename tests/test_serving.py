@@ -180,3 +180,72 @@ def test_two_process_four_device_mesh():
         assert p.returncode == 0, f"rank {r} failed:\n{out}"
         assert f"rank {r} meshok total=96.0" in out
     assert "main=True" in outs[0] and "main=False" in outs[1]
+
+
+# --- remote model backend (ref: utils/triton.py TritonRemoteModel + autobackend triton row) ---
+
+
+def test_remote_model_url_parsing():
+    from yolo_tpu.utils.remote import RemoteModel
+
+    rm = RemoteModel("tcp://10.0.0.5:8777/3")
+    assert (rm.host, rm.port, rm.model_id) == ("10.0.0.5", 8777, 3)
+    rm = RemoteModel("tcp://localhost:99")  # model id defaults to 0
+    assert (rm.host, rm.port, rm.model_id) == ("localhost", 99, 0)
+    with pytest.raises(ValueError):
+        RemoteModel("http://host:1/0")
+    with pytest.raises(ValueError):
+        RemoteModel("tcp://hostonly/0")
+
+
+def test_remote_yolo_predict_matches_raw_protocol(server):
+    """YOLO('tcp://...') facade returns the same detections as a raw v2 request."""
+    from yolo_tpu import YOLO
+
+    f = _frame()
+    # raw-protocol reference answer
+    conn = socket.create_connection(("127.0.0.1", server.port), timeout=120)
+    conn.sendall(b"YTP2" + struct.pack("<HHIII", 2, 0, *f.shape) + f.tobytes())
+    assert _recv_exact(conn, 4) == b"YTPR"
+    _ver, status, n = struct.unpack("<HHI", _recv_exact(conn, 8))
+    assert status == 0
+    raw_dets = np.frombuffer(_recv_exact(conn, n * 24), np.float32).reshape(n, 6) if n else np.zeros((0, 6), np.float32)
+    conn.close()
+
+    m = YOLO(f"tcp://127.0.0.1:{server.port}/0")
+    results = m.predict(f, conf=0.0, verbose=False)
+    assert len(results) == 1
+    r = results[0]
+    assert r.boxes.data.shape[1] == 6
+    np.testing.assert_allclose(r.boxes.data, raw_dets, rtol=1e-5, atol=1e-5)
+    # second predict reuses the connection/predictor; stream mode yields lazily
+    gen = m.predict([f, f], conf=0.0, stream=True, verbose=False)
+    assert sum(1 for _ in gen) == 2
+    # track over the remote backend attaches ids when detections exist
+    tracked = m.track(f, conf=0.0, verbose=False)
+    assert len(tracked) == 1
+    m.predictor.close()
+
+
+def test_remote_model_error_frame_raises(server):
+    from yolo_tpu.utils.remote import RemoteInferenceError, RemoteModel
+
+    with RemoteModel(f"tcp://127.0.0.1:{server.port}/42") as rm:
+        with pytest.raises(RemoteInferenceError, match="unknown model"):
+            rm(_frame())
+        # the connection survives an error frame (recoverable-error semantics)
+        rm.model_id = 0
+        dets = rm(_frame())
+        assert dets.shape[1] == 6
+
+
+def test_remote_model_rejects_local_modes(server):
+    from yolo_tpu import YOLO
+
+    m = YOLO(f"tcp://127.0.0.1:{server.port}/0")
+    with pytest.raises(RuntimeError, match="predict/track"):
+        m.train(data="nonexistent.yaml")
+    with pytest.raises(RuntimeError, match="predict/track"):
+        m.val(data="nonexistent.yaml")
+    with pytest.raises(RuntimeError, match="predict/track"):
+        m.export()

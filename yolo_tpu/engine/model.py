@@ -27,6 +27,9 @@ class YOLO:
             self._load_ensemble([str(m) for m in model], task=task)
             return
         model = str(model)
+        if model.startswith("tcp://"):  # served model as backend (ref: nn/autobackend.py:79-98 triton row + utils/triton.py)
+            self._load_remote(model, task=task)
+            return
         self.task = task or (
             "classify"
             if "-cls" in model
@@ -78,6 +81,29 @@ class YOLO:
         self.params = self.model.init(0)
         self.overrides["model"] = cfg
         self.overrides["task"] = self.task
+
+    def _load_remote(self, url: str, task: str | None = None):
+        """Route predicts through a serving daemon (ref: utils/triton.py
+        TritonRemoteModel — ``YOLO("tcp://host:port/<model_id>")``).
+
+        Only predict/track are meaningful against a remote backend; train/
+        val/export need the local params tree and raise a clear error."""
+        from yolo_tpu.utils.remote import RemoteModel
+
+        self.remote = RemoteModel(url)
+        self.task = task or "detect"
+        self.overrides = {"model": url, "task": self.task}
+        self.predictor = None
+        self.trainer = None
+        self.metrics = None
+        self.ckpt_path = None
+
+        class _RemoteStub:  # .names/.task surface for code that introspects the model
+            pass
+
+        self.model = _RemoteStub()
+        self.model.task = self.task
+        self.model.names = {}
 
     def _load_ensemble(self, weights: list, task: str | None = None):
         """Build an NMS ensemble from several checkpoints/yamls (ref Ensemble:1267)."""
@@ -143,6 +169,18 @@ class YOLO:
         """Run inference (ref: engine/model.py predict:498)."""
         custom = {"conf": 0.25, "batch": 1, "save": False, "mode": "predict"}
         args = {**self.overrides, **custom, **kwargs}
+        if getattr(self, "remote", None) is not None:  # served backend (ref: autobackend triton row)
+            from yolo_tpu.engine.remote_predictor import RemotePredictor
+
+            if self.predictor is None:
+                self.predictor = RemotePredictor(
+                    self.remote, overrides={k: v for k, v in args.items() if k in DEFAULT_CFG_DICT}, names=self.model.names
+                )
+            else:
+                for k, v in kwargs.items():
+                    if k in DEFAULT_CFG_DICT:
+                        setattr(self.predictor.args, k, v)
+            return self.predictor(source, stream=stream)
         if self.predictor is None or predictor is not None:
             if predictor is None:
                 if self.task == "segment":
@@ -172,8 +210,16 @@ class YOLO:
 
         return attach_tracker(self, results, persist=persist, stream=stream, tracker_cfg=kwargs.get("tracker"))
 
+    def _require_local(self, mode: str):
+        if getattr(self, "remote", None) is not None:
+            raise RuntimeError(
+                f"{mode} needs the local params tree; a tcp:// remote model only supports predict/track "
+                f"(load the checkpoint locally instead of {self.overrides.get('model')})"
+            )
+
     def train(self, trainer=None, **kwargs):
         """Train the model (ref: engine/model.py train:738)."""
+        self._require_local("train")
         overrides = {**self.overrides, **kwargs, "mode": "train"}
         overrides.setdefault("model", self.overrides.get("model"))
         if trainer is None:
@@ -195,6 +241,7 @@ class YOLO:
         Dispatches the task's validator (segment/pose/obb/rtdetr/classify),
         mirroring DetectionTrainer.validate — the reference routes through
         task_map the same way."""
+        self._require_local("val")
         args = {**self.overrides, **kwargs, "mode": "val"}
         if validator is None:
             if self.task == "classify":
@@ -210,6 +257,7 @@ class YOLO:
         return self.metrics
 
     def export(self, **kwargs):
+        self._require_local("export")
         """Export params/graph (ref: engine/model.py export:690)."""
         from yolo_tpu.engine.exporter import Exporter
 
