@@ -249,3 +249,22 @@ def test_remote_model_rejects_local_modes(server):
         m.val(data="nonexistent.yaml")
     with pytest.raises(RuntimeError, match="predict/track"):
         m.export()
+
+
+def test_example_remote_client(server, tmp_path):
+    """Headless drive of examples/remote_client.py against the live server."""
+    import importlib.util
+
+    import cv2
+
+    vid = tmp_path / "clip.mp4"
+    vw = cv2.VideoWriter(str(vid), cv2.VideoWriter_fourcc(*"mp4v"), 30, (96, 64))
+    for _ in range(4):
+        vw.write(_frame(64, 96))
+    vw.release()
+    spec = importlib.util.spec_from_file_location("remote_ex", Path(__file__).parents[1] / "examples" / "remote_client.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    n = mod.main(["--url", f"tcp://127.0.0.1:{server.port}/0", "--source", str(vid),
+                  "--conf", "0.0", "--track", "--save", str(tmp_path / "out.mp4"), "--max-frames", "3"])
+    assert n == 3 and (tmp_path / "out.mp4").exists()

@@ -322,3 +322,76 @@ def test_object_counter_polygon_counts_exits():
     for _ in range(5):
         out = oc.process(np.zeros((200, 200, 3), np.uint8))
     assert out["out_count"] == 1
+
+
+def test_example_region_counter(tmp_path, monkeypatch):
+    """Headless drive of examples/region_counter.py (multi-region counts)."""
+    import cv2
+    import numpy as np
+
+    vid = tmp_path / "clip.mp4"
+    vw = cv2.VideoWriter(str(vid), cv2.VideoWriter_fourcc(*"mp4v"), 30, (160, 128))
+    for f in range(4):
+        fr = np.full((128, 160, 3), 20, np.uint8)
+        cv2.circle(fr, (40, 64), 10, (255, 255, 255), -1)
+        vw.write(fr)
+    vw.release()
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("rc_ex", Path(__file__).parents[1] / "examples" / "region_counter.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.chdir(tmp_path)
+    counts = mod.main([
+        "--source", str(vid), "--model", "yolov8n.yaml", "--conf", "0.0001", "--imgsz", "64",
+        "--regions", "0,0 159,0 159,127 0,127;150,120 159,120 159,127 150,127",
+        "--save", str(tmp_path / "rc.mp4"), "--max-frames", "3",
+    ])
+    assert set(counts) == {"region-01", "region-02"}
+    assert (tmp_path / "rc.mp4").exists()
+    # region-01 spans the whole frame: with conf ~0 there are detections in it
+    assert counts["region-01"] >= counts["region-02"]
+
+
+def test_example_segment_predict(tmp_path, monkeypatch):
+    """Headless drive of examples/segment_predict.py on a tiny image."""
+    import cv2
+    import numpy as np
+
+    img = tmp_path / "im.jpg"
+    fr = np.full((96, 128, 3), 20, np.uint8)
+    cv2.rectangle(fr, (40, 30), (90, 70), (255, 255, 255), -1)
+    cv2.imwrite(str(img), fr)
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("sp_ex", Path(__file__).parents[1] / "examples" / "segment_predict.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.chdir(tmp_path)
+    results = mod.main(["--source", str(img), "--model", "yolov8n-seg.yaml", "--conf", "0.0001",
+                        "--imgsz", "64", "--save", str(tmp_path / "seg.jpg")])
+    assert len(results) == 1
+    assert (tmp_path / "seg.jpg").exists()
+
+
+@pytest.mark.heavy
+def test_example_rtdetr_predict(tmp_path, monkeypatch):
+    """Headless drive of examples/rtdetr_predict.py (NMS-free path)."""
+    import cv2
+    import numpy as np
+
+    img = tmp_path / "im.jpg"
+    fr = np.full((96, 128, 3), 20, np.uint8)
+    cv2.rectangle(fr, (40, 30), (90, 70), (255, 255, 255), -1)
+    cv2.imwrite(str(img), fr)
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("rt_ex", Path(__file__).parents[1] / "examples" / "rtdetr_predict.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.chdir(tmp_path)
+    # RT-DETR selects 300 queries from ΣHW anchors — imgsz must give ΣHW ≥ 300
+    results = mod.main(["--source", str(img), "--conf", "0.0", "--imgsz", "160",
+                        "--save", str(tmp_path / "rt.jpg")])
+    assert len(results) == 1
+    assert (tmp_path / "rt.jpg").exists()
