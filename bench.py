@@ -75,7 +75,9 @@ def main():
     # end-to-end 113 vs 54 fps at ~2% device-fps cost (2586 vs 2635)
     # chunk sweep on v5e (fused fps): 256→5054, 512→5410, 768→5301, 1024→5100
     # — 512 is the sweet spot (smaller activation working set, same MXU
-    # utilization); raise for hosts with slower dispatch
+    # utilization); raise for hosts with slower dispatch. Re-swept after the
+    # neck fold + select-max NMS landed (2026-08-18): 384→5259, 512→5386,
+    # 640→5132 — 512 still wins.
     chunk = int(os.getenv("BENCH_CHUNK", "512"))
     h, w = 512, 640
 

@@ -127,3 +127,21 @@ def test_trainer_amp_fallback(monkeypatch, tmp_path):
     with pytest.raises(Stop):
         tr.train()
     assert seen.get("called") and tr.args.amp is False
+
+
+def test_autodevice_select_idle(capsys):
+    """TPUInfo ranks devices by free HBM; CPU backends fall back to stable order."""
+    from yolo_tpu.utils.autodevice import TPUInfo, select_idle_device
+
+    info = TPUInfo()
+    assert len(info.device_stats) >= 1
+    assert {"index", "name", "memory_total", "memory_used", "memory_free"} <= set(info.device_stats[0])
+    info.print_status()  # must not crash without memory stats
+    picked = select_idle_device(count=1)
+    assert len(picked) == 1
+    import jax
+
+    assert picked[0] in jax.devices()
+    # over-asking warns and returns what exists
+    many = info.select_idle_device(count=10_000)
+    assert len(many) == len(jax.devices())
