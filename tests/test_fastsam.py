@@ -40,6 +40,7 @@ def test_adjust_bboxes_to_border():
     assert out[1, 3] == 96
 
 
+@pytest.mark.heavy
 def test_fastsam_text_prompt_selects_best_crop():
     """Text prompts route through the native CLIP towers (ref:
     fastsam/predict.py _clip_inference:152) — one mask per text selected."""

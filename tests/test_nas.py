@@ -2,6 +2,7 @@
 predict.py NASPredictor, val.py NASValidator)."""
 
 import numpy as np
+import pytest
 
 
 def test_nas_builds_and_predicts():
@@ -33,6 +34,7 @@ def test_nas_facade_predict_and_roundtrip(tmp_path):
     assert [s.type for s in m2.layers] == [s.type for s in m.model.layers]
 
 
+@pytest.mark.heavy
 def test_tune_facade(tmp_path):
     """YOLO(...).tune(iterations=2) runs the Tuner (ref: engine/model.py tune:810)."""
     import cv2

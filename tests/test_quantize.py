@@ -2,6 +2,7 @@
 graph + int8 conv leaves actually engaged."""
 
 import numpy as np
+import pytest
 
 
 def test_quantized_predict_agrees_with_f32():
@@ -46,6 +47,7 @@ def test_quantize_skips_unfused_and_small_layers():
     assert all(getattr(v, "dtype", None) != np.int8 for _, v in jtu.tree_leaves_with_path(qp))
 
 
+@pytest.mark.heavy
 def test_calibrated_static_scales_match_dynamic():
     """calibrate_act_scales + quantize_params(act_scales=...) produces outputs
     close to the dynamic-quant path when the eval inputs match the

@@ -104,6 +104,7 @@ print(f"rank {rank} ok procs={jax.process_count()} devices={len(jax.devices())}"
 """
 
 
+@pytest.mark.heavy
 def test_two_process_jax_distributed():
     """jax.distributed over two localhost processes — the multi-host init path
     (parallel/distributed.py) finally exercised (VERDICT r1 weak#6)."""
