@@ -51,7 +51,8 @@ class TaskAlignedAssigner:
             pd_scores, pd_bboxes, gt_labels, gt_bboxes, mask_in_gts & mask_gt[..., None]
         )
         mask_topk = self._topk_mask(align_metric, mask_gt)  # (B, N, A)
-        mask_pos = (mask_topk & mask_in_gts & mask_gt[..., None]).astype(jnp.float32)
+        mask_pos = mask_topk & mask_in_gts & mask_gt[..., None]  # bool — f32 masks
+        # triple the assigner's HBM traffic at A=27k for no numeric effect
 
         target_gt_idx, fg_mask, mask_pos = self._resolve_conflicts(mask_pos, overlaps)
 
@@ -62,9 +63,9 @@ class TaskAlignedAssigner:
         target_scores = jnp.where(fg_mask[..., None] > 0, one_hot, 0.0)
 
         # normalize by per-gt max align metric scaled to max overlap
-        align_metric = align_metric * mask_pos
+        align_metric = jnp.where(mask_pos, align_metric, 0.0)
         pos_align = jnp.max(align_metric, axis=-1, keepdims=True)  # (B, N, 1)
-        pos_overlaps = jnp.max(overlaps * mask_pos, axis=-1, keepdims=True)
+        pos_overlaps = jnp.max(jnp.where(mask_pos, overlaps, 0.0), axis=-1, keepdims=True)
         norm = jnp.max(align_metric * pos_overlaps / (pos_align + self.eps), axis=-2)[..., None]  # (B, A, 1)
         target_scores = target_scores * norm
 
@@ -94,29 +95,36 @@ class TaskAlignedAssigner:
     def _topk_mask(self, metrics, mask_gt):
         """(B, N, A) bool marking the top-k metric anchors of each valid gt.
 
-        Reference quirk preserved: invalid (masked) topk slots scatter onto index 0
-        and any anchor hit more than once is dropped (count>1 → 0), ref :230.
+        Selection runs as k masked-argmax sweeps instead of `jax.lax.top_k`:
+        top_k lowers to a sort-based selection on TPU and alone cost 9.3 ms of
+        the 17 ms assigner at B16×A27k (640×512 P2), while k fused
+        argmax+mask passes measure ~1 ms and pick the IDENTICAL set — both
+        break ties toward the lowest index, and k distinct indices always come
+        back, so the reference's count>1 duplicate filter (ref: tal.py :230,
+        invalid slots scattered onto index 0) reduces to membership ANDed with
+        gt-row validity.
         """
-        B, N, A = metrics.shape
-        topk_vals, topk_idxs = jax.lax.top_k(metrics, self.topk)  # (B, N, k)
-        valid = jnp.broadcast_to(mask_gt[..., None], topk_idxs.shape)
-        topk_idxs = jnp.where(valid, topk_idxs, 0)
-        counts = (
-            jnp.zeros((B, N, A), jnp.int32)
-            .at[
-                jnp.arange(B)[:, None, None],
-                jnp.arange(N)[None, :, None],
-                topk_idxs,
-            ]
-            .add(1)
+
+        def pick(carry, _):
+            m, sel = carry
+            hit = jax.nn.one_hot(jnp.argmax(m, axis=-1), m.shape[-1], dtype=jnp.bool_)  # (B, N, A)
+            return (jnp.where(hit, -jnp.inf, m), sel | hit), None
+
+        (_, sel), _ = jax.lax.scan(
+            pick, (metrics, jnp.zeros(metrics.shape, jnp.bool_)), None, length=self.topk
         )
-        return (counts == 1)  # counts>1 filtered, like reference
+        return sel & mask_gt[..., None]
 
     def _resolve_conflicts(self, mask_pos, overlaps):
-        """Anchor claimed by several gts → keep the max-overlap gt (ref :305-330)."""
-        fg = jnp.sum(mask_pos, axis=-2)  # (B, A)
+        """Anchor claimed by several gts → keep the max-overlap gt (ref :305-330).
+
+        mask_pos stays bool throughout (counts as int32 reductions); the f32
+        one-hot/where chain this replaces materialized three extra (B, N, A)
+        f32 tensors per step.
+        """
+        fg = jnp.sum(mask_pos, axis=-2)  # (B, A) int32 claim count
         max_idx = jnp.argmax(overlaps, axis=-2)  # (B, A)
-        is_max = jax.nn.one_hot(max_idx, mask_pos.shape[1], axis=1, dtype=mask_pos.dtype)  # (B, N, A)
+        is_max = jax.nn.one_hot(max_idx, mask_pos.shape[1], axis=1, dtype=jnp.bool_)  # (B, N, A)
         mask_pos = jnp.where((fg[:, None, :] > 1), is_max, mask_pos)
         fg = jnp.sum(mask_pos, axis=-2)
         target_gt_idx = jnp.argmax(mask_pos, axis=-2)  # (B, A)
