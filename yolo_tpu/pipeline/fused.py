@@ -27,6 +27,8 @@ against the reference's EnhancedMultiTargetTracker).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from yolo_tpu.kalman.batched import STATUS_DETECTED, STATUS_NONE, STATUS_PREDICTED, init_state, make_step
@@ -198,8 +200,11 @@ class FusedDetectTrack:
                 return tracker_step(state, boxes, mask)
 
             # unroll=8 amortizes the per-iteration scan overhead of the tiny
-            # tracker step (measured 131 → 113 us/step on v5e at chunk 1024)
-            track_state, outs = jax.lax.scan(body, track_state, (det_boxes, det_mask), unroll=8)
+            # tracker step (measured 131 → 113 us/step on v5e at chunk 1024;
+            # re-swept 2026-08-19 @chunk 512 full-fused: unroll 4→5488,
+            # 8→5572, 16→5530, 32→5555 fps — 8 stays the default)
+            unroll = int(os.getenv("YOLO_TPU_SCAN_UNROLL", "8"))
+            track_state, outs = jax.lax.scan(body, track_state, (det_boxes, det_mask), unroll=unroll)
 
             T = det_boxes.shape[0]
             status = jnp.where(outs["emit"], outs["status"], STATUS_NONE)  # (T, N)
