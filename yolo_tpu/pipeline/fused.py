@@ -93,6 +93,7 @@ class FusedDetectTrack:
         pallas_head: bool = False,
         neck_opt: bool | None = None,
         pallas_c2f: bool = False,
+        unroll: int | None = None,
     ):
         import jax
         import jax.numpy as jnp
@@ -167,6 +168,21 @@ class FusedDetectTrack:
         self.d_max = d_max
         self.n_max = n_max
         self.conf = conf
+        # Kalman-scan unroll factor: constructor kwarg wins, else the
+        # YOLO_TPU_SCAN_UNROLL env var (read ONCE here, not at trace time —
+        # the jit cache would silently pin the first value anyway), else 8.
+        if unroll is None:
+            raw = os.getenv("YOLO_TPU_SCAN_UNROLL", "8")
+            try:
+                unroll = int(raw)
+            except ValueError:
+                raise ValueError(
+                    f"YOLO_TPU_SCAN_UNROLL={raw!r} is not an integer; set it to a "
+                    "positive scan-unroll factor (default 8)"
+                ) from None
+        if unroll < 1:
+            raise ValueError(f"scan unroll must be >= 1, got {unroll}")
+        self.unroll = unroll
         dtype = dtype or jnp.bfloat16
         tracker_step = make_step(n_max, d_max, max_lost_frames, min_hits, iou_threshold)
 
@@ -203,8 +219,7 @@ class FusedDetectTrack:
             # tracker step (measured 131 → 113 us/step on v5e at chunk 1024;
             # re-swept 2026-08-19 @chunk 512 full-fused: unroll 4→5488,
             # 8→5572, 16→5530, 32→5555 fps — 8 stays the default)
-            unroll = int(os.getenv("YOLO_TPU_SCAN_UNROLL", "8"))
-            track_state, outs = jax.lax.scan(body, track_state, (det_boxes, det_mask), unroll=unroll)
+            track_state, outs = jax.lax.scan(body, track_state, (det_boxes, det_mask), unroll=self.unroll)
 
             T = det_boxes.shape[0]
             status = jnp.where(outs["emit"], outs["status"], STATUS_NONE)  # (T, N)
