@@ -170,3 +170,39 @@ def test_model_tune_use_ray_requires_ray():
     m = YOLO("yolov8n.yaml")
     with pytest.raises(ModuleNotFoundError, match="[Rr]ay"):
         m.tune(use_ray=True, data="nonexistent.yaml", iterations=1)
+
+
+def test_platform_callback_gated_and_captures(tmp_path, monkeypatch):
+    """platform integration (ref: callbacks/platform.py): off by default,
+    enabled via the persisted settings flag; starts console capture to
+    DEFAULT_LOG_PATH and logs SystemLogger metrics per epoch."""
+    import yolo_tpu.utils.integrations as integ
+    from yolo_tpu.utils.callbacks import run_callbacks
+
+    # default-off: attach() without the flag must not register platform hooks
+    monkeypatch.setattr(integ, "_FACTORIES", {"platform": integ._platform_callbacks})
+    cbs = integ.attach({})
+    assert not cbs.get("on_pretrain_routine_start")
+
+    # flag on → hooks attach and drive capture + metrics
+    monkeypatch.setattr(
+        "yolo_tpu.utils.settings.get_settings", lambda: {"platform": True}
+    )
+    monkeypatch.chdir(tmp_path)  # DEFAULT_LOG_PATH is cwd-relative
+    cbs = integ.attach({})
+    assert cbs.get("on_pretrain_routine_start") and cbs.get("on_train_end")
+
+    class T:
+        pass
+
+    t = T()
+    run_callbacks(cbs, "on_pretrain_routine_start", t)
+    try:
+        print("platform-capture-canary")
+        metrics = t.system_logger.get_metrics()
+    finally:
+        run_callbacks(cbs, "on_train_end", t)
+    assert {"cpu", "ram", "disk", "network", "tpus"} <= set(metrics)
+    assert metrics["disk"]["used_gb"] > 0
+    log = (tmp_path / "train.log").read_text()
+    assert "platform-capture-canary" in log

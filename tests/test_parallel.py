@@ -1,5 +1,7 @@
 """Mesh sharding + multi-stream inference over the virtual 8-device CPU mesh."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -125,3 +127,41 @@ def test_spatial_partition_gray_input():
     fn = spatial_predict_fn(model, params, spatial_mesh(8), conf=0.001, max_det=16)
     out = fn(np.zeros((256, 256, 1), np.uint8))  # 3-D single frame also accepted
     assert out["boxes"].shape == (1, 16, 4)
+
+
+@pytest.mark.heavy
+def test_dp_scaling_overhead_bound():
+    """The 8-way-sharded DP train step must cost within 2.5x of the 1-device
+    run at the SAME global batch on fake CPU devices (constant total work, so
+    the ratio bounds SPMD partition + collective overhead). Guards against the
+    serialization pathology MULTICHIP_r03 recorded (10.98x, contended host);
+    a quiet 1-core host measures 1.6-1.7x with min-of-reps timing.
+    Ref contract: the DDP path this replaces, reference engine/trainer.py:208-251.
+    """
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    entry = Path(__file__).resolve().parents[1] / "__graft_entry__.py"
+    rows = {}
+    for d in (1, 8):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        flags = " ".join(
+            f for f in env.get("XLA_FLAGS", "").split()
+            if not f.startswith("--xla_force_host_platform_device_count")
+        )
+        env["XLA_FLAGS"] = (flags + f" --xla_force_host_platform_device_count={d}").strip()
+        proc = subprocess.run(
+            [sys.executable, str(entry), str(d), "--scale"],
+            env=env, capture_output=True, text=True, timeout=900,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        line = next(ln for ln in proc.stdout.splitlines() if ln.startswith("{"))
+        rows[d] = json.loads(line)["ms_per_step"]
+    overhead = rows[8] / rows[1]
+    assert overhead <= 2.5, (
+        f"8-device DP step overhead {overhead:.2f}x vs 1-device (rows={rows}) — "
+        f"sharded-step serialization regression (or run this on a quiet host)"
+    )

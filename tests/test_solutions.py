@@ -74,6 +74,22 @@ def test_region_counter_multiple_regions():
     out = rc.process(frames(1)[0])
     assert out["region_counts"]["right"] == 1
     assert out["region_counts"]["left"] == 0
+    assert out["total_tracks"] == 1
+
+
+def test_region_counter_reference_surface():
+    """region= dict form, point-list wrapping as Region#01, add_region
+    (ref solutions/region_counter.py:55-91)."""
+    from yolo_tpu.solutions import RegionCounter
+
+    rc = RegionCounter(model=StubModel(), region={"zoneA": [(250, 0), (640, 0), (640, 480), (250, 480)]})
+    rc.add_region("zoneB", [(0, 0), (100, 0), (100, 480), (0, 480)])
+    out = rc.process(frames(1)[0])
+    assert out["region_counts"] == {"zoneA": 1, "zoneB": 0}
+
+    rc2 = RegionCounter(model=StubModel(), region=[(0, 0), (640, 0), (640, 480), (0, 480)])
+    out2 = rc2.process(frames(1)[0])
+    assert out2["region_counts"] == {"Region#01": 1}
 
 
 def test_new_solution_apps_run(tmp_path):

@@ -10,7 +10,8 @@ from yolo_tpu.solutions.solutions import BaseSolution
 from yolo_tpu.solutions.object_counter import ObjectCounter
 from yolo_tpu.solutions.heatmap import Heatmap
 from yolo_tpu.solutions.speed_estimator import SpeedEstimator
-from yolo_tpu.solutions.queue_manager import QueueManager, RegionCounter
+from yolo_tpu.solutions.queue_manager import QueueManager
+from yolo_tpu.solutions.region_counter import RegionCounter
 from yolo_tpu.solutions.similarity_search import VisualAISearch
 from yolo_tpu.solutions.web_inference import WebInference
 from yolo_tpu.solutions.apps import (

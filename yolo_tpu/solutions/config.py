@@ -19,7 +19,7 @@ class SolutionConfig:
     classes: list | None = None
     show_conf: bool = True
     show_labels: bool = True
-    region: list | None = None
+    region: list | dict | None = None  # RegionCounter also accepts {name: points} (ref region_counter.py:90-91)
     colormap: int | None = None
     show_in: bool = True
     show_out: bool = True

@@ -37,32 +37,3 @@ class QueueManager(BaseSolution):
         cv2.putText(vis, f"Queue: {self.queue_count}", (10, 28), cv2.FONT_HERSHEY_SIMPLEX, 0.8, (255, 255, 255), 2)
         self.display_output(vis)
         return {"im0": vis, "queue_count": self.queue_count, "max_queue": self.max_queue}
-
-
-class RegionCounter(BaseSolution):
-    """Per-region live object counts over multiple named regions
-    (ref: solutions/region_counter.py)."""
-
-    def __init__(self, *args, regions: dict | None = None, **kwargs):
-        super().__init__(*args, **kwargs)
-        self.regions = regions or {"region-01": self.region or [(0, 0), (320, 0), (320, 240), (0, 240)]}
-        self.region_counts = {k: 0 for k in self.regions}
-
-    def process(self, im0):
-        import cv2
-
-        self.extract_tracks(im0)
-        self.region_counts = {k: 0 for k in self.regions}
-        vis = im0.copy()
-        for box in self.boxes:
-            center = ((box[0] + box[2]) / 2, (box[1] + box[3]) / 2)
-            for name, poly in self.regions.items():
-                if _point_in_polygon(center, poly):
-                    self.region_counts[name] += 1
-            cv2.rectangle(vis, (int(box[0]), int(box[1])), (int(box[2]), int(box[3])), (0, 255, 0), 1)
-        for i, (name, poly) in enumerate(self.regions.items()):
-            pts = np.asarray(poly, np.int32)
-            cv2.polylines(vis, [pts], True, (104, 0, 123), 2)
-            cv2.putText(vis, f"{name}: {self.region_counts[name]}", (10, 28 + 24 * i), cv2.FONT_HERSHEY_SIMPLEX, 0.7, (255, 255, 255), 2)
-        self.display_output(vis)
-        return {"im0": vis, "region_counts": dict(self.region_counts)}

@@ -265,6 +265,37 @@ def _raytune_callbacks():
     return {"on_fit_epoch_end": on_fit_epoch_end}
 
 
+# --------------------------------------------------------------------------- #
+# Ultralytics-platform SaaS twin (ref: callbacks/platform.py) — console capture
+# to DEFAULT_LOG_PATH for the whole run + per-epoch host/TPU system metrics.
+# Gated off by default like the reference (SETTINGS.get("platform", False)).
+# --------------------------------------------------------------------------- #
+def _platform_callbacks():
+    from yolo_tpu.utils.logger import DEFAULT_LOG_PATH, ConsoleLogger, SystemLogger
+
+    def on_pretrain_routine_start(trainer):
+        # start capture immediately so the whole run lands in the log
+        # (ref platform.py:6-13)
+        trainer.system_logger = SystemLogger()
+        trainer.console_logger = ConsoleLogger(DEFAULT_LOG_PATH)
+        trainer.console_logger.start_capture()
+
+    def on_fit_epoch_end(trainer):
+        if hasattr(trainer, "system_logger"):
+            LOGGER.info(f"system metrics: {trainer.system_logger.get_metrics()}")
+
+    def on_train_end(trainer):
+        logger = getattr(trainer, "console_logger", None)
+        if logger is not None:
+            logger.stop_capture()
+
+    return {
+        "on_pretrain_routine_start": on_pretrain_routine_start,
+        "on_fit_epoch_end": on_fit_epoch_end,
+        "on_train_end": on_train_end,
+    }
+
+
 _FACTORIES = {
     "wandb": _wandb_callbacks,
     "mlflow": _mlflow_callbacks,
@@ -273,7 +304,12 @@ _FACTORIES = {
     "dvc": _dvc_callbacks,
     "neptune": _neptune_callbacks,
     "raytune": _raytune_callbacks,
+    "platform": _platform_callbacks,
 }
+
+# integrations whose settings flag must be EXPLICITLY enabled (the reference
+# ships platform.py behind `SETTINGS.get("platform", False) is True`)
+_DEFAULT_OFF = {"platform"}
 
 
 def attach(callbacks: dict) -> dict:
@@ -287,7 +323,7 @@ def attach(callbacks: dict) -> dict:
     except Exception:
         flags = {}
     for name, factory in _FACTORIES.items():
-        if not flags.get(name, True):
+        if not flags.get(name, name not in _DEFAULT_OFF):
             continue
         try:
             for hook, fn in factory().items():

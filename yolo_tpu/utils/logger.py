@@ -105,3 +105,77 @@ class ConsoleLogger:
 
     def __exit__(self, *a):
         self.stop_capture()
+
+
+# default console-capture destination (ref: utils/logger.py:16 DEFAULT_LOG_PATH)
+DEFAULT_LOG_PATH = Path("train.log")
+
+
+class SystemLogger:
+    """Dynamic host + accelerator metrics for training monitoring
+    (ref: utils/logger.py:229 SystemLogger).
+
+    The reference polls pynvml for per-GPU usage/memory/temp/power; the TPU
+    analog reports per-device HBM occupancy from the live JAX backend's
+    ``device.memory_stats()`` (no NVML on TPU hosts). Host metrics (cpu, ram,
+    cumulative disk/network I/O since init) keep the reference's schema so
+    platform consumers parse both.
+    """
+
+    def __init__(self):
+        import psutil
+
+        self._psutil = psutil
+        self.net_start = psutil.net_io_counters()
+        self.disk_start = psutil.disk_io_counters()
+
+    def _tpu_metrics(self) -> dict:
+        """Per-device HBM stats from an already-initialized JAX backend.
+
+        Never *initializes* a backend: a metrics poll must not pay (or
+        trigger) device bootstrap mid-training.
+        """
+        import sys as _sys
+
+        jax = _sys.modules.get("jax")
+        if jax is None:
+            return {}
+        out = {}
+        try:
+            for i, dev in enumerate(jax.local_devices()):
+                stats = dev.memory_stats() or {}
+                limit = stats.get("bytes_limit") or 0
+                in_use = stats.get("bytes_in_use") or 0
+                out[str(i)] = {
+                    "kind": dev.device_kind,
+                    "memory": round(100.0 * in_use / limit, 3) if limit else 0.0,
+                    "hbm_used_mb": round(in_use / (1 << 20), 3),
+                    "hbm_limit_mb": round(limit / (1 << 20), 3),
+                }
+        except Exception:
+            return {}
+        return out
+
+    def get_metrics(self) -> dict:
+        """cpu/ram %, cumulative disk+network MB, per-TPU HBM % (ref :279)."""
+        psutil = self._psutil
+        net = psutil.net_io_counters()
+        disk = psutil.disk_io_counters()
+        memory = psutil.virtual_memory()
+        import shutil
+
+        disk_usage = shutil.disk_usage("/")
+        return {
+            "cpu": round(psutil.cpu_percent(), 3),
+            "ram": round(memory.percent, 3),
+            "disk": {
+                "read_mb": round((disk.read_bytes - self.disk_start.read_bytes) / (1 << 20), 3),
+                "write_mb": round((disk.write_bytes - self.disk_start.write_bytes) / (1 << 20), 3),
+                "used_gb": round(disk_usage.used / (1 << 30), 3),
+            },
+            "network": {
+                "recv_mb": round((net.bytes_recv - self.net_start.bytes_recv) / (1 << 20), 3),
+                "sent_mb": round((net.bytes_sent - self.net_start.bytes_sent) / (1 << 20), 3),
+            },
+            "tpus": self._tpu_metrics(),
+        }
