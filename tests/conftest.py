@@ -124,20 +124,29 @@ def add_reference_to_path():
             "    return x, y\n"
         )
     oracle = stub_root / "grayscale_tracking_system_oracle.py"
-    if not oracle.exists():
-        oracle.write_text(
-            "'''Thin shim exposing the reference grayscale scorer as a pure function\n"
-            "(the reference class loads a YOLO model in __init__, so we bypass it).'''\n"
-            "import importlib.util\n"
-            "_spec = importlib.util.spec_from_file_location(\n"
-            "    'gts_ref', '/root/reference/Grayscale-Tracking/grayscale_tracking_system.py')\n"
-            "_mod = importlib.util.module_from_spec(_spec)\n"
-            "_spec.loader.exec_module(_mod)\n"
-            "def ref_gradient_magnitude_prediction(frame, last_center, roi_size=40):\n"
-            "    t = _mod.GrayscaleTracker.__new__(_mod.GrayscaleTracker)\n"
-            "    t.roi_size = roi_size\n"
-            "    return _mod.GrayscaleTracker.gradient_magnitude_prediction(t, frame, last_center)\n"
-        )
+    oracle_src = (
+        "'''Thin shim exposing reference grayscale methods as pure functions\n"
+        "(the reference class loads a YOLO model in __init__, so we bypass it).'''\n"
+        "import importlib.util\n"
+        "_spec = importlib.util.spec_from_file_location(\n"
+        "    'gts_ref', '/root/reference/Grayscale-Tracking/grayscale_tracking_system.py')\n"
+        "_mod = importlib.util.module_from_spec(_spec)\n"
+        "_spec.loader.exec_module(_mod)\n"
+        "def _bare(roi_size=40, search_radius=50, template=None):\n"
+        "    t = _mod.GrayscaleTracker.__new__(_mod.GrayscaleTracker)\n"
+        "    t.roi_size = roi_size\n"
+        "    t.search_radius = search_radius\n"
+        "    t.local_grayscale_template = template\n"
+        "    return t\n"
+        "def ref_gradient_magnitude_prediction(frame, last_center, roi_size=40):\n"
+        "    return _mod.GrayscaleTracker.gradient_magnitude_prediction(\n"
+        "        _bare(roi_size), frame, last_center)\n"
+        "def ref_grayscale_similarity_search(frame, template, last_center, search_radius=50):\n"
+        "    return _mod.GrayscaleTracker.grayscale_similarity_search(\n"
+        "        _bare(template=template, search_radius=search_radius), frame, last_center)\n"
+    )
+    if not oracle.exists() or oracle.read_text() != oracle_src:
+        oracle.write_text(oracle_src)
     for p in (str(stub_root), str(REFERENCE)):
         if p not in sys.path:
             sys.path.insert(0, p)

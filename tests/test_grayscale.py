@@ -139,3 +139,74 @@ def test_save_process_with_explicit_output_path(tmp_path, monkeypatch):
     t.process_video(vid, output_path=str(tmp_path / "out.mp4"), write_video=True)
     assert t.process_dir is not None and t.process_dir.exists()
     assert any(t.roi_patches_dir.iterdir()) or any(t.grayscale_data_dir.iterdir())
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference oracle not present")
+def test_ncc_search_golden_parity_with_reference_loop():
+    """Vectorized stride-2 NCC grid search == the reference's manual double
+    loop (ref grayscale_tracking_system.py:644-714), incl. border clipping and
+    first-in-scan-order tie handling."""
+    add_reference_to_path()
+    from grayscale_tracking_system_oracle import ref_grayscale_similarity_search
+
+    from yolo_tpu.grayscale.scoring import grayscale_similarity_search
+
+    rng = np.random.default_rng(11)
+    template = rng.integers(0, 255, (24, 24), np.uint8)  # even side: the live case
+    for seed, last_center, radius in [(0, (80, 60), 50), (1, (15, 15), 50), (2, (150, 120), 30), (3, (80, 60), 7)]:
+        frame = make_frame(83, 57, noise_seed=seed)
+        # plant the template so there is a real peak to find
+        frame[40:64, 90:114] = template
+        ref_center, ref_score = ref_grayscale_similarity_search(frame, template, last_center, search_radius=radius)
+        our_center, our_score = grayscale_similarity_search(frame, template, last_center, search_radius=radius)
+        assert tuple(our_center) == tuple(ref_center), (last_center, our_center, ref_center)
+        assert our_score == pytest.approx(ref_score, abs=1e-5)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference oracle not present")
+def test_ncc_search_odd_template_degenerates_like_reference():
+    """The reference's extract_roi yields 2*(size//2) pixels, so an odd
+    template (the 25x25 capture default) never shape-matches — the search
+    returns (last_center, -1). Keep that contract bit-for-bit."""
+    add_reference_to_path()
+    from grayscale_tracking_system_oracle import ref_grayscale_similarity_search
+
+    from yolo_tpu.grayscale.scoring import grayscale_similarity_search
+
+    frame = make_frame(83, 57, noise_seed=4)
+    template = np.random.default_rng(7).integers(0, 255, (25, 25), np.uint8)
+    ref_out = ref_grayscale_similarity_search(frame, template, (80, 60))
+    our_out = grayscale_similarity_search(frame, template, (80, 60))
+    assert tuple(our_out[0]) == tuple(ref_out[0]) and our_out[1] == ref_out[1] == -1
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference oracle not present")
+def test_lost_target_chooser_parity():
+    """The best-of chooser (ref :806-830: gradient first, NCC overrides when it
+    scores strictly higher) picks the same method + center as the reference."""
+    add_reference_to_path()
+    from grayscale_tracking_system_oracle import (
+        ref_gradient_magnitude_prediction,
+        ref_grayscale_similarity_search,
+    )
+
+    template = np.random.default_rng(21).integers(100, 255, (24, 24), np.uint8)
+
+    def run_chooser(frame, last_center, tmpl):
+        tr = GrayscaleTracker(detector=lambda f: [], local_grayscale_template=tmpl)
+        tr.tracks[1] = {"last_center": last_center, "last_detection_frame": 0,
+                        "last_bbox": (last_center[0] - 12, last_center[1] - 12,
+                                      last_center[0] + 12, last_center[1] + 12)}
+        out = tr.predict_lost_targets(frame, 5, gray=frame)
+        return out[1]["last_center"], out[1]["confidence"]
+
+    for seed, plant in [(0, True), (1, False)]:
+        frame = make_frame(83, 57, noise_seed=seed)
+        if plant:  # a strong NCC peak away from the gradient blob
+            frame[40:64, 90:114] = template
+        g_center, g_score = ref_gradient_magnitude_prediction(frame, (80, 60), roi_size=40)
+        n_center, n_score = ref_grayscale_similarity_search(frame, template, (80, 60))
+        ref_center, ref_score = (n_center, n_score) if n_score > g_score else (g_center, g_score)
+        our_center, our_score = run_chooser(frame, (80, 60), template)
+        assert tuple(our_center) == tuple(ref_center)
+        assert our_score == pytest.approx(ref_score, abs=1e-4)

@@ -99,6 +99,60 @@ def predict_center_jax(gray_roi, win: int = 5, grad_weight: float = 0.3):
     return best, scores.reshape(-1)[flat_idx]
 
 
+def grayscale_similarity_search(gray_frame: np.ndarray, template: np.ndarray | None, last_center,
+                                search_radius: int = 50, stride: int = 2):
+    """Stride-2 NCC grid search around last_center (ref :644-714), vectorized.
+
+    Replicates the reference's manual loop exactly, including its quirks:
+
+    - candidates on a stride-2 grid ``dy, dx ∈ range(-r, r+1, 2)`` (ref :677-678);
+    - a candidate is only scored if fully in-bounds by the ``±size//2``
+      predicate (ref :683-685);
+    - the candidate ROI comes from ``extract_roi`` (ref :354-379) whose span is
+      ``[c-size//2, c+size//2)`` = ``2*(size//2)`` pixels, so an ODD template
+      (e.g. the 25×25 default capture size) never shape-matches and the search
+      degenerates to ``(last_center, -1.0)`` — only even template sides are
+      live in the reference, and we keep that contract;
+    - normalized cross-correlation, candidates with zero denominator skipped,
+      strictly-greater comparison → first-in-scan-order wins ties (ref :687-711).
+
+    Returns ``((x, y), score)`` with score −1.0 when nothing scored (the
+    reference's initial best), 0.0 when no template is set (ref :656-657).
+    """
+    lx, ly = int(last_center[0]), int(last_center[1])
+    if template is None:
+        return (lx, ly), 0.0
+    ts = int(template.shape[0])
+    half = ts // 2
+    roi_side = 2 * half
+    if roi_side != ts:  # odd template: every ROI is (2*half)² ≠ ts² → all skipped
+        return (lx, ly), -1.0
+    h, w = gray_frame.shape[:2]
+
+    offs = np.arange(-search_radius, search_radius + 1, stride)
+    cys = ly + offs
+    cxs = lx + offs
+    ok_y = (cys - half >= 0) & (cys + half < h)
+    ok_x = (cxs - half >= 0) & (cxs + half < w)
+    if not (ok_y.any() and ok_x.any()):
+        return (lx, ly), -1.0
+    cys, cxs = cys[ok_y], cxs[ok_x]
+
+    windows = np.lib.stride_tricks.sliding_window_view(
+        gray_frame.astype(np.float32, copy=False), (roi_side, roi_side)
+    )
+    cand = windows[np.ix_(cys - half, cxs - half)]  # (ny, nx, s, s)
+    cand = cand - cand.mean(axis=(-2, -1), keepdims=True)
+    tmpl = template.astype(np.float32) - template.astype(np.float32).mean()
+    num = np.einsum("yxab,ab->yx", cand, tmpl)
+    den = np.sqrt(np.einsum("yxab,yxab->yx", cand, cand) * (tmpl * tmpl).sum())
+    scores = np.where(den > 0, num / np.where(den > 0, den, 1.0), -np.inf)
+    if not np.isfinite(scores).any():
+        return (lx, ly), -1.0
+    iy, ix = np.unravel_index(int(np.argmax(scores)), scores.shape)  # first max = scan order
+    return (int(cxs[ix]), int(cys[iy])), float(scores[iy, ix])
+
+
 def template_match(gray_frame: np.ndarray, template: np.ndarray, last_center, search_radius: int = 50):
     """TM_CCOEFF_NORMED template matching near last_center (ref :381-435)."""
     import cv2

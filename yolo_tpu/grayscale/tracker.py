@@ -18,7 +18,7 @@ from pathlib import Path
 
 import numpy as np
 
-from yolo_tpu.grayscale.scoring import predict_center, template_match
+from yolo_tpu.grayscale.scoring import grayscale_similarity_search, predict_center, template_match  # noqa: F401 — template_match kept as API (ref defines it at :381 but never calls it)
 from yolo_tpu.utils import LOGGER
 
 
@@ -151,7 +151,11 @@ class GrayscaleTracker:
             center, score = predict_center(gray, current_center, self.roi_size)
             prediction_type = "gradient"
             if self.local_grayscale_template is not None:
-                t_center, t_score = template_match(gray, self.local_grayscale_template, current_center, self.search_radius)
+                # the reference's chooser (ref :824-830) overrides the gradient
+                # pick with the stride-2 NCC grid search when it scores higher
+                t_center, t_score = grayscale_similarity_search(
+                    gray, self.local_grayscale_template, current_center, self.search_radius
+                )
                 if t_score > score:
                     center, score, prediction_type = t_center, t_score, "template"
 
