@@ -123,6 +123,32 @@ def add_reference_to_path():
             "        return total, x, y\n"
             "    return x, y\n"
         )
+    polars_stub = stub_root / "polars.py"
+    if not polars_stub.exists():
+        polars_stub.write_text(
+            "'''csv-backed emulation of the one polars call the reference trainer\n"
+            "makes (read_csv(...).to_dict(as_series=False), trainer.py:543-547).'''\n"
+            "import csv\n"
+            "__version__ = '1.0.0'\n"
+            "class _Frame:\n"
+            "    def __init__(self, rows, fields):\n"
+            "        self.rows, self.fields = rows, fields\n"
+            "    def to_dict(self, as_series=True):\n"
+            "        def conv(v):\n"
+            "            try:\n"
+            "                return int(v)\n"
+            "            except ValueError:\n"
+            "                try:\n"
+            "                    return float(v)\n"
+            "                except ValueError:\n"
+            "                    return v\n"
+            "        return {f: [conv(r[f]) for r in self.rows] for f in self.fields}\n"
+            "def read_csv(path, infer_schema_length=None):\n"
+            "    with open(path, newline='') as f:\n"
+            "        reader = csv.DictReader(f)\n"
+            "        rows = list(reader)\n"
+            "        return _Frame(rows, reader.fieldnames or [])\n"
+        )
     oracle = stub_root / "grayscale_tracking_system_oracle.py"
     oracle_src = (
         "'''Thin shim exposing reference grayscale methods as pure functions\n"
@@ -170,6 +196,7 @@ SLOW_MODULES = {
     "test_sam2_video",      # 10-frame video propagation parity
     "test_segment",         # mask training + seg mAP
     "test_train",           # detect trainer end-to-end + orbax resume
+    "test_val_parity",      # reference-validator DetMetrics parity on shared .pt
     "test_text_model",      # CLIP tower parity vs transformers
     "test_world",           # YOLO-World parity + set_classes
     "test_yoloe",           # YOLOE parity + prompts

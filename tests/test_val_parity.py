@@ -1,0 +1,103 @@
+"""End-to-end validator parity vs the reference (VERDICT r3 weak #7).
+
+The SAME .pt weights (TPU-trained, exported via nn/torch_export.py) are
+validated over the SAME 8-image IR fixture by the reference's
+DetectionValidator (ref models/yolo/detect/val.py:45-445) and by ours —
+DetMetrics must match to tolerance. This covers the full stack end to end:
+letterbox, forward, NMS, IoU matching, ap_per_class.
+"""
+
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from tests.conftest import ROOT, add_reference_to_path, reference_available
+
+BEST_NPZ = ROOT / "demos" / "artifacts" / "train" / "weights" / "best.npz"
+
+
+@pytest.fixture(scope="module")
+def ir_fixture(tmp_path_factory):
+    """8 held-out images from the demo generator's distribution (unseen seed)."""
+    sys.path.insert(0, str(ROOT / "demos"))
+    from ir_end_to_end import _write_split
+
+    root = tmp_path_factory.mktemp("irfix")
+    _write_split(root, "val", 8, 320, 256, seed=777)
+    yaml = root / "ds.yaml"
+    yaml.write_text(f"path: {root}\ntrain: images/val\nval: images/val\nnames:\n  0: aircraft\n")
+    return yaml
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference oracle not present")
+@pytest.mark.skipif(not BEST_NPZ.exists(), reason="demo trained weights not present")
+def test_val_detmetrics_parity_with_reference(ir_fixture, tmp_path, monkeypatch):
+    add_reference_to_path()
+    import torch
+
+    from yolo_tpu import YOLO
+    from yolo_tpu.nn.torch_export import save_pt
+
+    # TPU-trained npz → torch state_dict .pt → reference module checkpoint
+    m = YOLO(str(BEST_NPZ))
+    pt = save_pt(m.model, m.params, tmp_path / "tpu_best.pt", names=m.model.names)
+    ck = torch.load(pt, weights_only=False)
+
+    from ultralytics.nn.tasks import DetectionModel as TDM
+
+    t = TDM("/root/reference/ultralytics/cfg/models/v8/yolov8-small.yaml", nc=1, verbose=False)
+    res = t.load_state_dict(ck["state_dict"], strict=False)
+    assert not [k for k in res.missing_keys if "num_batches_tracked" not in k]
+    assert not res.unexpected_keys
+    t.eval()
+    t.names = {0: "aircraft"}
+    t.args = {"imgsz": 320}
+    full = tmp_path / "tpu_best_full.pt"
+    torch.save({"model": t, "train_args": {"task": "detect", "imgsz": 320}}, full)
+
+    monkeypatch.chdir(tmp_path)  # both writers drop runs/ artifacts
+    from ultralytics import YOLO as RefYOLO
+
+    vr = RefYOLO(str(full)).val(data=str(ir_fixture), imgsz=320, device="cpu",
+                                workers=0, plots=False, verbose=False)
+    ref = {k.split("/")[-1].replace("(B)", ""): float(v) for k, v in vr.results_dict.items()}
+
+    vo = YOLO(str(full)).val(data=str(ir_fixture), imgsz=320, plots=False, verbose=False)
+    ours = {k: float(v) for k, v in (vo if isinstance(vo, dict) else vo.results_dict).items()}
+
+    assert ref["mAP50"] > 0.5, f"fixture too hard for a meaningful parity check: {ref}"
+    assert ours["mAP50"] == pytest.approx(ref["mAP50"], abs=0.01), (ours, ref)
+    assert ours["mAP50-95"] == pytest.approx(ref["mAP50-95"], abs=0.02), (ours, ref)
+    assert ours["precision"] == pytest.approx(ref["precision"], abs=0.02), (ours, ref)
+    assert ours["recall"] == pytest.approx(ref["recall"], abs=0.02), (ours, ref)
+
+
+@pytest.mark.skipif(not BEST_NPZ.exists(), reason="demo trained weights not present")
+def test_pt_export_round_trip_no_reference(tmp_path):
+    """Exporter format='pt' → our own YOLO loads it back with numeric parity
+    (the interchange artifact works without any reference code)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_tpu import YOLO
+    from yolo_tpu.engine.exporter import Exporter
+
+    m = YOLO(str(BEST_NPZ))
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        out = Exporter(args={"format": "pt", "model": "roundtrip"})(m.model, m.params)
+    finally:
+        os.chdir(cwd)
+    assert out.name == "roundtrip.pt"
+
+    m2 = YOLO(str(tmp_path / out))
+    assert m2.model.nc == 1 and m2.model.names[0] == "aircraft"
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (1, 96, 96, 3)).astype(np.float32)
+    y1 = np.asarray(jax.jit(m.model.predict)(m.params, jnp.asarray(img)))
+    y2 = np.asarray(jax.jit(m2.model.predict)(m2.params, jnp.asarray(img)))
+    np.testing.assert_allclose(y1, y2, rtol=1e-5, atol=1e-5)

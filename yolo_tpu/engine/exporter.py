@@ -229,7 +229,11 @@ class Exporter:
                 max_det=int(self.args.max_det or 300),
                 dynamic=bool(getattr(self.args, "dynamic", False)),
             )
-        raise ValueError(f"unsupported export format '{fmt}' (npz | orbax | stablehlo)")
+        if fmt == "pt":  # torch-ecosystem interchange: tensor state_dict .pt
+            from yolo_tpu.nn.torch_export import save_pt
+
+            return save_pt(model, params, f"{name}.pt", names=getattr(model, "names", None))
+        raise ValueError(f"unsupported export format '{fmt}' (npz | orbax | stablehlo | pt)")
 
 
 def save_train_state(dirname, state: dict) -> Path:

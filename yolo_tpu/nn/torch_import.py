@@ -39,7 +39,7 @@ def load_torch_checkpoint(path):
         ckpt = torch.load(str(path), map_location="cpu", weights_only=False)
     meta = {}
     if isinstance(ckpt, dict):
-        meta = {k: v for k, v in ckpt.items() if k in ("epoch", "train_args", "date", "version")}
+        meta = {k: v for k, v in ckpt.items() if k in ("epoch", "train_args", "date", "version", "yaml", "names")}
         obj = ckpt.get("ema") or ckpt.get("model") or ckpt.get("state_dict") or ckpt
     else:
         obj = ckpt
