@@ -67,7 +67,7 @@ def main():
 
     @jax.jit
     def fwd_only(p, frames):
-        x = frames.astype(dtype) / 255.0
+        x = frames.astype(dtype) if ft.norm_folded else frames.astype(dtype) / 255.0
         b, s = model.predict_parts(p, x, dtype=dtype, neck_opt=ft.neck_opt)
         return b.sum() + s.sum()
 
@@ -76,7 +76,7 @@ def main():
         # anchors-major parts + the fused program's own max_nms, so
         # ms_full - ms_fwdnms isolates the scan/stats (the reference-layout
         # path would pay an extra transpose + 4x top_k and go negative)
-        x = frames.astype(dtype) / 255.0
+        x = frames.astype(dtype) if ft.norm_folded else frames.astype(dtype) / 255.0
         b, s = model.predict_parts(p, x, dtype=dtype, neck_opt=ft.neck_opt)
         det = non_max_suppression_parts(b, s, conf_thres=0.15, iou_thres=0.6, max_det=16, max_nms=ft.max_nms)
         return det["boxes"].sum() + det["scores"].sum()

@@ -745,6 +745,36 @@ class Detect:
         dbox = dist2bbox(dist, anchors[None], xywh=xywh, axis=-1) * strides[None]
         return dbox, jax.nn.sigmoid(cls.astype(jnp.float32))
 
+    def decode_from_inputs(self, p, xs, ctx, xywh: bool = True):
+        """Branches + DFL decode straight from the head INPUTS — the parts
+        hot path. Skips __call__'s per-level concat([box64, cls], -1) that
+        decode_parts immediately slices apart: at chunk 512 the 65-channel
+        concat write + 64-channel slice read at four levels was ~7 MB/frame
+        of pure layout traffic in the compiled forward (demos/fwd_analysis.py
+        buffer table, round 4). Box bins reshape per level in their own NHWC
+        layout; cls sigmoids per level."""
+        from yolo_tpu.ops.anchors import dist2bbox, make_anchors
+
+        proj = p["dfl"]["conv"]["weight"].reshape(self.reg_max)
+        dists, clss = [], []
+        feat_shapes = []
+        for l, x in enumerate(xs):
+            b = x
+            for j in range(3):
+                b = self.cv2[l][j](p["cv2"][str(l)][str(j)], b, ctx, f"head/cv2/{l}/{j}")
+            c = x
+            for j in range(3):
+                c = self.cv3[l][j](p["cv3"][str(l)][str(j)], c, ctx, f"head/cv3/{l}/{j}")
+            B, H, W, _ = b.shape
+            feat_shapes.append((H, W))
+            dists.append(dfl_project(b.reshape(B, H * W, 4, self.reg_max), proj))  # (B, A_l, 4) f32
+            clss.append(jax.nn.sigmoid(c.reshape(B, H * W, self.nc).astype(jnp.float32)))
+        anchors, strides = make_anchors(feat_shapes, self.stride, 0.5)
+        dist = jnp.concatenate(dists, axis=1)  # (B, A, 4)
+        cls = jnp.concatenate(clss, axis=1)
+        dbox = dist2bbox(dist, jnp.asarray(anchors)[None], xywh=xywh, axis=-1) * jnp.asarray(strides)[None]
+        return dbox, cls
+
     def decode_feats_pallas(self, p, xs, xywh: bool = True, interpret: bool = False, dtype=jnp.bfloat16):
         """decode_parts computed from the head INPUTS via the fused Pallas
         head kernel (ops/pallas_head.py): per level, both conv branches + the

@@ -604,6 +604,12 @@ class DetectionModel(BaseModel):
             return self.head.decode_feats_pallas(
                 hp, [col[j] for j in spec.f], interpret=pallas_interpret, dtype=dtype
             )
+        if type(self.head) is M.Detect:
+            # enter the head from its INPUTS so branches + DFL decode fuse
+            # without the per-level box|cls concat (Detect.decode_from_inputs)
+            spec = self.layers[-1]
+            _, _, col = self._walk(params, x, ctx, upto=spec.i, collect=set(spec.f))
+            return self.head.decode_from_inputs(hp, [col[j] for j in spec.f], ctx)
         outs = self.forward_features(params, x, ctx)
         assert isinstance(outs, list), (
             f"{type(self.head).__name__} produces structured outputs (masks/keypoints/angles); "

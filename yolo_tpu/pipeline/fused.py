@@ -117,6 +117,26 @@ class FusedDetectTrack:
                     **params["model"]["0"],
                     "conv": {**stem, "weight": np.asarray(stem["weight"]).sum(axis=2, keepdims=True)},
                 }
+        # /255 normalize fold: conv(x/255, W) == conv(x, W/255) exactly (conv is
+        # linear; BN after conv commutes too), so the uint8 frames feed the stem
+        # as a bare bf16 cast and the full-resolution normalize pass — the
+        # single largest input-side HBM consumer in the compiled forward
+        # (demos/fwd_analysis.py round 4: ~1 GB/chunk of cast+scale traffic) —
+        # never materializes. Skipped for int8 (activation scales calibrate on
+        # /255 inputs) and s2d (its pack path normalizes explicitly).
+        norm_folded = False
+        if not int8 and not s2d:
+            stem = params["model"]["0"]["conv"]
+            if "weight" in stem:
+                import numpy as np
+
+                params = dict(params)
+                params["model"] = dict(params["model"])
+                params["model"]["0"] = {
+                    **params["model"]["0"],
+                    "conv": {**stem, "weight": np.asarray(stem["weight"], np.float32) / 255.0},
+                }
+                norm_folded = True
         if int8:  # PTQ conv path (nn/quantize.py) — params must be fused
             from yolo_tpu.nn.quantize import calibrate_act_scales, quantize_params
 
@@ -162,6 +182,7 @@ class FusedDetectTrack:
 
             neck_opt = not int8 and params_are_fused_float(params)
         self.neck_opt = neck_opt
+        self.norm_folded = norm_folded  # stem weights carry the /255; feed bare-cast frames
         self.max_nms = max_nms or max(4 * d_max, 64)
         self.s2d = s2d
         self.chunk = chunk
@@ -198,7 +219,7 @@ class FusedDetectTrack:
                 x = pack_input(fr, s2d).astype(dtype) / 255.0  # pack on uint8, cast on the dense layout
                 boxes_xywh, scores = model.predict_s2d(p, x, dtype=dtype, parts=True)
             else:
-                x = frames.astype(dtype) / 255.0
+                x = frames.astype(dtype) if norm_folded else frames.astype(dtype) / 255.0
                 if frames.shape[-1] == 1 and not gray_folded:
                     x = jnp.broadcast_to(x, x.shape[:-1] + (3,))
                 elif frames.shape[-1] != 1:
