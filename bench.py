@@ -223,16 +223,19 @@ def main():
 
     # stage programs mirror the fused program's actual hot path (anchors-major
     # parts decode, same max_nms) so full - fwd_nms isolates the scan/stats
+    def _norm(frames):
+        # ft.params carry the /255 inside the stem weights when norm_folded
+        x = frames.astype(bdtype)
+        return x if ft.norm_folded else x / 255.0
+
     @jax.jit
     def _fwd_only(p, frames):
-        x = frames.astype(bdtype) / 255.0
-        b, s = model.predict_parts(p, x, dtype=bdtype, neck_opt=ft.neck_opt)
+        b, s = model.predict_parts(p, _norm(frames), dtype=bdtype, neck_opt=ft.neck_opt)
         return b.sum() + s.sum()
 
     @jax.jit
     def _fwd_nms(p, frames):
-        x = frames.astype(bdtype) / 255.0
-        b, s = model.predict_parts(p, x, dtype=bdtype, neck_opt=ft.neck_opt)
+        b, s = model.predict_parts(p, _norm(frames), dtype=bdtype, neck_opt=ft.neck_opt)
         det = non_max_suppression_parts(b, s, conf_thres=0.15, iou_thres=0.6, max_det=16, max_nms=ft.max_nms)
         return det["boxes"].sum() + det["scores"].sum()
 
@@ -252,6 +255,46 @@ def main():
     ms_fwd = _time_stage(_fwd_only)
     ms_fwd_nms = _time_stage(_fwd_nms)
     ms_full = chunk / dev_fps * 1e3
+
+    # --- model.track device twin: same fused forward+NMS feeding the batched
+    # ByteTrack slot-table step scanned over the chunk (trackers/batched.py,
+    # VERDICT r3 weak #4). Detections convert xyxy→xywh in-graph; single-class
+    # cls=0. This is the throughput of MOT `model.track` semantics when the
+    # association runs on-device instead of the host STrack lists. ---
+    from yolo_tpu.trackers.batched import init_state as byte_init_state, make_byte_step
+
+    byte_step = make_byte_step(n_max=64, d_max=16, max_time_lost=30)
+    byte_unroll = ft.unroll
+
+    @jax.jit
+    def _byte_fused(p, bstate, frames):
+        b, s = model.predict_parts(p, _norm(frames), dtype=bdtype, neck_opt=ft.neck_opt)
+        det = non_max_suppression_parts(b, s, conf_thres=0.15, iou_thres=0.6, max_det=16, max_nms=ft.max_nms)
+        xyxy = det["boxes"]
+        xywh = jnp.concatenate(
+            [(xyxy[..., :2] + xyxy[..., 2:]) / 2, xyxy[..., 2:] - xyxy[..., :2]], axis=-1
+        )
+        cls0 = jnp.zeros(det["scores"].shape, jnp.float32)
+
+        def body(st, inp):
+            return byte_step(st, *inp)
+
+        bstate, outs = jax.lax.scan(
+            body, bstate, (xywh, det["scores"].astype(jnp.float32), cls0, det["valid"]), unroll=byte_unroll
+        )
+        return bstate, outs["track_id"].sum() + outs["emit"].sum()
+
+    bstate = byte_init_state(64)
+    for _ in range(2):
+        bstate, r = _byte_fused(ft.params, bstate, bufs[0])
+        _ = float(np.asarray(r))
+    dev_fps_byte = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for b in bufs:
+            bstate, r = _byte_fused(ft.params, bstate, b)
+        _ = float(np.asarray(r))
+        dev_fps_byte = max(dev_fps_byte, n_dev_chunks * chunk / (time.perf_counter() - t0))
 
     # --- sharding-overhead control: same fused program through an explicit
     # 1-device mesh (VERDICT r2 next#5) ---
@@ -284,6 +327,9 @@ def main():
                 "end_to_end_fps": round(fps, 2),
                 "end_to_end_vs_baseline": round(fps / BASELINE_FPS, 2),
                 "device_fps_int8": round(dev_fps_int8, 2),
+                # MOT model.track semantics on-device: fused forward+NMS +
+                # batched ByteTrack slot-table scan (trackers/batched.py)
+                "device_fps_byte_track": round(dev_fps_byte, 2),
                 **({"device_fps_pallas_head": round(dev_fps_pallas_head, 2)} if dev_fps_pallas_head else {}),
                 **({"device_fps_no_neck_opt": round(dev_fps_no_neck_opt, 2)} if dev_fps_no_neck_opt else {}),
                 **({"device_fps_pallas_c2f": round(dev_fps_pallas_c2f, 2)} if dev_fps_pallas_c2f else {}),

@@ -205,3 +205,86 @@ def test_byte_tracker_zero_detections():
     for _ in range(2):
         out = t.update(np.array([[50, 50, 10, 10]], np.float32), np.array([0.9], np.float32), np.array([0], np.float32))
     assert out.shape[0] == 1
+
+
+def _rich_stream(n_frames=60, seed=3, n_targets=5):
+    """Multi-target scene with dropouts, low-conf dips (second-stage rescue),
+    late joiners and departures — targets kept well separated so greedy and
+    optimal assignment agree (the batched twin's documented contract)."""
+    rng = np.random.default_rng(seed)
+    starts = rng.uniform([60, 60], [560, 420], (n_targets, 2))
+    vels = rng.uniform(-4, 4, (n_targets, 2))
+    frames = []
+    for f in range(n_frames):
+        dets = []
+        for t in range(n_targets):
+            if t == 2 and 20 <= f < 28:
+                continue  # full dropout → lost + re-acquire
+            if t == 3 and f < 10:
+                continue  # late joiner
+            if t == 4 and f > 45:
+                continue  # departure
+            cx, cy = starts[t] + vels[t] * f
+            if not (20 < cx < 620 and 20 < cy < 490):
+                continue
+            conf = 0.9 if not (t == 1 and 30 <= f < 36) else 0.18  # low-conf dip → stage-2 rescue
+            w, h = 26 + 2 * t, 18 + t
+            dets.append(([cx, cy, w, h], conf, t % 3))
+        frames.append(dets)
+    return frames
+
+
+def test_batched_byte_twin_golden_parity():
+    """The jitted slot-table ByteTrack step reproduces the object
+    implementation frame-exactly across dropouts, low-conf rescues, births and
+    expiries (rows compared id-sorted; the host list order is an artifact of
+    its python list plumbing)."""
+    from yolo_tpu.trackers.batched import BatchedBYTETracker
+    from yolo_tpu.trackers.byte_tracker import BYTETracker
+
+    host = BYTETracker(_args(), frame_rate=30)
+    dev = BatchedBYTETracker(_args(), frame_rate=30, n_max=64, d_max=16)
+    rng = np.random.default_rng(1)
+    for f, dets in enumerate(_rich_stream()):
+        boxes = np.array([d[0] for d in dets], np.float32).reshape(-1, 4)
+        boxes = boxes + rng.normal(0, 0.25, boxes.shape).astype(np.float32)
+        scores = np.array([d[1] for d in dets], np.float32)
+        cls = np.array([d[2] for d in dets], np.float32)
+        a = host.update(boxes.copy(), scores.copy(), cls.copy())
+        b = dev.update(boxes.copy(), scores.copy(), cls.copy())
+        assert a.shape == b.shape, (f, a, b)
+        if len(a):
+            a = a[np.argsort(a[:, 4])]
+            b = b[np.argsort(b[:, 4])]
+            np.testing.assert_allclose(a, b, atol=2e-2, err_msg=f"frame {f}")
+
+
+def test_batched_byte_twin_scan_matches_stepwise():
+    """scan_frames (one on-device lax.scan over the chunk) == per-frame update."""
+    from yolo_tpu.trackers.batched import BatchedBYTETracker
+
+    frames = _rich_stream(n_frames=40, seed=7)
+    D = 16
+    T = len(frames)
+    xywh = np.zeros((T, D, 4), np.float32)
+    sc = np.zeros((T, D), np.float32)
+    cl = np.zeros((T, D), np.float32)
+    mask = np.zeros((T, D), bool)
+    for f, dets in enumerate(frames):
+        for i, (b, s, c) in enumerate(dets[:D]):
+            xywh[f, i], sc[f, i], cl[f, i], mask[f, i] = b, s, c, True
+
+    step = BatchedBYTETracker(_args(), frame_rate=30, n_max=64, d_max=D)
+    rows_stepwise = [step.update(xywh[f][mask[f]], sc[f][mask[f]], cl[f][mask[f]]) for f in range(T)]
+
+    scan = BatchedBYTETracker(_args(), frame_rate=30, n_max=64, d_max=D)
+    outs = scan.scan_frames(xywh, sc, cl, mask)
+    for f in range(T):
+        keep = np.flatnonzero(outs["emit"][f])
+        keep = keep[np.argsort(outs["track_id"][f][keep])]
+        got = np.concatenate(
+            [outs["xyxy"][f][keep],
+             outs["track_id"][f][keep, None], outs["score"][f][keep, None],
+             outs["cls"][f][keep, None], outs["det_idx"][f][keep, None]], axis=1,
+        ) if len(keep) else np.zeros((0, 8), np.float32)
+        np.testing.assert_allclose(rows_stepwise[f], got, atol=1e-4, err_msg=f"frame {f}")

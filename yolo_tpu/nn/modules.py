@@ -759,11 +759,36 @@ class Detect:
         dists, clss = [], []
         feat_shapes = []
         for l, x in enumerate(xs):
-            b = x
-            for j in range(3):
+            p2, p3 = p["cv2"][str(l)]["0"], p["cv3"][str(l)]["0"]
+            merged = (
+                self.legacy
+                and "bn" not in p2 and "bn" not in p3
+                and "w_int8" not in p2["conv"] and "w_int8" not in p3["conv"]
+                and not isinstance(x, QTensor)
+            )
+            if merged:
+                # both branches' first 3x3 convs read the SAME input — run them
+                # as one conv with output channels concatenated (exact algebra;
+                # one read of x and one fused epilogue instead of two)
+                w = jnp.concatenate(
+                    [p2["conv"]["weight"].astype(ctx.dtype), p3["conv"]["weight"].astype(ctx.dtype)], axis=3
+                )
+                bias = jnp.concatenate(
+                    [p2["conv"]["bias"].astype(ctx.dtype), p3["conv"]["bias"].astype(ctx.dtype)]
+                )
+                y = jax.lax.conv_general_dilated(
+                    x.astype(ctx.dtype), w, (1, 1), [(1, 1), (1, 1)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                y = silu(y + bias)
+                c2o = p2["conv"]["weight"].shape[3]
+                b, c = y[..., :c2o], y[..., c2o:]
+                j0 = 1
+            else:
+                b, c, j0 = x, x, 0
+            for j in range(j0, 3):
                 b = self.cv2[l][j](p["cv2"][str(l)][str(j)], b, ctx, f"head/cv2/{l}/{j}")
-            c = x
-            for j in range(3):
+            for j in range(j0, 3):
                 c = self.cv3[l][j](p["cv3"][str(l)][str(j)], c, ctx, f"head/cv3/{l}/{j}")
             B, H, W, _ = b.shape
             feat_shapes.append((H, W))

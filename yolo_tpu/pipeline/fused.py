@@ -33,6 +33,8 @@ import numpy as np
 
 from yolo_tpu.kalman.batched import STATUS_DETECTED, STATUS_NONE, STATUS_PREDICTED, init_state, make_step
 
+_UNSET = object()  # "preferred frame layout not resolved yet" sentinel
+
 # packed (T, N, 12) column layout. track_num rides an f32 column: ids stay
 # exact up to 2^24 (~16.7M created tracks per uninterrupted stream) — beyond
 # that, reset() the pipeline or consume ids from the on-device state instead.
@@ -303,17 +305,46 @@ class FusedDetectTrack:
             self.params = jax.device_put(params)
         self.state = self._place(init_state(n_max))
         self.stats = self._place(init_stats(n_max))
+        self._frame_fmt = _UNSET
 
     def _place(self, tree):
         import jax
 
         return jax.device_put(tree, self._repl) if self._repl is not None else tree
 
-    def put_frames(self, frames):
-        """Stage a frame chunk on the device (batch-sharded when mesh mode)."""
+    def _frame_format(self, frames):
+        """The fused executable's preferred device layout for the frame input.
+
+        device_put's default layout for (T, H, W, C) uint8 is C-minor; the
+        compiled program consumes frames W-minor (lanes=W, sublanes=H), so
+        every chunk paid a full-resolution on-device relayout copy (measured
+        671 MB physical per 512-chunk, demos/fwd_analysis.py round 4).
+        Uploading straight into the preferred Format removes it. Resolved
+        lazily from the jit cache after the first compile; single-device mode
+        only (mesh mode shards the batch axis instead)."""
+        if self._frame_fmt is not _UNSET:
+            return self._frame_fmt
         import jax
 
-        return jax.device_put(frames, self._batch_sh) if self._batch_sh is not None else jax.device_put(frames)
+        fmt = None
+        try:
+            lowered = self._fused.lower(self.params, self.state, self.stats, jax.ShapeDtypeStruct(frames.shape, frames.dtype))
+            infmt = lowered.compile().input_formats
+            fmt = infmt[0][-1]  # last arg = frames
+        except Exception:
+            fmt = None
+        self._frame_fmt = fmt
+        return fmt
+
+    def put_frames(self, frames):
+        """Stage a frame chunk on the device (batch-sharded when mesh mode;
+        uploaded in the executable's preferred layout otherwise)."""
+        import jax
+
+        if self._batch_sh is not None:
+            return jax.device_put(frames, self._batch_sh)
+        fmt = self._frame_format(frames)
+        return jax.device_put(frames, fmt) if fmt is not None else jax.device_put(frames)
 
     def reset(self):
         self.state = self._place(init_state(self.n_max))
