@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 
 
+@pytest.mark.heavy  # two full train-step compiles
 def test_freeze_layers_stay_fixed(tmp_path):
     """freeze=N pins the first N layers through real optimizer steps
     (ref trainer.py:261 freeze_layer_names — incl. weight decay, which a

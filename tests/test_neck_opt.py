@@ -7,6 +7,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from yolo_tpu.nn.tasks import DetectionModel
+import pytest
 
 
 def _model():
@@ -23,6 +24,7 @@ def test_upconcat_chains_detected():
     assert m._neck_skip == {10, 11, 13, 14, 16, 17}
 
 
+@pytest.mark.heavy  # bf16 variant below is the shipped predict path; f32 runs nightly
 def test_neck_opt_parity_f32():
     m, params = _model()
     rng = np.random.default_rng(0)

@@ -154,6 +154,7 @@ def test_int8_flow_predict_agrees_with_f32():
     assert np.abs(y_f[:, 4:] - y_q[:, 4:]).max() < 0.15
 
 
+@pytest.mark.heavy  # compiles int8 predict for 3 extra architectures
 def test_int8_flow_uncovered_architectures_run():
     """The int8-resident flow must not crash architectures with blocks that
     have no native QTensor path (C3k2 children, C2PSA attention, ...):

@@ -30,7 +30,7 @@ def test_pack_input_roundtrip_order():
     assert p[1, 1, 0, (3 * 4 + 0) * 3 + 2] == x[1, 4 + 3, 0, 2]
 
 
-@pytest.mark.parametrize("r", [4, 8])
+@pytest.mark.parametrize("r", [pytest.param(4, marks=pytest.mark.heavy), 8])
 def test_s2d_predict_parity(model_and_params, r):
     """predict_s2d == predict up to float summation order (same products,
     different association; observed ~1e-5 abs on ~500-magnitude logits)."""
@@ -50,6 +50,7 @@ def test_fold_stem_requires_fused(model_and_params):
         fold_stem(unfused, 4)
 
 
+@pytest.mark.heavy
 def test_fused_pipeline_s2d_matches_dense(model_and_params):
     """FusedDetectTrack(s2d=4) produces the same track tables as s2d=0."""
     model, params = model_and_params

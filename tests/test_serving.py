@@ -158,6 +158,7 @@ print(f"rank {rank} meshok total={total} main={is_main_process()}")
 """
 
 
+@pytest.mark.heavy  # spawns two real processes + 4-dev mesh compile
 def test_two_process_four_device_mesh():
     """2 processes × 4 fake devices each — a global 8-device mesh with per-host
     data sharding, the documented pod recipe's code path end-to-end
