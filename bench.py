@@ -217,12 +217,13 @@ def main():
     # recorded bench JSON.
     import jax.numpy as jnp
 
-    from yolo_tpu.ops.nms import non_max_suppression_parts
+    from yolo_tpu.ops.nms import non_max_suppression_logits, non_max_suppression_parts
 
     bdtype = jnp.bfloat16
 
-    # stage programs mirror the fused program's actual hot path (anchors-major
-    # parts decode, same max_nms) so full - fwd_nms isolates the scan/stats
+    # stage programs mirror the fused program's actual hot path (lazy decode
+    # when the pipeline uses it, same max_nms) so full - fwd_nms isolates the
+    # scan/stats
     def _norm(frames):
         # ft.params carry the /255 inside the stem weights when norm_folded
         x = frames.astype(bdtype)
@@ -230,13 +231,24 @@ def main():
 
     @jax.jit
     def _fwd_only(p, frames):
+        if ft.lazy_decode:
+            bins, s, *_ = model.predict_logits(p, _norm(frames), dtype=bdtype, neck_opt=ft.neck_opt)
+            return bins.astype(jnp.float32).sum() + s.sum()
         b, s = model.predict_parts(p, _norm(frames), dtype=bdtype, neck_opt=ft.neck_opt)
         return b.sum() + s.sum()
 
+    def _nms_det(p, frames):
+        if ft.lazy_decode:
+            bins, s, anc, strd, proj = model.predict_logits(p, _norm(frames), dtype=bdtype, neck_opt=ft.neck_opt)
+            return non_max_suppression_logits(
+                bins, s, anc, strd, proj, conf_thres=0.15, iou_thres=0.6, max_det=16, max_nms=ft.max_nms
+            )
+        b, s = model.predict_parts(p, _norm(frames), dtype=bdtype, neck_opt=ft.neck_opt)
+        return non_max_suppression_parts(b, s, conf_thres=0.15, iou_thres=0.6, max_det=16, max_nms=ft.max_nms)
+
     @jax.jit
     def _fwd_nms(p, frames):
-        b, s = model.predict_parts(p, _norm(frames), dtype=bdtype, neck_opt=ft.neck_opt)
-        det = non_max_suppression_parts(b, s, conf_thres=0.15, iou_thres=0.6, max_det=16, max_nms=ft.max_nms)
+        det = _nms_det(p, frames)
         return det["boxes"].sum() + det["scores"].sum()
 
     def _time_stage(fn):
@@ -268,8 +280,7 @@ def main():
 
     @jax.jit
     def _byte_fused(p, bstate, frames):
-        b, s = model.predict_parts(p, _norm(frames), dtype=bdtype, neck_opt=ft.neck_opt)
-        det = non_max_suppression_parts(b, s, conf_thres=0.15, iou_thres=0.6, max_det=16, max_nms=ft.max_nms)
+        det = _nms_det(p, frames)
         xyxy = det["boxes"]
         xywh = jnp.concatenate(
             [(xyxy[..., :2] + xyxy[..., 2:]) / 2, xyxy[..., 2:] - xyxy[..., :2]], axis=-1
@@ -295,6 +306,46 @@ def main():
             bstate, r = _byte_fused(ft.params, bstate, b)
         _ = float(np.asarray(r))
         dev_fps_byte = max(dev_fps_byte, n_dev_chunks * chunk / (time.perf_counter() - t0))
+
+    # --- trainer hot path: the exact jitted DP step DetectionTrainer runs
+    # (fwd+bwd+opt+BN+EMA, donated) @ recipe batch 16 — demos/roofline_train.py
+    # holds the roofline placement; this records throughput every round ---
+    train_imgs_s = 0.0
+    try:
+        from yolo_tpu.engine.trainer import DetectionTrainer
+        from yolo_tpu.nn.tasks import DetectionModel as _DM
+
+        tb = int(os.getenv("BENCH_TRAIN_BATCH", "16"))
+        tm = _DM("yolov8-small.yaml", ch=1, nc=1)
+        tr = DetectionTrainer({"model": "yolov8-small.yaml", "imgsz": 640}, model=tm, params=tm.init(0))
+        tr.opt = tr.build_optimizer(iterations=100)
+        tstep = tr._build_step(mesh=None)
+        rng_t = np.random.default_rng(0)
+        tbb = np.stack([
+            rng_t.uniform(0.1, 0.9, (tb, 16)), rng_t.uniform(0.1, 0.9, (tb, 16)),
+            rng_t.uniform(0.01, 0.05, (tb, 16)), rng_t.uniform(0.01, 0.05, (tb, 16)),
+        ], axis=-1).astype(np.float32)
+        tbb[:, 8:] = 0.0
+        tbatch = {
+            "img": jnp.asarray(rng_t.integers(0, 255, (tb, h, w, 1), np.uint8)),
+            "cls": jnp.zeros((tb, 16), jnp.float32),
+            "bboxes": jnp.asarray(tbb),
+        }
+        tp, tos = tr.params, tr.opt.init(tr.params)
+        tema = jax.tree_util.tree_map(lambda x: x, tr.params)
+        tn = jnp.zeros((), jnp.float32)
+        for _ in range(2):
+            tp, tos, tema, tn, tc = tstep(tp, tos, tema, tn, tbatch, 1e-3, 0.9, 1e-3)
+            _ = np.asarray(tc[0] if isinstance(tc, (tuple, list)) else tc)
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(5):
+                tp, tos, tema, tn, tc = tstep(tp, tos, tema, tn, tbatch, 1e-3, 0.9, 1e-3)
+            jax.block_until_ready(tc)
+            train_imgs_s = max(train_imgs_s, tb * 5 / (time.perf_counter() - t0))
+        del tp, tos, tema, tbatch
+    except Exception as e:  # train metric is additive — never sink the bench line
+        print(f"train-step bench skipped: {e}", file=sys.stderr)
 
     # --- sharding-overhead control: same fused program through an explicit
     # 1-device mesh (VERDICT r2 next#5) ---
@@ -341,6 +392,7 @@ def main():
                 "stage_ms_forward": round(ms_fwd, 1),
                 "stage_ms_nms": round(max(ms_fwd_nms - ms_fwd, 0.0), 1),
                 "stage_ms_scan": round(max(ms_full - ms_fwd_nms, 0.0), 1),
+                **({"train_imgs_per_s": round(train_imgs_s, 1)} if train_imgs_s else {}),
                 # roofline: the forward is HBM-bandwidth-bound (85 MB/frame
                 # compiled traffic, 66% of v5e's 819 GB/s at ~24% MFU with the
                 # neck fold; see demos/roofline.py for the full analysis)

@@ -53,3 +53,43 @@ def test_fused_max_nms_default_matches_wide():
     for a, b in zip(outs_n, outs_w):
         np.testing.assert_allclose(a["bbox"], b["bbox"], rtol=1e-5, atol=1e-5)
         np.testing.assert_array_equal(a["status"], b["status"])
+
+
+def test_lazy_decode_matches_parts_route():
+    """non_max_suppression_logits (top-k first, DFL-decode only the winners)
+    is bit-identical to decode-everything + non_max_suppression_parts — same
+    ops, same dtypes; the gather commutes with the per-anchor decode."""
+    import jax.numpy as jnp
+
+    from yolo_tpu.ops.nms import non_max_suppression_logits, non_max_suppression_parts
+
+    model = DetectionModel("yolov8n.yaml")
+    params = model.fuse(model.init(0))
+    x = np.random.default_rng(3).uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        boxes, scores = model.predict_parts(params, jnp.asarray(x), dtype=dtype)
+        det_a = non_max_suppression_parts(boxes, scores, conf_thres=1e-4, iou_thres=0.6, max_det=8, max_nms=32)
+        bins, sc, anc, strd, proj = model.predict_logits(params, jnp.asarray(x), dtype=dtype)
+        det_b = non_max_suppression_logits(bins, sc, anc, strd, proj, conf_thres=1e-4, iou_thres=0.6, max_det=8, max_nms=32)
+        for k in ("boxes", "scores", "cls", "valid"):
+            np.testing.assert_array_equal(np.asarray(det_a[k]), np.asarray(det_b[k]), err_msg=f"{dtype} {k}")
+
+
+def test_fused_lazy_decode_default_matches_disabled(monkeypatch):
+    """The fused pipeline with the lazy-decode default produces the same
+    tracks/stats as the parts route it replaced."""
+    model = DetectionModel("yolov8n.yaml")
+    params = model.fuse(model.init(0))
+    clip = np.random.default_rng(4).integers(0, 255, (16, 64, 64, 1), np.uint8)
+    kw = dict(frame_hw=(64, 64), chunk=8, conf=1e-4, n_max=8, d_max=4)
+    ft_lazy = FusedDetectTrack(model, params, **kw)
+    assert ft_lazy.lazy_decode
+    outs_l, stats_l = ft_lazy.run_clip(clip)
+    monkeypatch.setenv("YOLO_TPU_LAZY_DECODE", "0")
+    ft_parts = FusedDetectTrack(model, params, **kw)
+    assert not ft_parts.lazy_decode
+    outs_p, stats_p = ft_parts.run_clip(clip)
+    assert stats_l == stats_p
+    for a, b in zip(outs_l, outs_p):
+        np.testing.assert_array_equal(a["status"], b["status"])
+        np.testing.assert_allclose(a["bbox"], b["bbox"], rtol=1e-5, atol=1e-5)

@@ -57,3 +57,20 @@ def test_predictor_cache_keys_on_fused_state(monkeypatch):
     assert pred._params_fused_float is False
     model.predict(np.zeros((64, 96, 3), np.uint8), conf=0.25, imgsz=(64, 96), verbose=False)
     assert len(pred._fn_cache) > n_fused
+
+
+def test_predictor_lazy_decode_matches_full_route(tmp_path, monkeypatch):
+    """The predictor's lazy-decode program (top-k first, decode winners only)
+    returns the same detections as the decode-everything route."""
+    import numpy as np
+
+    from yolo_tpu import YOLO
+
+    img = np.random.default_rng(5).integers(0, 255, (96, 128, 3), np.uint8)
+    m1 = YOLO("yolov8n.yaml")
+    r1 = m1.predict(img, conf=1e-4, imgsz=96, verbose=False, save=False)[0]
+    monkeypatch.setenv("YOLO_TPU_LAZY_DECODE", "0")
+    m2 = YOLO("yolov8n.yaml")
+    r2 = m2.predict(img, conf=1e-4, imgsz=96, verbose=False, save=False)[0]
+    assert len(r1.boxes) == len(r2.boxes)
+    np.testing.assert_allclose(np.asarray(r1.boxes.data), np.asarray(r2.boxes.data), rtol=1e-5, atol=1e-5)

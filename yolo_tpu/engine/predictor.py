@@ -208,6 +208,33 @@ class BasePredictor:
             "neck_opt" in inspect.signature(model.predict).parameters
         )
 
+        from yolo_tpu.nn import modules as _M
+
+        lazy = (
+            os.getenv("YOLO_TPU_LAZY_DECODE", "1") == "1"
+            and not augment
+            and type(model).__name__ == "DetectionModel"
+            and type(getattr(model, "head", None)) is _M.Detect
+            and bool(getattr(self, "_params_fused_float", False))
+        )
+        if lazy:
+            # lazy decode: top-k by score first, DFL-decode only the winners —
+            # bit-identical to decode-everything + NMS (ops/nms.py
+            # non_max_suppression_logits); saves the all-anchor decode traffic
+            from yolo_tpu.ops.nms import non_max_suppression_logits
+
+            @jax.jit
+            def fn(params, imgs):
+                x = imgs[..., ::-1].astype(dtype) / 255.0
+                bins, sc, anc, strd, proj = model.predict_logits(params, x, dtype=dtype, neck_opt=neck_opt)
+                return non_max_suppression_logits(
+                    bins, sc, anc, strd, proj,
+                    conf_thres=conf, iou_thres=iou, classes=classes, agnostic=agnostic, max_det=max_det,
+                )
+
+            self._fn_cache[key] = fn
+            return fn
+
         @jax.jit
         def fn(params, imgs):
             # imgs: uint8 NHWC BGR (cv2 convention) → RGB fp [0,1]

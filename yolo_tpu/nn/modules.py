@@ -756,7 +756,51 @@ class Detect:
         from yolo_tpu.ops.anchors import dist2bbox, make_anchors
 
         proj = p["dfl"]["conv"]["weight"].reshape(self.reg_max)
-        dists, clss = [], []
+        bins, clss, feat_shapes = self._branch_walk(p, xs, ctx)
+        dists = [dfl_project(b.reshape(b.shape[0], b.shape[1], 4, self.reg_max), proj) for b in bins]
+        clss = [jax.nn.sigmoid(c.astype(jnp.float32)) for c in clss]
+        anchors, strides = make_anchors(feat_shapes, self.stride, 0.5)
+        dist = jnp.concatenate(dists, axis=1)  # (B, A, 4)
+        cls = jnp.concatenate(clss, axis=1)
+        dbox = dist2bbox(dist, jnp.asarray(anchors)[None], xywh=xywh, axis=-1) * jnp.asarray(strides)[None]
+        return dbox, cls
+
+    def logits_from_inputs(self, p, xs, ctx):
+        """The lazy-decode hot path: raw reg bins + sigmoid scores, NO box
+        decode. NMS ranks candidates by score alone, so the DFL projection and
+        the anchor arithmetic only need to run on the top-k winners — the
+        all-anchor exp/dot intermediates ((B, A, 4, 2) f32 + (B, A, 4) boxes,
+        ~560 MB/512-chunk at P2 scale) never exist. Pair with
+        ops/nms.non_max_suppression_logits, which gathers the k winning bin
+        rows and reproduces decode_from_inputs' math op-for-op on them.
+        Bins stay a PER-LEVEL tuple: each level's (B, A_l, 4*reg_max) is a
+        free bitcast view of its conv output, while a cross-level concat
+        would materialize a fresh (B, A, 64) buffer (~0.9 GB/512-chunk —
+        measured 11% slower than the parts route on chip, the whole win
+        inverted). The NMS gathers per level with offset arithmetic instead.
+        Returns (bins tuple[(B, A_l, 4*reg_max)] compute-dtype,
+        scores (B, A, nc) f32, anchors (A, 2) f32, strides (A, 1) f32,
+        proj (reg_max,) f32)."""
+        from yolo_tpu.ops.anchors import make_anchors
+
+        proj = p["dfl"]["conv"]["weight"].reshape(self.reg_max).astype(jnp.float32)
+        bins, clss, feat_shapes = self._branch_walk(p, xs, ctx)
+        anchors, strides = make_anchors(feat_shapes, self.stride, 0.5)
+        cls = jnp.concatenate([jax.nn.sigmoid(c.astype(jnp.float32)) for c in clss], axis=1)
+        return (
+            tuple(bins),
+            cls,
+            jnp.asarray(anchors),
+            jnp.asarray(strides),
+            proj,
+        )
+
+    def _branch_walk(self, p, xs, ctx):
+        """Shared cv2/cv3 conv walk from the head inputs: per level returns
+        raw reg bins (B, A_l, 4*reg_max), raw cls logits (B, A_l, nc), and the
+        feature shapes. Merges the two branches' first 3x3 convs into one conv
+        when params allow (exact algebra; one read of x)."""
+        bins, clss = [], []
         feat_shapes = []
         for l, x in enumerate(xs):
             p2, p3 = p["cv2"][str(l)]["0"], p["cv3"][str(l)]["0"]
@@ -792,13 +836,9 @@ class Detect:
                 c = self.cv3[l][j](p["cv3"][str(l)][str(j)], c, ctx, f"head/cv3/{l}/{j}")
             B, H, W, _ = b.shape
             feat_shapes.append((H, W))
-            dists.append(dfl_project(b.reshape(B, H * W, 4, self.reg_max), proj))  # (B, A_l, 4) f32
-            clss.append(jax.nn.sigmoid(c.reshape(B, H * W, self.nc).astype(jnp.float32)))
-        anchors, strides = make_anchors(feat_shapes, self.stride, 0.5)
-        dist = jnp.concatenate(dists, axis=1)  # (B, A, 4)
-        cls = jnp.concatenate(clss, axis=1)
-        dbox = dist2bbox(dist, jnp.asarray(anchors)[None], xywh=xywh, axis=-1) * jnp.asarray(strides)[None]
-        return dbox, cls
+            bins.append(b.reshape(B, H * W, 4 * self.reg_max))
+            clss.append(c.reshape(B, H * W, self.nc))
+        return bins, clss, feat_shapes
 
     def decode_feats_pallas(self, p, xs, xywh: bool = True, interpret: bool = False, dtype=jnp.bfloat16):
         """decode_parts computed from the head INPUTS via the fused Pallas

@@ -617,6 +617,19 @@ class DetectionModel(BaseModel):
         )
         return self.head.decode_parts(hp, outs)
 
+    def predict_logits(self, params, x, dtype=jnp.float32, neck_opt: bool = False):
+        """Lazy-decode hot path: raw reg bins + scores, no box decode — pair
+        with ops/nms.non_max_suppression_logits, which DFL-decodes only the
+        top-k winners (the all-anchor decode intermediates never exist; see
+        Detect.logits_from_inputs). Plain fused Detect heads only.
+        Returns (bins (B, A, 4*reg_max), scores (B, A, nc) f32,
+        anchors (A, 2), strides (A, 1), proj (reg_max,))."""
+        ctx = M.Ctx(train=False, dtype=dtype, neck_opt=_neck_opt_flag(neck_opt))
+        assert type(self.head) is M.Detect, "lazy decode covers plain Detect heads — use predict()"
+        spec = self.layers[-1]
+        _, _, col = self._walk(params, x, ctx, upto=spec.i, collect=set(spec.f))
+        return self.head.logits_from_inputs(params["model"][str(spec.i)], [col[j] for j in spec.f], ctx)
+
     def predict_s2d(self, params, x, dtype=jnp.float32, parts: bool = False):
         """Decoded predictions from a space-to-depth packed input (nn/s2d.py).
 

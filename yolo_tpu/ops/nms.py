@@ -161,6 +161,91 @@ def non_max_suppression_parts(
     if extra is None:
         extra = jnp.zeros(boxes_xywh.shape[:2] + (0,), boxes_xywh.dtype)
     b, c, top_conf, offset, extra = jax.vmap(single)(boxes_xywh, cls_scores, extra)
+    return _suppress_tail(b, c, top_conf, offset, extra, iou_thres, max_det, n_extra)
+
+
+def non_max_suppression_logits(
+    bins,
+    cls_scores,
+    anchors,
+    strides,
+    proj,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    classes=None,
+    agnostic: bool = False,
+    max_det: int = 300,
+    max_nms: int = 1024,
+):
+    """Lazy-decode NMS: rank by score FIRST, DFL-decode only the winners.
+
+    Candidate selection uses scores alone, so the per-anchor box decode
+    (softmax-projection + anchor arithmetic) is pulled BELOW the top-k: the
+    k winning bin rows are gathered and decoded with op-for-op the same math
+    as Detect.decode_from_inputs + non_max_suppression_parts — outputs are
+    bit-identical, but the all-anchor (B, A, 4, 2) f32 projection and
+    (B, A, 4) f32 boxes (~560 MB per 512-chunk at P2 scale) never
+    materialize. Inputs come from DetectionModel.predict_logits.
+
+    bins: tuple of per-level (B, A_l, 4*reg_max) raw reg logits (compute
+        dtype) — kept per level so each stays a bitcast view of its conv
+        output; the winners are gathered per level with offset arithmetic
+        (a cross-level concat would materialize ~0.9 GB per 512-chunk).
+        A single (B, A, 4*reg_max) array is also accepted.
+    cls_scores: (B, A, nc) f32 sigmoid scores
+    anchors: (A, 2) grid-cell centers; strides: (A, 1); proj: (reg_max,) f32
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_tpu.nn.modules import dfl_project
+    from yolo_tpu.ops.anchors import dist2bbox
+    from yolo_tpu.ops.boxes import xywh2xyxy
+
+    if not isinstance(bins, (tuple, list)):
+        bins = (bins,)
+    bins = tuple(bins)
+    nc = cls_scores.shape[-1]
+    reg_max = proj.shape[0]
+    A = sum(b.shape[1] for b in bins)
+    K = min(max_nms, A)
+    offs = np.cumsum([0] + [b.shape[1] for b in bins[:-1]])
+    anchors = jnp.asarray(anchors)
+    strides = jnp.asarray(strides)
+
+    def single(bins_f, cls_f):
+        cls_f = cls_f.astype(jnp.float32)
+        if classes is not None:
+            allowed = jnp.zeros((nc,), bool).at[jnp.asarray(classes)].set(True)
+            cls_f = jnp.where(allowed[None, :], cls_f, 0.0)
+        conf = jnp.max(cls_f, axis=-1)
+        cls_id = jnp.argmax(cls_f, axis=-1)
+        conf = jnp.where(conf > conf_thres, conf, -1.0)
+        top_conf, top_idx = jax.lax.top_k(conf, K)
+        # decode ONLY the k winners — same ops, same dtypes, same order as the
+        # all-anchor path (gather commutes with the per-anchor decode);
+        # gathers run per level so no concatenated bins buffer ever exists
+        bk = jnp.zeros((K, 4 * reg_max), bins_f[0].dtype)
+        for lv, bl in enumerate(bins_f):
+            li = top_idx - int(offs[lv])
+            inb = (li >= 0) & (li < bl.shape[0])
+            bk = jnp.where(inb[:, None], bl[jnp.clip(li, 0, bl.shape[0] - 1)], bk)
+        dist = dfl_project(bk.reshape(K, 4, reg_max), proj)  # (K, 4) f32
+        xywh = dist2bbox(dist, anchors[top_idx], xywh=True, axis=-1) * strides[top_idx]
+        b = xywh2xyxy(xywh)
+        c = cls_id[top_idx]
+        offset = jnp.where(agnostic, 0.0, c.astype(b.dtype) * MAX_WH)
+        return b, c, top_conf, offset
+
+    b, c, top_conf, offset = jax.vmap(single)(bins, cls_scores)
+    extra = jnp.zeros(b.shape[:2] + (0,), b.dtype)
+    return _suppress_tail(b, c, top_conf, offset, extra, iou_thres, max_det, 0)
+
+
+def _suppress_tail(b, c, top_conf, offset, extra, iou_thres, max_det, n_extra):
+    """Shared IoU-suppression tail over the per-frame top-k candidates."""
+    import jax
+    import jax.numpy as jnp
 
     if USE_PALLAS_NMS and jax.default_backend() == "tpu":
         from yolo_tpu.ops.pallas_nms import pallas_nms_keep

@@ -100,7 +100,7 @@ class FusedDetectTrack:
         import jax
         import jax.numpy as jnp
 
-        from yolo_tpu.ops.nms import non_max_suppression_parts
+        from yolo_tpu.ops.nms import non_max_suppression_logits, non_max_suppression_parts
 
         if channels == 1:
             # grayscale stem fold: conv(broadcast(x, 3ch), W) == conv(x, sum_c W)
@@ -187,6 +187,20 @@ class FusedDetectTrack:
         self.norm_folded = norm_folded  # stem weights carry the /255; feed bare-cast frames
         self.max_nms = max_nms or max(4 * d_max, 64)
         self.s2d = s2d
+        # lazy decode (top-k by score, DFL-decode only the winners) is the
+        # default whenever the plain-Detect logits path applies; outputs are
+        # bit-identical to the parts route (tests/test_fused_pipeline.py).
+        # YOLO_TPU_LAZY_DECODE=0 kills it.
+        from yolo_tpu.nn import modules as _M
+
+        self.lazy_decode = (
+            os.getenv("YOLO_TPU_LAZY_DECODE", "1") == "1"
+            and not s2d
+            and not int8
+            and not pallas_head
+            and not pallas_c2f
+            and type(model.head) is _M.Detect
+        )
         self.chunk = chunk
         self.d_max = d_max
         self.n_max = n_max
@@ -226,11 +240,26 @@ class FusedDetectTrack:
                     x = jnp.broadcast_to(x, x.shape[:-1] + (3,))
                 elif frames.shape[-1] != 1:
                     x = x[..., ::-1]  # BGR→RGB
-                boxes_xywh, scores = model.predict_parts(
-                    p, x, dtype=dtype, pallas_head=pallas_head, neck_opt=neck_opt,
-                    pallas_c2f=pallas_c2f,
-                )
-            det = non_max_suppression_parts(boxes_xywh, scores, conf_thres=conf, iou_thres=iou, max_det=d_max, max_nms=self.max_nms)
+                if self.lazy_decode:
+                    # lazy decode: top-k on scores FIRST, DFL-decode only the
+                    # winners (bit-identical outputs; the all-anchor decode
+                    # intermediates never materialize — see
+                    # ops/nms.non_max_suppression_logits)
+                    bins, scores, anc, strd, proj = model.predict_logits(
+                        p, x, dtype=dtype, neck_opt=neck_opt
+                    )
+                    det = non_max_suppression_logits(
+                        bins, scores, anc, strd, proj,
+                        conf_thres=conf, iou_thres=iou, max_det=d_max, max_nms=self.max_nms,
+                    )
+                    boxes_xywh = None
+                else:
+                    boxes_xywh, scores = model.predict_parts(
+                        p, x, dtype=dtype, pallas_head=pallas_head, neck_opt=neck_opt,
+                        pallas_c2f=pallas_c2f,
+                    )
+            if boxes_xywh is not None:
+                det = non_max_suppression_parts(boxes_xywh, scores, conf_thres=conf, iou_thres=iou, max_det=d_max, max_nms=self.max_nms)
             det_boxes = det["boxes"]  # (T, d_max, 4)
             det_mask = det["valid"] & (det["scores"] > conf)  # (T, d_max)
 
