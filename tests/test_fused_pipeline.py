@@ -75,17 +75,19 @@ def test_lazy_decode_matches_parts_route():
             np.testing.assert_array_equal(np.asarray(det_a[k]), np.asarray(det_b[k]), err_msg=f"{dtype} {k}")
 
 
-def test_fused_lazy_decode_default_matches_disabled(monkeypatch):
-    """The fused pipeline with the lazy-decode default produces the same
-    tracks/stats as the parts route it replaced."""
+def test_fused_lazy_decode_optin_matches_default(monkeypatch):
+    """The opt-in lazy-decode pipeline produces the same tracks/stats as the
+    default parts route (lazy measured 3% slower on chip at d_max=16, so it
+    ships opt-in — see pipeline/fused.py)."""
     model = DetectionModel("yolov8n.yaml")
     params = model.fuse(model.init(0))
     clip = np.random.default_rng(4).integers(0, 255, (16, 64, 64, 1), np.uint8)
     kw = dict(frame_hw=(64, 64), chunk=8, conf=1e-4, n_max=8, d_max=4)
+    monkeypatch.setenv("YOLO_TPU_LAZY_DECODE", "1")
     ft_lazy = FusedDetectTrack(model, params, **kw)
     assert ft_lazy.lazy_decode
     outs_l, stats_l = ft_lazy.run_clip(clip)
-    monkeypatch.setenv("YOLO_TPU_LAZY_DECODE", "0")
+    monkeypatch.delenv("YOLO_TPU_LAZY_DECODE")
     ft_parts = FusedDetectTrack(model, params, **kw)
     assert not ft_parts.lazy_decode
     outs_p, stats_p = ft_parts.run_clip(clip)

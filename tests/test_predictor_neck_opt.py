@@ -67,9 +67,10 @@ def test_predictor_lazy_decode_matches_full_route(tmp_path, monkeypatch):
     from yolo_tpu import YOLO
 
     img = np.random.default_rng(5).integers(0, 255, (96, 128, 3), np.uint8)
+    monkeypatch.setenv("YOLO_TPU_LAZY_DECODE", "1")
     m1 = YOLO("yolov8n.yaml")
     r1 = m1.predict(img, conf=1e-4, imgsz=96, verbose=False, save=False)[0]
-    monkeypatch.setenv("YOLO_TPU_LAZY_DECODE", "0")
+    monkeypatch.delenv("YOLO_TPU_LAZY_DECODE")
     m2 = YOLO("yolov8n.yaml")
     r2 = m2.predict(img, conf=1e-4, imgsz=96, verbose=False, save=False)[0]
     assert len(r1.boxes) == len(r2.boxes)

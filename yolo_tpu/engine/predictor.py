@@ -211,7 +211,7 @@ class BasePredictor:
         from yolo_tpu.nn import modules as _M
 
         lazy = (
-            os.getenv("YOLO_TPU_LAZY_DECODE", "1") == "1"
+            os.getenv("YOLO_TPU_LAZY_DECODE", "0") == "1"
             and not augment
             and type(model).__name__ == "DetectionModel"
             and type(getattr(model, "head", None)) is _M.Detect

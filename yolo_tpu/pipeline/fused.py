@@ -187,14 +187,17 @@ class FusedDetectTrack:
         self.norm_folded = norm_folded  # stem weights carry the /255; feed bare-cast frames
         self.max_nms = max_nms or max(4 * d_max, 64)
         self.s2d = s2d
-        # lazy decode (top-k by score, DFL-decode only the winners) is the
-        # default whenever the plain-Detect logits path applies; outputs are
-        # bit-identical to the parts route (tests/test_fused_pipeline.py).
-        # YOLO_TPU_LAZY_DECODE=0 kills it.
+        # lazy decode (top-k by score, DFL-decode only the winners) is
+        # bit-identical to the parts route (tests/test_fused_pipeline.py) but
+        # measured SLOWER on chip at this K (5579 vs 5739 fps @512, d_max=16:
+        # the 3 per-level row gathers cost more than the ~2 ms of all-anchor
+        # DFL traffic they avoid; a cross-level bins concat is worse still,
+        # 5065 fps). Opt-in via YOLO_TPU_LAZY_DECODE=1 for wide-max_nms /
+        # many-class configs where the decode-everything side grows.
         from yolo_tpu.nn import modules as _M
 
         self.lazy_decode = (
-            os.getenv("YOLO_TPU_LAZY_DECODE", "1") == "1"
+            os.getenv("YOLO_TPU_LAZY_DECODE", "0") == "1"
             and not s2d
             and not int8
             and not pallas_head
