@@ -9,6 +9,8 @@ is jit-compiled from source, so the export surface is:
   - ``stablehlo``   — serialized lowered StableHLO of the fused predict program
                       (consumable from C++ via PJRT, see examples/cpp_client)
   - ``savedmodel``  — alias of npz+yaml bundle for serving shims
+  - ``pt``          — torch-ecosystem interchange (ultralytics state_dict)
+  - ``tflite``      — edge interchange via jax2tf (LiteRT/Android/XNNPACK)
 
 Each loader returns (model, params, meta) so `YOLO(<artifact>)` round-trips.
 """
@@ -205,6 +207,73 @@ def export_stablehlo(model, params, imgsz=(640, 640), batch: int = 1, filename="
     return Path(filename)
 
 
+def export_tflite(model, params, imgsz=(640, 640), batch: int = 1, filename="model.tflite",
+                  nms: bool = False, conf: float = 0.25, iou: float = 0.45, max_det: int = 300,
+                  half: bool = False) -> Path:
+    """Export the inference program to a .tflite flatbuffer via jax2tf.
+
+    The edge-interchange format (ref: engine/exporter.py export_tflite:582):
+    runs on LiteRT/TFLite runtimes (Android, microcontrollers, XNNPACK CPU) —
+    the one consumer class the PJRT/StableHLO artifacts don't reach. The JAX
+    program is lowered for CPU and legalized to TFLite builtin ops (verified:
+    the yolov8 forward converts with NO flex/select ops and reproduces the
+    JAX outputs to ~1e-4; tests/test_export.py).
+
+    Input: float32 NHWC RGB in [0, 255] (the /255 normalize is baked in, like
+    the reference's TFLite models). Output: raw (B, 4+nc, A) predictions, or
+    the fixed-shape NMS tuple (boxes, scores, cls, valid) when nms=True.
+    half=True stores weights fp16 (runtime dequantizes; ~2x smaller file)."""
+    import jax
+    import jax.numpy as jnp
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    h, w = (imgsz, imgsz) if isinstance(imgsz, int) else imgsz
+    params_const = jax.tree_util.tree_map(jnp.asarray, params)
+
+    if nms:
+        from yolo_tpu.ops.nms import non_max_suppression
+
+        def infer(imgs):
+            out = non_max_suppression(
+                model.predict(params_const, imgs / 255.0, dtype=jnp.float32),
+                conf_thres=conf, iou_thres=iou, max_det=max_det,
+            )
+            return out["boxes"], out["scores"], out["cls"].astype(jnp.int32), out["valid"]
+
+    else:
+
+        def infer(imgs):
+            return model.predict(params_const, imgs / 255.0, dtype=jnp.float32)
+
+    f = jax2tf.convert(infer, with_gradient=False, native_serialization_platforms=("cpu",))
+    cf = tf.function(
+        f, input_signature=[tf.TensorSpec((batch, h, w, 3), tf.float32)], autograph=False
+    ).get_concrete_function()
+    converter = tf.lite.TFLiteConverter.from_concrete_functions([cf])
+    if half:
+        converter.optimizations = [tf.lite.Optimize.DEFAULT]
+        converter.target_spec.supported_types = [tf.float16]
+    try:
+        blob = converter.convert()
+    except Exception as e:  # nms-baked programs may need flex ops on some tf versions
+        LOGGER.warning(f"TFLite builtin-ops conversion failed ({str(e)[:120]}); retrying with SELECT_TF_OPS")
+        converter = tf.lite.TFLiteConverter.from_concrete_functions([cf])
+        converter.target_spec.supported_ops = [tf.lite.OpsSet.TFLITE_BUILTINS, tf.lite.OpsSet.SELECT_TF_OPS]
+        blob = converter.convert()
+    filename = Path(filename)
+    filename.write_bytes(blob)
+    # metadata sidecar (names/task/geometry) — the reference embeds these in
+    # the tflite metadata block; a json rides along here
+    Path(str(filename) + ".json").write_text(
+        json.dumps({"names": getattr(model, "names", {}), "task": getattr(model, "task", "detect"),
+                    "imgsz": [h, w], "batch": batch, "nms": nms, "normalized_input": "0-255 float32 RGB"},
+                   default=str)
+    )
+    LOGGER.info(f"exported TFLite: {filename} ({len(blob) / 1e6:.1f} MB)")
+    return filename
+
+
 class Exporter:
     """Dispatch exports by args.format (ref: engine/exporter.py Exporter:207)."""
 
@@ -233,7 +302,15 @@ class Exporter:
             from yolo_tpu.nn.torch_export import save_pt
 
             return save_pt(model, params, f"{name}.pt", names=getattr(model, "names", None))
-        raise ValueError(f"unsupported export format '{fmt}' (npz | orbax | stablehlo | pt)")
+        if fmt == "tflite":  # edge interchange (LiteRT/Android/XNNPACK)
+            imgsz = self.args.imgsz or 640
+            return export_tflite(
+                model, params, imgsz=imgsz, filename=f"{name}.tflite",
+                nms=bool(getattr(self.args, "nms", False)),
+                conf=float(self.args.conf or 0.25), iou=float(self.args.iou or 0.45),
+                max_det=int(self.args.max_det or 300), half=bool(getattr(self.args, "half", False)),
+            )
+        raise ValueError(f"unsupported export format '{fmt}' (npz | orbax | stablehlo | pt | tflite)")
 
 
 def save_train_state(dirname, state: dict) -> Path:

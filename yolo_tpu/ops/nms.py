@@ -54,28 +54,27 @@ def nms_fixed(boxes, scores, iou_threshold: float, max_det: int):
     from yolo_tpu.ops.boxes import box_iou
 
     K = boxes.shape[0]
-    order = jnp.argsort(-scores)
-    b = boxes[order]
-    s = scores[order]
     col = jax.lax.broadcasted_iota(jnp.int32, (K,), 0)
 
     # Iterative select-max: only max_det sequential steps (vs K for the
     # classic row sweep) and no K×K IoU matrix — each step computes one
     # (K,) IoU row against the freshly selected box. Identical keep-set to
-    # greedy score-order NMS: the argmax over unsuppressed sorted scores IS
-    # the next box the classic sweep would keep.
+    # greedy score-order NMS: the argmax over unsuppressed scores IS the
+    # next box the classic sweep would keep (no pre-sort needed — argmax
+    # over the original order and over a stable descending sort both pick
+    # the earliest original index among tied maxima; the sort also blocked
+    # TFLite legalization, vhlo.sort_v1 has no TFLite lowering).
     def body(suppressed, _):
-        ms = jnp.where(suppressed, -1.0, s)
+        ms = jnp.where(suppressed, -1.0, scores)
         j = jnp.argmax(ms)
         valid = ms[j] > 0
-        row = box_iou(b[j][None], b)[0] > iou_threshold  # includes j itself
+        row = box_iou(boxes[j][None], boxes)[0] > iou_threshold  # includes j itself
         suppressed = suppressed | (row & valid) | (col == j)
         return suppressed, (j, valid)
 
-    _, (sel, keep_valid) = jax.lax.scan(
+    _, (keep_idx, keep_valid) = jax.lax.scan(
         body, jnp.zeros((K,), dtype=bool), None, length=max_det
     )
-    keep_idx = order[sel]
     return keep_idx, keep_valid
 
 
