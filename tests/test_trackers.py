@@ -288,3 +288,31 @@ def test_batched_byte_twin_scan_matches_stepwise():
              outs["cls"][f][keep, None], outs["det_idx"][f][keep, None]], axis=1,
         ) if len(keep) else np.zeros((0, 8), np.float32)
         np.testing.assert_allclose(rows_stepwise[f], got, atol=1e-4, err_msg=f"frame {f}")
+
+
+def test_device_tracker_glue_optin(monkeypatch):
+    """YOLO_TPU_DEVICE_TRACKER=1 routes model.track's bytetrack through the
+    batched device twin; track rows match the host tracker route."""
+    import yolo_tpu
+    from yolo_tpu.trackers.track import create_tracker
+
+    monkeypatch.setenv("YOLO_TPU_DEVICE_TRACKER", "1")
+    dev = create_tracker("bytetrack.yaml")
+    from yolo_tpu.trackers.batched import BatchedBYTETracker
+
+    assert isinstance(dev, BatchedBYTETracker)
+    monkeypatch.delenv("YOLO_TPU_DEVICE_TRACKER")
+    host = create_tracker("bytetrack.yaml")
+    rng = np.random.default_rng(0)
+    for f in range(20):
+        boxes = np.array([[100 + 2 * f, 100, 20, 14], [300, 200 - f, 24, 18]], np.float32)
+        boxes += rng.normal(0, 0.2, boxes.shape).astype(np.float32)
+        scores = np.array([0.9, 0.8], np.float32)
+        cls = np.array([0, 1], np.float32)
+        a = host.update(boxes.copy(), scores.copy(), cls.copy())
+        b = dev.update(boxes.copy(), scores.copy(), cls.copy())
+        assert a.shape == b.shape
+        if len(a):
+            a = a[np.argsort(a[:, 4])]
+            b = b[np.argsort(b[:, 4])]
+            np.testing.assert_allclose(a, b, atol=2e-2, err_msg=f"frame {f}")

@@ -38,6 +38,17 @@ def load_tracker_cfg(tracker: str | None):
 
 def create_tracker(tracker: str | None, frame_rate: int = 30):
     cfg = load_tracker_cfg(tracker)
+    import os
+
+    if cfg.tracker_type == "bytetrack" and os.getenv("YOLO_TPU_DEVICE_TRACKER", "0") == "1":
+        # device twin: the jitted slot-table ByteTrack step (trackers/batched.py,
+        # golden-parity-tested vs the host object tracker; bench.py reports its
+        # fused-scan throughput as device_fps_byte_track). Opt-in — per-frame
+        # update() pays a dispatch per frame, which wins on a local-attached
+        # accelerator but not through a high-latency tunnel.
+        from yolo_tpu.trackers.batched import BatchedBYTETracker
+
+        return BatchedBYTETracker(args=cfg, frame_rate=frame_rate)
     return _tracker_map()[cfg.tracker_type](args=cfg, frame_rate=frame_rate)
 
 
