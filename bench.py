@@ -159,15 +159,18 @@ def main():
         return fps
 
     dev_fps = measure_device_fps(ft)
-    # int8 PTQ variant (now int8-RESIDENT activations, nn/quantize.py): still
-    # reported for the record — at this model's channel widths every int8
-    # flavor loses to bf16 (see quantize.py header), so bf16 is the default
-    ft8 = FusedDetectTrack(
-        model, params, frame_hw=(h, w), channels=1, chunk=chunk,
-        conf=0.15, iou=0.6, max_lost_frames=150, min_hits=1, iou_threshold=0.1,
-        n_max=64, d_max=16, int8=True, int8_calib=clip[:32],
-    )
-    dev_fps_int8 = measure_device_fps(ft8)
+    # int8 PTQ variant: RETIRED from the per-round bench (VERDICT r3 weak #6 —
+    # every int8 flavor measured slower than bf16 at these channel widths, see
+    # nn/quantize.py header + BENCH_r03 4862 vs 5756 bf16). The path stays
+    # tested (tests/test_quantize.py) and measurable via BENCH_INT8=1.
+    dev_fps_int8 = None
+    if os.getenv("BENCH_INT8"):
+        ft8 = FusedDetectTrack(
+            model, params, frame_hw=(h, w), channels=1, chunk=chunk,
+            conf=0.15, iou=0.6, max_lost_frames=150, min_hits=1, iou_threshold=0.1,
+            n_max=64, d_max=16, int8=True, int8_calib=clip[:32],
+        )
+        dev_fps_int8 = measure_device_fps(ft8)
 
     # fused Pallas head variant (ops/pallas_head.py): head conv branches + DFL
     # VMEM-resident. Measured 2026-08-18 on v5e (demos/pallas_ab.py): 638 fps
@@ -377,7 +380,7 @@ def main():
                 "vs_baseline": round(dev_fps / BASELINE_FPS, 2),
                 "end_to_end_fps": round(fps, 2),
                 "end_to_end_vs_baseline": round(fps / BASELINE_FPS, 2),
-                "device_fps_int8": round(dev_fps_int8, 2),
+                **({"device_fps_int8": round(dev_fps_int8, 2)} if dev_fps_int8 else {}),
                 # MOT model.track semantics on-device: fused forward+NMS +
                 # batched ByteTrack slot-table scan (trackers/batched.py)
                 "device_fps_byte_track": round(dev_fps_byte, 2),
