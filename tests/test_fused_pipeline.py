@@ -1,6 +1,7 @@
 """Fused detect+track pipeline: shape/state smoke + tracker-path equivalence."""
 
 import numpy as np
+import pytest
 
 from yolo_tpu.nn.tasks import DetectionModel
 from yolo_tpu.pipeline import FusedDetectTrack
@@ -55,10 +56,7 @@ def test_fused_max_nms_default_matches_wide():
         np.testing.assert_array_equal(a["status"], b["status"])
 
 
-def test_lazy_decode_matches_parts_route():
-    """non_max_suppression_logits (top-k first, DFL-decode only the winners)
-    is bit-identical to decode-everything + non_max_suppression_parts — same
-    ops, same dtypes; the gather commutes with the per-anchor decode."""
+def _assert_lazy_matches_parts(dtype):
     import jax.numpy as jnp
 
     from yolo_tpu.ops.nms import non_max_suppression_logits, non_max_suppression_parts
@@ -66,15 +64,31 @@ def test_lazy_decode_matches_parts_route():
     model = DetectionModel("yolov8n.yaml")
     params = model.fuse(model.init(0))
     x = np.random.default_rng(3).uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
-    for dtype in (jnp.float32, jnp.bfloat16):
-        boxes, scores = model.predict_parts(params, jnp.asarray(x), dtype=dtype)
-        det_a = non_max_suppression_parts(boxes, scores, conf_thres=1e-4, iou_thres=0.6, max_det=8, max_nms=32)
-        bins, sc, anc, strd, proj = model.predict_logits(params, jnp.asarray(x), dtype=dtype)
-        det_b = non_max_suppression_logits(bins, sc, anc, strd, proj, conf_thres=1e-4, iou_thres=0.6, max_det=8, max_nms=32)
-        for k in ("boxes", "scores", "cls", "valid"):
-            np.testing.assert_array_equal(np.asarray(det_a[k]), np.asarray(det_b[k]), err_msg=f"{dtype} {k}")
+    boxes, scores = model.predict_parts(params, jnp.asarray(x), dtype=dtype)
+    det_a = non_max_suppression_parts(boxes, scores, conf_thres=1e-4, iou_thres=0.6, max_det=8, max_nms=32)
+    bins, sc, anc, strd, proj = model.predict_logits(params, jnp.asarray(x), dtype=dtype)
+    det_b = non_max_suppression_logits(bins, sc, anc, strd, proj, conf_thres=1e-4, iou_thres=0.6, max_det=8, max_nms=32)
+    for k in ("boxes", "scores", "cls", "valid"):
+        np.testing.assert_array_equal(np.asarray(det_a[k]), np.asarray(det_b[k]), err_msg=f"{dtype} {k}")
 
 
+def test_lazy_decode_matches_parts_route():
+    """non_max_suppression_logits (top-k first, DFL-decode only the winners)
+    is bit-identical to decode-everything + non_max_suppression_parts — same
+    ops, same dtypes; the gather commutes with the per-anchor decode."""
+    import jax.numpy as jnp
+
+    _assert_lazy_matches_parts(jnp.float32)
+
+
+@pytest.mark.heavy  # same contract at the production dtype, nightly
+def test_lazy_decode_matches_parts_route_bf16():
+    import jax.numpy as jnp
+
+    _assert_lazy_matches_parts(jnp.bfloat16)
+
+
+@pytest.mark.heavy  # compiles 4 chunk programs; the raw-route test above pins parity
 def test_fused_lazy_decode_optin_matches_default(monkeypatch):
     """The opt-in lazy-decode pipeline produces the same tracks/stats as the
     default parts route (lazy measured 3% slower on chip at d_max=16, so it

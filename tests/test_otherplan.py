@@ -60,6 +60,7 @@ def test_classical_detect_golden_parity():
             assert a[4] == pytest.approx(b[4], abs=1e-3)
 
 
+@pytest.mark.heavy  # dense cv2-oracle sweep
 def test_jax_enhancement_close_to_cv2():
     import jax.numpy as jnp
 
