@@ -236,7 +236,8 @@ def main():
     def _fwd_only(p, frames):
         if ft.lazy_decode:
             bins, s, *_ = model.predict_logits(p, _norm(frames), dtype=bdtype, neck_opt=ft.neck_opt)
-            return bins.astype(jnp.float32).sum() + s.sum()
+            # bins is a per-level tuple of (B, A_l, 4*reg_max) views
+            return sum(b.astype(jnp.float32).sum() for b in bins) + s.sum()
         b, s = model.predict_parts(p, _norm(frames), dtype=bdtype, neck_opt=ft.neck_opt)
         return b.sum() + s.sum()
 

@@ -30,7 +30,7 @@ def test_pack_input_roundtrip_order():
     assert p[1, 1, 0, (3 * 4 + 0) * 3 + 2] == x[1, 4 + 3, 0, 2]
 
 
-@pytest.mark.parametrize("r", [pytest.param(4, marks=pytest.mark.heavy), pytest.param(8, marks=pytest.mark.heavy)])
+@pytest.mark.parametrize("r", [4, pytest.param(8, marks=pytest.mark.heavy)])
 def test_s2d_predict_parity(model_and_params, r):
     """predict_s2d == predict up to float summation order (same products,
     different association; observed ~1e-5 abs on ~500-magnitude logits)."""

@@ -260,6 +260,9 @@ def export_tflite(model, params, imgsz=(640, 640), batch: int = 1, filename="mod
         LOGGER.warning(f"TFLite builtin-ops conversion failed ({str(e)[:120]}); retrying with SELECT_TF_OPS")
         converter = tf.lite.TFLiteConverter.from_concrete_functions([cf])
         converter.target_spec.supported_ops = [tf.lite.OpsSet.TFLITE_BUILTINS, tf.lite.OpsSet.SELECT_TF_OPS]
+        if half:  # keep the fp16-weight request through the fallback path
+            converter.optimizations = [tf.lite.Optimize.DEFAULT]
+            converter.target_spec.supported_types = [tf.float16]
         blob = converter.convert()
     filename = Path(filename)
     filename.write_bytes(blob)
@@ -267,7 +270,8 @@ def export_tflite(model, params, imgsz=(640, 640), batch: int = 1, filename="mod
     # the tflite metadata block; a json rides along here
     Path(str(filename) + ".json").write_text(
         json.dumps({"names": getattr(model, "names", {}), "task": getattr(model, "task", "detect"),
-                    "imgsz": [h, w], "batch": batch, "nms": nms, "normalized_input": "0-255 float32 RGB"},
+                    "imgsz": [h, w], "batch": batch, "nms": nms, "half": bool(half),
+                    "normalized_input": "0-255 float32 RGB"},
                    default=str)
     )
     LOGGER.info(f"exported TFLite: {filename} ({len(blob) / 1e6:.1f} MB)")

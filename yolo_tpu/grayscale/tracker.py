@@ -4,8 +4,9 @@ Behavioral parity with the reference system (ref:
 Grayscale-Tracking/grayscale_tracking_system.py GrayscaleTracker:72 —
 nearest-center (<100 px) association :716-745, *unbounded* lost-target
 prediction via the 40×40/5×5 grayscale+gradient scorer :785-890 (never deletes),
-bbox size carried from last detection :835-850, optional 25×25 template
-matching, forced-loss fault-injection test mode :341-346, run dirs
+bbox size carried from last detection :835-850, optional template matching
+(the reference suggests 25×25, which its own NCC search rejects as odd-sided —
+see __init__), forced-loss fault-injection test mode :341-346, run dirs
 runs/<video>_<ts>/{output-video,process} :120-169, green detected / red
 predicted overlay :893).
 """
@@ -29,7 +30,11 @@ class GrayscaleTracker:
         """
         Args:
             model_path: model source for the YOLO facade (or pass `detector`).
-            local_grayscale_template: optional 25×25 grayscale template array.
+            local_grayscale_template: optional grayscale template array. Must be
+                even-sided to contribute: the reference's stride-2 NCC search
+                (ref :644-714) extracts (2*(ts//2))²-sized ROIs, so an odd-sided
+                template (e.g. the 25×25 the reference mentions) never matches
+                and always scores -1.0 — kept for parity, warned at construction.
             save_process: dump ROI patches / grayscale matrices per prediction.
             detector: callable frame → [[x1,y1,x2,y2,conf,cls], ...] (overrides model).
         """
@@ -38,6 +43,15 @@ class GrayscaleTracker:
         self.model_path = model_path
         self.conf = conf
         self.local_grayscale_template = local_grayscale_template
+        if local_grayscale_template is not None and (
+            np.asarray(local_grayscale_template).shape[0] % 2
+            or np.asarray(local_grayscale_template).shape[1] % 2
+        ):
+            LOGGER.warning(
+                "grayscale template has odd side(s): the reference's stride-2 NCC search "
+                "skips every candidate for odd templates (scores -1.0), so template "
+                "matching will never contribute; use an even-sided template."
+            )
         self.save_process = save_process
 
         self.roi_size = 40

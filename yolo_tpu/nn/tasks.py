@@ -622,8 +622,11 @@ class DetectionModel(BaseModel):
         with ops/nms.non_max_suppression_logits, which DFL-decodes only the
         top-k winners (the all-anchor decode intermediates never exist; see
         Detect.logits_from_inputs). Plain fused Detect heads only.
-        Returns (bins (B, A, 4*reg_max), scores (B, A, nc) f32,
-        anchors (A, 2), strides (A, 1), proj (reg_max,))."""
+        Returns (bins, scores (B, A, nc) f32, anchors (A, 2), strides (A, 1),
+        proj (reg_max,)) where bins is a PER-LEVEL TUPLE of (B, A_l, 4*reg_max)
+        views (bitcast per level; never concatenated — that round trip is the
+        traffic this path removes). non_max_suppression_logits accepts the
+        tuple directly."""
         ctx = M.Ctx(train=False, dtype=dtype, neck_opt=_neck_opt_flag(neck_opt))
         assert type(self.head) is M.Detect, "lazy decode covers plain Detect heads — use predict()"
         spec = self.layers[-1]

@@ -108,8 +108,6 @@ class FusedDetectTrack:
             # materialization in HBM). Runs BEFORE quantization so the int8
             # path folds float weights (summing already-quantized int8 rows
             # could overflow ±127).
-            import numpy as np
-
             stem = params["model"]["0"]["conv"]
             if "weight" in stem and np.asarray(stem["weight"]).shape[2] == 3:
                 params = dict(params)
@@ -130,8 +128,6 @@ class FusedDetectTrack:
         if not int8 and not s2d:
             stem = params["model"]["0"]["conv"]
             if "weight" in stem:
-                import numpy as np
-
                 params = dict(params)
                 params["model"] = dict(params["model"])
                 params["model"]["0"] = {
@@ -148,12 +144,10 @@ class FusedDetectTrack:
                 # (uint8 (B, H, W, C)) — removes the per-conv dynamic max
                 # reduction from the hot path. Calibrate on the (possibly
                 # gray-folded) params with matching channel count.
-                import numpy as _np
-
-                cal = _np.asarray(int8_calib).astype(_np.float32) / 255.0
-                in_ch = _np.asarray(params["model"]["0"]["conv"]["weight"]).shape[2]
+                cal = np.asarray(int8_calib).astype(np.float32) / 255.0
+                in_ch = np.asarray(params["model"]["0"]["conv"]["weight"]).shape[2]
                 if cal.shape[-1] == 1 and in_ch == 3:
-                    cal = _np.broadcast_to(cal, cal.shape[:-1] + (3,))
+                    cal = np.broadcast_to(cal, cal.shape[:-1] + (3,))
                 elif cal.shape[-1] == 3 and in_ch == 1:
                     cal = cal.mean(axis=-1, keepdims=True)
                 scales = calibrate_act_scales(model, params, jnp.asarray(cal))

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from yolo_tpu.kalman.batched import _inv4
+from yolo_tpu.utils import LOGGER
 
 BIG = 1e9
 
@@ -328,6 +329,13 @@ class BatchedBYTETracker:
     def _pack(self, boxes_xywh, scores, cls):
         D = self.d_max
         n = min(len(scores), D)
+        if len(scores) > D and not getattr(self, "_warned_dmax", False):
+            self._warned_dmax = True
+            LOGGER.warning(
+                f"BatchedBYTETracker: frame has {len(scores)} detections but d_max={D}; "
+                f"extra detections are dropped. Construct with a larger d_max (or set "
+                f"YOLO_TPU_DEVICE_TRACKER_DMAX) to track crowded scenes."
+            )
         xywh = np.zeros((D, 4), np.float32)
         sc = np.zeros((D,), np.float32)
         cl = np.zeros((D,), np.float32)

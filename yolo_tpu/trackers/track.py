@@ -48,7 +48,11 @@ def create_tracker(tracker: str | None, frame_rate: int = 30):
         # accelerator but not through a high-latency tunnel.
         from yolo_tpu.trackers.batched import BatchedBYTETracker
 
-        return BatchedBYTETracker(args=cfg, frame_rate=frame_rate)
+        # capacities sized for the predictor's default max_det=300; tunable
+        # because the greedy-assign loop length scales with d_max
+        d_max = int(os.getenv("YOLO_TPU_DEVICE_TRACKER_DMAX", "320"))
+        n_max = int(os.getenv("YOLO_TPU_DEVICE_TRACKER_NMAX", "512"))
+        return BatchedBYTETracker(args=cfg, frame_rate=frame_rate, n_max=n_max, d_max=d_max)
     return _tracker_map()[cfg.tracker_type](args=cfg, frame_rate=frame_rate)
 
 
