@@ -15,6 +15,16 @@ than bf16's fully-fused conv+SiLU despite the smaller activations. bf16 stays
 the default; this module remains correct + tested for wider-channel models
 where the int8 MXU rate wins (measured 1.56x on 3×3×256×256 convs).
 
+HEAD-ONLY VARIANT (v5e, 2026-08-19, demos/head_int8_ab.py): the round-4
+roofline showed the Detect head segment alone is MXU-bound (46% MFU), so the
+one remaining int8 hypothesis was quantizing ONLY the head's cv2/cv3 3x3
+convs (body stays bf16 — nothing bandwidth-bound touches int8). Measured
+0.83x vs bf16 @512-chunk: the activation-quantize pass on the P2 head input
+plus losing the merged-first-conv algebra (_branch_walk merges only float
+params) costs more than the 2x MAC rate returns at these channel widths
+(64/“nc”-wide outputs underfill the int8 MXU exactly as they do the bf16
+one). int8 is now retired for this model family in every granularity.
+
   - weights: symmetric per-OUTPUT-CHANNEL int8 (w_int8 HWIO + w_scale (K,)),
     BN folded first;
   - activations: dynamic symmetric per-tensor int8 at each conv input
