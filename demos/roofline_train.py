@@ -51,7 +51,13 @@ def main():
 
     model = DetectionModel("yolov8-small.yaml", ch=1, nc=1)
     params = model.init(0)
-    tr = DetectionTrainer({"model": "yolov8-small.yaml", "imgsz": 640}, model=model, params=params)
+    # REMAT=1: per-layer jax.checkpoint (cfg remat=True) — trades recompute
+    # for stored-activation HBM, the knob that decides the max single-chip batch
+    tr = DetectionTrainer(
+        {"model": "yolov8-small.yaml", "imgsz": 640, "remat": os.getenv("REMAT", "0") == "1"},
+        model=model,
+        params=params,
+    )
     tr.opt = tr.build_optimizer(iterations=100)
     step = tr._build_step(mesh=None)
 

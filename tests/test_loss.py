@@ -310,3 +310,41 @@ def test_probiou_parity_with_reference():
     ref = ref_probiou(torch.tensor(b1), torch.tensor(b2)).numpy().reshape(-1)
     ours = np.asarray(probiou(b1, b2))[..., 0]
     assert np.allclose(ours, ref, atol=1e-5), np.abs(ours - ref).max()
+
+
+def test_loss_fg_compaction_exact():
+    """The compacted CIoU+DFL path (top-k fg slot gather, YOLO_TPU_LOSS_COMPACT=1,
+    the default) is bit-exact vs the all-anchor masked formula — value AND
+    gradients — because TAL assigns at most topk anchors per GT, so every fg
+    anchor fits in the static topk*max_boxes slot table."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from types import SimpleNamespace
+
+    from yolo_tpu.nn.tasks import DetectionModel
+    from yolo_tpu.utils.loss import v8DetectionLoss
+
+    model = DetectionModel("yolov8n.yaml", ch=3, nc=3)
+    hyp = SimpleNamespace(box=7.5, cls=0.5, dfl=1.5)
+    feats, cls, boxes, mask, _ = _random_case(seed=7, B=2, nc=3)
+    batch = {"cls": jnp.asarray(cls), "bboxes": jnp.asarray(boxes), "mask_gt": jnp.asarray(mask)}
+    feats = [jnp.asarray(f) for f in feats]
+
+    out = {}
+    for flag in ("0", "1"):
+        os.environ["YOLO_TPU_LOSS_COMPACT"] = flag
+        try:
+            lf = v8DetectionLoss(model, hyp)
+            val, grads = jax.value_and_grad(lambda fs: lf(fs, batch)[0])(feats)
+            out[flag] = (val, grads)
+        finally:
+            os.environ.pop("YOLO_TPU_LOSS_COMPACT", None)
+    (v0, g0), (v1, g1) = out["0"], out["1"]
+    assert lf.compact  # default is on
+    assert float(jnp.abs(v0 - v1)) <= 1e-4 * max(1.0, abs(float(v0)))
+    scale = max(float(jnp.max(jnp.abs(g))) for g in g0)
+    for a, b in zip(g0, g1):
+        assert float(jnp.max(jnp.abs(a - b))) <= 1e-5 * max(1.0, scale)

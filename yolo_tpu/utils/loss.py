@@ -49,6 +49,15 @@ class v8DetectionLoss:
         self.hyp = hyp  # namespace with box/cls/dfl gains
         self.assigner = TaskAlignedAssigner(topk=tal_topk, num_classes=self.nc, alpha=0.5, beta=6.0)
         self.proj = jnp.arange(self.reg_max, dtype=jnp.float32)
+        # fg compaction (exact): TAL assigns at most topk anchors per GT, so
+        # the CIoU+DFL terms only ever see <= topk*max_boxes foreground anchors.
+        # Gathering that static-size subset replaces all-anchor (B, A, 4, reg_max)
+        # log_softmax/CIoU work (A~27k at P2 scales) with (B, topk*N) work, and
+        # lets the all-anchor decode feed TAL under stop_gradient only (no
+        # backward residuals). Kill switch for A/B: YOLO_TPU_LOSS_COMPACT=0.
+        import os
+
+        self.compact = os.getenv("YOLO_TPU_LOSS_COMPACT", "1") != "0"
 
     def __call__(self, feats, batch):
         """Compute (total_loss, detached (box, cls, dfl) components).
@@ -59,8 +68,13 @@ class v8DetectionLoss:
                    'mask_gt' (B, N) validity.
         """
         B = feats[0].shape[0]
-        flat = jnp.concatenate([f.reshape(B, -1, self.no) for f in feats], axis=1).astype(jnp.float32)
-        pred_distri, pred_scores = flat[..., : self.reg_max * 4], flat[..., self.reg_max * 4 :]
+        # keep the concat in the head dtype and split BEFORE casting: an
+        # .astype(f32) on the whole (B, A, no) tensor is one op feeding two
+        # consumers, which XLA materializes as a full f32 copy (lane-padded);
+        # per-consumer converts fuse into the consumers instead
+        flat = jnp.concatenate([f.reshape(B, -1, self.no) for f in feats], axis=1)
+        pred_distri = flat[..., : self.reg_max * 4].astype(jnp.float32)
+        pred_scores = flat[..., self.reg_max * 4 :].astype(jnp.float32)
 
         feat_shapes = [(f.shape[1], f.shape[2]) for f in feats]
         anchor_points, stride_tensor = make_anchors(feat_shapes, self.stride, 0.5)
@@ -79,7 +93,18 @@ class v8DetectionLoss:
 
         # decode pred boxes (grid units)
         b, a, _ = pred_distri.shape
-        dist = jax.nn.softmax(pred_distri.reshape(b, a, 4, self.reg_max), axis=-1) @ self.proj
+        M = self.assigner.topk * gt_labels.shape[1]  # exact fg upper bound
+        compact = self.compact and M < a
+        # TAL consumes the decode of EVERY anchor, but only as a stop-gradient
+        # input; when the loss terms below run on the compacted fg subset, the
+        # all-anchor decode carries no gradient at all and XLA stores no
+        # residuals for its (B, A, 4, reg_max) softmax.
+        distri_for_tal = jax.lax.stop_gradient(pred_distri) if compact else pred_distri
+        # expectation as a fused multiply+reduce: `softmax(x) @ proj` makes the
+        # (B, A, 4, reg_max) softmax a matmul OPERAND that XLA must materialize
+        # in HBM (and lane-pads badly); (softmax * proj).sum(-1) fuses into the
+        # softmax's own elementwise pass
+        dist = (jax.nn.softmax(distri_for_tal.reshape(b, a, 4, self.reg_max), axis=-1) * self.proj).sum(-1)
         pred_bboxes = dist2bbox(dist, anchor_points[None], xywh=False, axis=-1)  # (B, A, 4) xyxy grid units
 
         _, target_bboxes, target_scores, fg_mask, _ = self.assigner(
@@ -93,20 +118,36 @@ class v8DetectionLoss:
 
         target_scores_sum = jnp.maximum(target_scores.sum(), 1.0)
 
-        # cls: BCE-with-logits, sum-normalized
+        # cls: BCE-with-logits, sum-normalized (inherently all-anchor)
         bce = jnp.clip(pred_scores, 0, None) - pred_scores * target_scores + jnp.log1p(jnp.exp(-jnp.abs(pred_scores)))
         loss_cls = bce.sum() / target_scores_sum
 
         # box: CIoU + DFL on foreground anchors (masked, static-shape)
         fg = fg_mask.astype(jnp.float32)
         weight = target_scores.sum(-1) * fg  # (B, A)
-        target_bboxes_g = target_bboxes / stride_tensor[None]
-        iou = bbox_iou(pred_bboxes, target_bboxes_g, xywh=False, CIoU=True)
-        loss_iou = (((1.0 - iou) * weight) * fg).sum() / target_scores_sum
+        if compact:
+            # rank fg slots (weight >= 0) above background (-1); any order of
+            # the fg anchors is fine — all of them fit in M by the TAL bound
+            _, slot_idx = jax.lax.top_k(jnp.where(fg_mask, weight, -1.0), M)  # (B, M)
+            s_w = jnp.take_along_axis(weight, slot_idx, axis=1) * jnp.take_along_axis(fg, slot_idx, axis=1)
+            s_distri = jnp.take_along_axis(pred_distri, slot_idx[..., None], axis=1).reshape(b, M, 4, self.reg_max)
+            s_anchor = anchor_points[slot_idx]  # (B, M, 2)
+            s_stride = stride_tensor[slot_idx]  # (B, M, 1)
+            s_tb = jnp.take_along_axis(target_bboxes, slot_idx[..., None], axis=1) / s_stride
+            s_dist = (jax.nn.softmax(s_distri, axis=-1) * self.proj).sum(-1)  # grad-carrying decode, fg only
+            s_pred = dist2bbox(s_dist, s_anchor, xywh=False, axis=-1)
+            iou = bbox_iou(s_pred, s_tb, xywh=False, CIoU=True)
+            loss_iou = ((1.0 - iou) * s_w).sum() / target_scores_sum
+            dfl = _df_loss(s_distri, bbox2dist(s_anchor, s_tb, self.reg_max - 1))  # (B, M)
+            loss_dfl = (dfl * s_w).sum() / target_scores_sum
+        else:
+            target_bboxes_g = target_bboxes / stride_tensor[None]
+            iou = bbox_iou(pred_bboxes, target_bboxes_g, xywh=False, CIoU=True)
+            loss_iou = (((1.0 - iou) * weight) * fg).sum() / target_scores_sum
 
-        target_ltrb = bbox2dist(anchor_points[None], target_bboxes_g, self.reg_max - 1)
-        dfl = _df_loss(pred_distri.reshape(b, a, 4, self.reg_max), target_ltrb)  # (B, A)
-        loss_dfl = ((dfl * weight) * fg).sum() / target_scores_sum
+            target_ltrb = bbox2dist(anchor_points[None], target_bboxes_g, self.reg_max - 1)
+            dfl = _df_loss(pred_distri.reshape(b, a, 4, self.reg_max), target_ltrb)  # (B, A)
+            loss_dfl = ((dfl * weight) * fg).sum() / target_scores_sum
 
         loss = jnp.stack(
             [loss_iou * self.hyp.box, loss_cls * self.hyp.cls, loss_dfl * self.hyp.dfl]
