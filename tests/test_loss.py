@@ -348,3 +348,65 @@ def test_loss_fg_compaction_exact():
     scale = max(float(jnp.max(jnp.abs(g))) for g in g0)
     for a, b in zip(g0, g1):
         assert float(jnp.max(jnp.abs(a - b))) <= 1e-5 * max(1.0, scale)
+
+
+@pytest.mark.parametrize("task", ["pose", "obb", "segment"])
+def test_loss_fg_compaction_exact_tasks(task):
+    """Pose / OBB / Segment losses: the compacted fg-slot path matches the
+    all-anchor masked formula bit-for-bit (value + grads)."""
+    import os
+    from types import SimpleNamespace
+
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_tpu.utils.loss import v8OBBLoss, v8PoseLoss, v8SegmentationLoss
+
+    B, nc, reg_max = 2, 2, 16
+    shapes, strides = ((8, 8), (4, 4), (2, 2)), (8, 16, 32)
+    feats, cls, boxes, mask, flat = _random_case(seed=3, B=B, nc=nc, shapes=shapes)
+    rng = np.random.default_rng(3)
+    hyp = SimpleNamespace(box=7.5, cls=0.5, dfl=1.5, pose=12.0, kobj=1.0)
+    N = cls.shape[1]
+
+    if task == "pose":
+        nkpt, ndim = 17, 3
+        kpt_feats = [rng.normal(0, 0.5, (B, h, w, nkpt * ndim)).astype(np.float32) for h, w in shapes]
+        gk = np.zeros((B, N, nkpt, ndim), np.float32)
+        gk[..., :2] = rng.uniform(0.1, 0.9, (B, N, nkpt, 2))
+        gk[..., 2] = rng.integers(0, 3, (B, N, nkpt))
+        shim = SimpleNamespace(nc=nc, head=SimpleNamespace(reg_max=reg_max, kpt_shape=(nkpt, ndim)), stride=list(strides))
+        preds = ([jnp.asarray(f) for f in feats], [jnp.asarray(k) for k in kpt_feats])
+        batch = {"cls": jnp.asarray(cls), "bboxes": jnp.asarray(boxes), "mask_gt": jnp.asarray(mask), "keypoints": jnp.asarray(gk)}
+        Loss = v8PoseLoss
+    elif task == "obb":
+        angle_feats = [rng.normal(0, 1, (B, h, w, 1)).astype(np.float32) for h, w in shapes]
+        rb = np.concatenate([boxes, rng.uniform(0, 1.2, (B, N, 1)).astype(np.float32)], -1)
+        shim = SimpleNamespace(nc=nc, head=SimpleNamespace(reg_max=reg_max), stride=list(strides))
+        preds = ([jnp.asarray(f) for f in feats], [jnp.asarray(a) for a in angle_feats])
+        batch = {"cls": jnp.asarray(cls), "bboxes": jnp.asarray(rb), "mask_gt": jnp.asarray(mask)}
+        Loss = v8OBBLoss
+    else:
+        nm, mh, mw = 8, 16, 16
+        mask_feats = [rng.normal(0, 0.5, (B, h, w, nm)).astype(np.float32) for h, w in shapes]
+        protos = rng.normal(0, 0.5, (B, mh, mw, nm)).astype(np.float32)
+        gmask = rng.integers(0, N + 1, (B, mh, mw)).astype(np.float32)
+        shim = SimpleNamespace(nc=nc, head=SimpleNamespace(reg_max=reg_max, nm=nm), stride=list(strides))
+        preds = ([jnp.asarray(f) for f in feats], [jnp.asarray(m) for m in mask_feats], jnp.asarray(protos))
+        batch = {"cls": jnp.asarray(cls), "bboxes": jnp.asarray(boxes), "mask_gt": jnp.asarray(mask), "masks": jnp.asarray(gmask)}
+        Loss = v8SegmentationLoss
+
+    out = {}
+    for flag in ("0", "1"):
+        os.environ["YOLO_TPU_LOSS_COMPACT"] = flag
+        try:
+            lf = Loss(shim, hyp)
+            val, grads = jax.value_and_grad(lambda det: lf((det, *preds[1:]) if task != "segment" else (det, preds[1], preds[2]), batch)[0])(preds[0])
+            out[flag] = (val, grads)
+        finally:
+            os.environ.pop("YOLO_TPU_LOSS_COMPACT", None)
+    (v0, g0), (v1, g1) = out["0"], out["1"]
+    assert float(jnp.abs(v0 - v1)) <= 1e-4 * max(1.0, abs(float(v0)))
+    scale = max(float(jnp.max(jnp.abs(g))) for g in g0)
+    for ga, gb in zip(g0, g1):
+        assert float(jnp.max(jnp.abs(ga - gb))) <= 1e-5 * max(1.0, scale)

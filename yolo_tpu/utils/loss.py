@@ -59,6 +59,20 @@ class v8DetectionLoss:
 
         self.compact = os.getenv("YOLO_TPU_LOSS_COMPACT", "1") != "0"
 
+    def _fg_slots(self, fg_mask, weight, max_slots):
+        """Static fg slot table: indices of all foreground anchors (padded with
+        arbitrary background anchors whose weight is zeroed via s_fg)."""
+        _, slot_idx = jax.lax.top_k(jnp.where(fg_mask, weight, -1.0), max_slots)  # (B, M)
+        s_fg = jnp.take_along_axis(fg_mask.astype(weight.dtype), slot_idx, axis=1)
+        s_w = jnp.take_along_axis(weight, slot_idx, axis=1) * s_fg
+        return slot_idx, s_fg, s_w
+
+    @staticmethod
+    def _gather(x, slot_idx):
+        """Gather (B, A, ...) → (B, M, ...) along the anchor axis."""
+        idx = slot_idx.reshape(slot_idx.shape + (1,) * (x.ndim - 2))
+        return jnp.take_along_axis(x, idx, axis=1)
+
     def __call__(self, feats, batch):
         """Compute (total_loss, detached (box, cls, dfl) components).
 
@@ -128,12 +142,11 @@ class v8DetectionLoss:
         if compact:
             # rank fg slots (weight >= 0) above background (-1); any order of
             # the fg anchors is fine — all of them fit in M by the TAL bound
-            _, slot_idx = jax.lax.top_k(jnp.where(fg_mask, weight, -1.0), M)  # (B, M)
-            s_w = jnp.take_along_axis(weight, slot_idx, axis=1) * jnp.take_along_axis(fg, slot_idx, axis=1)
-            s_distri = jnp.take_along_axis(pred_distri, slot_idx[..., None], axis=1).reshape(b, M, 4, self.reg_max)
+            slot_idx, _, s_w = self._fg_slots(fg_mask, weight, M)
+            s_distri = self._gather(pred_distri, slot_idx).reshape(b, M, 4, self.reg_max)
             s_anchor = anchor_points[slot_idx]  # (B, M, 2)
             s_stride = stride_tensor[slot_idx]  # (B, M, 1)
-            s_tb = jnp.take_along_axis(target_bboxes, slot_idx[..., None], axis=1) / s_stride
+            s_tb = self._gather(target_bboxes, slot_idx) / s_stride
             s_dist = (jax.nn.softmax(s_distri, axis=-1) * self.proj).sum(-1)  # grad-carrying decode, fg only
             s_pred = dist2bbox(s_dist, s_anchor, xywh=False, axis=-1)
             iou = bbox_iou(s_pred, s_tb, xywh=False, CIoU=True)
@@ -182,8 +195,9 @@ class v8PoseLoss(v8DetectionLoss):
     def __call__(self, preds, batch):
         det_outs, kpt_outs = preds
         B = det_outs[0].shape[0]
-        flat = jnp.concatenate([f.reshape(B, -1, self.no) for f in det_outs], axis=1).astype(jnp.float32)
-        pred_distri, pred_scores = flat[..., : self.reg_max * 4], flat[..., self.reg_max * 4 :]
+        flat = jnp.concatenate([f.reshape(B, -1, self.no) for f in det_outs], axis=1)
+        pred_distri = flat[..., : self.reg_max * 4].astype(jnp.float32)
+        pred_scores = flat[..., self.reg_max * 4 :].astype(jnp.float32)
         nkpt, ndim = self.kpt_shape
         pred_kpts = jnp.concatenate([k.reshape(B, -1, nkpt * ndim) for k in kpt_outs], axis=1).astype(jnp.float32)
         pred_kpts = pred_kpts.reshape(B, -1, nkpt, ndim)
@@ -203,13 +217,19 @@ class v8PoseLoss(v8DetectionLoss):
         gt_bboxes = gt_bboxes * mask_gt
 
         b, a, _ = pred_distri.shape
-        dist = jax.nn.softmax(pred_distri.reshape(b, a, 4, self.reg_max), axis=-1) @ self.proj
+        M = self.assigner.topk * gt_labels.shape[1]
+        compact = self.compact and M < a
+        distri_for_tal = jax.lax.stop_gradient(pred_distri) if compact else pred_distri
+        dist = (jax.nn.softmax(distri_for_tal.reshape(b, a, 4, self.reg_max), axis=-1) * self.proj).sum(-1)
         pred_bboxes = dist2bbox(dist, anchor_points[None], xywh=False, axis=-1)
-        # decode kpts to grid units (ref: v8PoseLoss.kpts_decode:564 — ×2 offset
-        # around anchor−0.5; conf channel stays a raw logit during training)
-        kx = pred_kpts[..., 0] * 2.0 + (anchor_points[None, :, None, 0] - 0.5)
-        ky = pred_kpts[..., 1] * 2.0 + (anchor_points[None, :, None, 1] - 0.5)
-        pred_kpts = jnp.concatenate([kx[..., None], ky[..., None], pred_kpts[..., 2:]], -1)
+
+        def kpts_decode(raw, anchors):
+            # decode kpts to grid units (ref: v8PoseLoss.kpts_decode:564 — ×2
+            # offset around anchor−0.5; conf stays a raw logit during training).
+            # anchors: (A, 2) for the all-anchor path, (B, M, 2) compacted.
+            kx = raw[..., 0] * 2.0 + (anchors[..., None, 0] - 0.5)
+            ky = raw[..., 1] * 2.0 + (anchors[..., None, 1] - 0.5)
+            return jnp.concatenate([kx[..., None], ky[..., None], raw[..., 2:]], -1)
 
         _, target_bboxes, target_scores, fg_mask, target_gt_idx = self.assigner(
             jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
@@ -226,38 +246,72 @@ class v8PoseLoss(v8DetectionLoss):
 
         fg = fg_mask.astype(jnp.float32)
         weight = target_scores.sum(-1) * fg
-        target_bboxes_g = target_bboxes / stride_tensor[None]
-        iou = bbox_iou(pred_bboxes, target_bboxes_g, xywh=False, CIoU=True)
-        loss_iou = (((1.0 - iou) * weight) * fg).sum() / target_scores_sum
-        target_ltrb = bbox2dist(anchor_points[None], target_bboxes_g, self.reg_max - 1)
-        dfl = _df_loss(pred_distri.reshape(b, a, 4, self.reg_max), target_ltrb)
-        loss_dfl = ((dfl * weight) * fg).sum() / target_scores_sum
-
-        # --- keypoint losses (ref: calculate_keypoints_loss:573) -------------------
-        # gt kpts: normalized → pixels → per-anchor gather → grid units
+        n_fg_elems = jnp.maximum(fg.sum() * nkpt, 1.0)
+        # gt kpts: normalized → pixels (gathered per-anchor below)
         gt_kpts = batch["keypoints"].astype(jnp.float32)  # (B, N, nkpt, ndim)
         kscale = jnp.concatenate([jnp.array([imgsz[1], imgsz[0]]), jnp.ones(ndim - 2)])
         gt_kpts = gt_kpts * kscale
-        sel = jnp.take_along_axis(gt_kpts, target_gt_idx[..., None, None].astype(jnp.int32), axis=1)  # (B, A, nkpt, ndim)
-        sel_xy = sel[..., :2] / stride_tensor[None, :, None, :]
-        kpt_mask = (sel[..., 2] != 0).astype(jnp.float32) if ndim == 3 else jnp.ones(sel.shape[:-1], jnp.float32)
+        if compact:
+            # every fg term — CIoU, DFL, OKS, kpt-obj — runs on the static
+            # (B, topk*N) slot table; the kpt decode and the gt-kpt gather
+            # never materialize at (B, A, nkpt, ndim)
+            slot_idx, s_fg, s_w = self._fg_slots(fg_mask, weight, M)
+            s_anchor = anchor_points[slot_idx]  # (B, M, 2)
+            s_stride = stride_tensor[slot_idx]  # (B, M, 1)
+            s_tb = self._gather(target_bboxes, slot_idx) / s_stride
+            s_distri = self._gather(pred_distri, slot_idx).reshape(b, M, 4, self.reg_max)
+            s_dist = (jax.nn.softmax(s_distri, axis=-1) * self.proj).sum(-1)
+            s_pred = dist2bbox(s_dist, s_anchor, xywh=False, axis=-1)
+            iou = bbox_iou(s_pred, s_tb, xywh=False, CIoU=True)
+            loss_iou = ((1.0 - iou) * s_w).sum() / target_scores_sum
+            dfl = _df_loss(s_distri, bbox2dist(s_anchor, s_tb, self.reg_max - 1))
+            loss_dfl = (dfl * s_w).sum() / target_scores_sum
 
-        # OKS distance term (ref: KeypointLoss.forward:185 — cocoeval denominator)
-        d = (pred_kpts[..., 0] - sel_xy[..., 0]) ** 2 + (pred_kpts[..., 1] - sel_xy[..., 1]) ** 2
-        area = ((target_bboxes_g[..., 2] - target_bboxes_g[..., 0]) * (target_bboxes_g[..., 3] - target_bboxes_g[..., 1]))[
-            ..., None
-        ]
-        e = d / ((2 * self.sigmas) ** 2 * (area + 1e-9) * 2)
-        kpt_loss_factor = nkpt / (kpt_mask.sum(-1) + 1e-9)  # (B, A)
-        n_fg_elems = jnp.maximum(fg.sum() * nkpt, 1.0)
-        loss_pose = (kpt_loss_factor[..., None] * (1.0 - jnp.exp(-e)) * kpt_mask * fg[..., None]).sum() / n_fg_elems
-
-        if ndim == 3:
-            kl = pred_kpts[..., 2]
-            kobj_bce = jnp.clip(kl, 0, None) - kl * kpt_mask + jnp.log1p(jnp.exp(-jnp.abs(kl)))
-            loss_kobj = (kobj_bce * fg[..., None]).sum() / n_fg_elems
+            s_kpts = kpts_decode(self._gather(pred_kpts, slot_idx), s_anchor)  # (B, M, nkpt, ndim)
+            s_tgi = self._gather(target_gt_idx[..., None], slot_idx)[..., 0]  # (B, M)
+            sel = jnp.take_along_axis(gt_kpts, s_tgi[..., None, None].astype(jnp.int32), axis=1)  # (B, M, nkpt, ndim)
+            sel_xy = sel[..., :2] / s_stride[..., None, :]
+            kpt_mask = (sel[..., 2] != 0).astype(jnp.float32) if ndim == 3 else jnp.ones(sel.shape[:-1], jnp.float32)
+            d = (s_kpts[..., 0] - sel_xy[..., 0]) ** 2 + (s_kpts[..., 1] - sel_xy[..., 1]) ** 2
+            area = ((s_tb[..., 2] - s_tb[..., 0]) * (s_tb[..., 3] - s_tb[..., 1]))[..., None]
+            e = d / ((2 * self.sigmas) ** 2 * (area + 1e-9) * 2)
+            kpt_loss_factor = nkpt / (kpt_mask.sum(-1) + 1e-9)  # (B, M)
+            loss_pose = (kpt_loss_factor[..., None] * (1.0 - jnp.exp(-e)) * kpt_mask * s_fg[..., None]).sum() / n_fg_elems
+            if ndim == 3:
+                kl = s_kpts[..., 2]
+                kobj_bce = jnp.clip(kl, 0, None) - kl * kpt_mask + jnp.log1p(jnp.exp(-jnp.abs(kl)))
+                loss_kobj = (kobj_bce * s_fg[..., None]).sum() / n_fg_elems
+            else:
+                loss_kobj = jnp.zeros(())
         else:
-            loss_kobj = jnp.zeros(())
+            pred_kpts = kpts_decode(pred_kpts, anchor_points[None])
+            target_bboxes_g = target_bboxes / stride_tensor[None]
+            iou = bbox_iou(pred_bboxes, target_bboxes_g, xywh=False, CIoU=True)
+            loss_iou = (((1.0 - iou) * weight) * fg).sum() / target_scores_sum
+            target_ltrb = bbox2dist(anchor_points[None], target_bboxes_g, self.reg_max - 1)
+            dfl = _df_loss(pred_distri.reshape(b, a, 4, self.reg_max), target_ltrb)
+            loss_dfl = ((dfl * weight) * fg).sum() / target_scores_sum
+
+            # --- keypoint losses (ref: calculate_keypoints_loss:573) ---------------
+            sel = jnp.take_along_axis(gt_kpts, target_gt_idx[..., None, None].astype(jnp.int32), axis=1)  # (B, A, nkpt, ndim)
+            sel_xy = sel[..., :2] / stride_tensor[None, :, None, :]
+            kpt_mask = (sel[..., 2] != 0).astype(jnp.float32) if ndim == 3 else jnp.ones(sel.shape[:-1], jnp.float32)
+
+            # OKS distance term (ref: KeypointLoss.forward:185 — cocoeval denominator)
+            d = (pred_kpts[..., 0] - sel_xy[..., 0]) ** 2 + (pred_kpts[..., 1] - sel_xy[..., 1]) ** 2
+            area = ((target_bboxes_g[..., 2] - target_bboxes_g[..., 0]) * (target_bboxes_g[..., 3] - target_bboxes_g[..., 1]))[
+                ..., None
+            ]
+            e = d / ((2 * self.sigmas) ** 2 * (area + 1e-9) * 2)
+            kpt_loss_factor = nkpt / (kpt_mask.sum(-1) + 1e-9)  # (B, A)
+            loss_pose = (kpt_loss_factor[..., None] * (1.0 - jnp.exp(-e)) * kpt_mask * fg[..., None]).sum() / n_fg_elems
+
+            if ndim == 3:
+                kl = pred_kpts[..., 2]
+                kobj_bce = jnp.clip(kl, 0, None) - kl * kpt_mask + jnp.log1p(jnp.exp(-jnp.abs(kl)))
+                loss_kobj = (kobj_bce * fg[..., None]).sum() / n_fg_elems
+            else:
+                loss_kobj = jnp.zeros(())
 
         loss = jnp.stack(
             [
@@ -294,8 +348,9 @@ class v8OBBLoss(v8DetectionLoss):
 
         det_outs, angle_outs = preds
         B = det_outs[0].shape[0]
-        flat = jnp.concatenate([f.reshape(B, -1, self.no) for f in det_outs], axis=1).astype(jnp.float32)
-        pred_distri, pred_scores = flat[..., : self.reg_max * 4], flat[..., self.reg_max * 4 :]
+        flat = jnp.concatenate([f.reshape(B, -1, self.no) for f in det_outs], axis=1)
+        pred_distri = flat[..., : self.reg_max * 4].astype(jnp.float32)
+        pred_scores = flat[..., self.reg_max * 4 :].astype(jnp.float32)
         # head emits raw logits at train time; the reference head transforms the
         # angle to (sigmoid−0.25)·π before the loss (ref: head.py OBB.forward:316)
         pred_angle = jnp.concatenate([a.reshape(B, -1, 1) for a in angle_outs], axis=1).astype(jnp.float32)
@@ -322,9 +377,13 @@ class v8OBBLoss(v8DetectionLoss):
         gt_rboxes = gt_rboxes * mask_gt
 
         b, a, _ = pred_distri.shape
-        dist = jax.nn.softmax(pred_distri.reshape(b, a, 4, self.reg_max), axis=-1) @ self.proj
+        M = self.assigner.topk * gt_labels.shape[1]
+        compact = self.compact and M < a
+        distri_for_tal = jax.lax.stop_gradient(pred_distri) if compact else pred_distri
+        angle_for_tal = jax.lax.stop_gradient(pred_angle) if compact else pred_angle
+        dist = (jax.nn.softmax(distri_for_tal.reshape(b, a, 4, self.reg_max), axis=-1) * self.proj).sum(-1)
         pred_rboxes = jnp.concatenate(
-            [dist2rbox(dist, pred_angle, anchor_points[None], axis=-1), pred_angle], -1
+            [dist2rbox(dist, angle_for_tal, anchor_points[None], axis=-1), angle_for_tal], -1
         )  # (B, A, 5) grid units
 
         assigner_boxes = jax.lax.stop_gradient(pred_rboxes)
@@ -344,13 +403,28 @@ class v8OBBLoss(v8DetectionLoss):
 
         fg = fg_mask.astype(jnp.float32)
         weight = target_scores.sum(-1) * fg
-        target_g = jnp.concatenate([target_rboxes[..., :4] / stride_tensor[None], target_rboxes[..., 4:]], -1)
-        iou = probiou(pred_rboxes, target_g)[..., 0]
-        loss_iou = (((1.0 - iou) * weight) * fg).sum() / target_scores_sum
+        if compact:
+            slot_idx, _, s_w = self._fg_slots(fg_mask, weight, M)
+            s_anchor = anchor_points[slot_idx]  # (B, M, 2)
+            s_stride = stride_tensor[slot_idx]  # (B, M, 1)
+            s_trb = self._gather(target_rboxes, slot_idx)
+            s_tg = jnp.concatenate([s_trb[..., :4] / s_stride, s_trb[..., 4:]], -1)
+            s_distri = self._gather(pred_distri, slot_idx).reshape(b, M, 4, self.reg_max)
+            s_angle = self._gather(pred_angle, slot_idx)  # (B, M, 1) grad-carrying
+            s_dist = (jax.nn.softmax(s_distri, axis=-1) * self.proj).sum(-1)
+            s_pred = jnp.concatenate([dist2rbox(s_dist, s_angle, s_anchor, axis=-1), s_angle], -1)
+            iou = probiou(s_pred, s_tg)[..., 0]
+            loss_iou = ((1.0 - iou) * s_w).sum() / target_scores_sum
+            dfl = _df_loss(s_distri, bbox2dist(s_anchor, xywh2xyxy(s_tg[..., :4]), self.reg_max - 1))
+            loss_dfl = (dfl * s_w).sum() / target_scores_sum
+        else:
+            target_g = jnp.concatenate([target_rboxes[..., :4] / stride_tensor[None], target_rboxes[..., 4:]], -1)
+            iou = probiou(pred_rboxes, target_g)[..., 0]
+            loss_iou = (((1.0 - iou) * weight) * fg).sum() / target_scores_sum
 
-        target_ltrb = bbox2dist(anchor_points[None], xywh2xyxy(target_g[..., :4]), self.reg_max - 1)
-        dfl = _df_loss(pred_distri.reshape(b, a, 4, self.reg_max), target_ltrb)
-        loss_dfl = ((dfl * weight) * fg).sum() / target_scores_sum
+            target_ltrb = bbox2dist(anchor_points[None], xywh2xyxy(target_g[..., :4]), self.reg_max - 1)
+            dfl = _df_loss(pred_distri.reshape(b, a, 4, self.reg_max), target_ltrb)
+            loss_dfl = ((dfl * weight) * fg).sum() / target_scores_sum
 
         loss = jnp.stack([loss_iou * self.hyp.box, loss_cls * self.hyp.cls, loss_dfl * self.hyp.dfl])
         return loss.sum() * B, jax.lax.stop_gradient(loss)
@@ -397,8 +471,9 @@ class v8SegmentationLoss(v8DetectionLoss):
 
         det_outs, mask_outs, protos = preds
         B = det_outs[0].shape[0]
-        flat = jnp.concatenate([f.reshape(B, -1, self.no) for f in det_outs], axis=1).astype(jnp.float32)
-        pred_distri, pred_scores = flat[..., : self.reg_max * 4], flat[..., self.reg_max * 4 :]
+        flat = jnp.concatenate([f.reshape(B, -1, self.no) for f in det_outs], axis=1)
+        pred_distri = flat[..., : self.reg_max * 4].astype(jnp.float32)
+        pred_scores = flat[..., self.reg_max * 4 :].astype(jnp.float32)
         pred_masks = jnp.concatenate([m.reshape(B, -1, self.nm) for m in mask_outs], axis=1).astype(jnp.float32)
 
         feat_shapes = [(f.shape[1], f.shape[2]) for f in det_outs]
@@ -414,7 +489,10 @@ class v8SegmentationLoss(v8DetectionLoss):
         gt_bboxes = gt_bboxes * mask_gt
 
         b, a, _ = pred_distri.shape
-        dist = jax.nn.softmax(pred_distri.reshape(b, a, 4, self.reg_max), axis=-1) @ self.proj
+        M = self.assigner.topk * gt_labels.shape[1]
+        compact = self.compact and M < a
+        distri_for_tal = jax.lax.stop_gradient(pred_distri) if compact else pred_distri
+        dist = (jax.nn.softmax(distri_for_tal.reshape(b, a, 4, self.reg_max), axis=-1) * self.proj).sum(-1)
         pred_bboxes = dist2bbox(dist, anchor_points[None], xywh=False, axis=-1)
 
         _, target_bboxes, target_scores, fg_mask, target_gt_idx = self.assigner(
@@ -432,12 +510,25 @@ class v8SegmentationLoss(v8DetectionLoss):
 
         fg = fg_mask.astype(jnp.float32)
         weight = target_scores.sum(-1) * fg
-        target_bboxes_g = target_bboxes / stride_tensor[None]
-        iou = bbox_iou(pred_bboxes, target_bboxes_g, xywh=False, CIoU=True)
-        loss_iou = (((1.0 - iou) * weight) * fg).sum() / target_scores_sum
-        target_ltrb = bbox2dist(anchor_points[None], target_bboxes_g, self.reg_max - 1)
-        dfl = _df_loss(pred_distri.reshape(b, a, 4, self.reg_max), target_ltrb)
-        loss_dfl = ((dfl * weight) * fg).sum() / target_scores_sum
+        if compact:
+            slot_idx2, _, s_w = self._fg_slots(fg_mask, weight, M)
+            s_anchor = anchor_points[slot_idx2]
+            s_stride = stride_tensor[slot_idx2]
+            s_tb = self._gather(target_bboxes, slot_idx2) / s_stride
+            s_distri = self._gather(pred_distri, slot_idx2).reshape(b, M, 4, self.reg_max)
+            s_dist = (jax.nn.softmax(s_distri, axis=-1) * self.proj).sum(-1)
+            s_pred = dist2bbox(s_dist, s_anchor, xywh=False, axis=-1)
+            iou = bbox_iou(s_pred, s_tb, xywh=False, CIoU=True)
+            loss_iou = ((1.0 - iou) * s_w).sum() / target_scores_sum
+            dfl = _df_loss(s_distri, bbox2dist(s_anchor, s_tb, self.reg_max - 1))
+            loss_dfl = (dfl * s_w).sum() / target_scores_sum
+        else:
+            target_bboxes_g = target_bboxes / stride_tensor[None]
+            iou = bbox_iou(pred_bboxes, target_bboxes_g, xywh=False, CIoU=True)
+            loss_iou = (((1.0 - iou) * weight) * fg).sum() / target_scores_sum
+            target_ltrb = bbox2dist(anchor_points[None], target_bboxes_g, self.reg_max - 1)
+            dfl = _df_loss(pred_distri.reshape(b, a, 4, self.reg_max), target_ltrb)
+            loss_dfl = ((dfl * weight) * fg).sum() / target_scores_sum
 
         # --- mask loss over the top-max_fg foreground slots ------------------------
         gt_masks = batch["masks"].astype(jnp.float32)  # (B, mh, mw) overlap map OR (B, N, mh, mw) per-instance
