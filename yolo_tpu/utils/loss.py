@@ -8,6 +8,8 @@ normalization, per-hyp gains, ×batch_size. Targets arrive pre-padded to a stati
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -49,14 +51,17 @@ class v8DetectionLoss:
         self.hyp = hyp  # namespace with box/cls/dfl gains
         self.assigner = TaskAlignedAssigner(topk=tal_topk, num_classes=self.nc, alpha=0.5, beta=6.0)
         self.proj = jnp.arange(self.reg_max, dtype=jnp.float32)
-        # fg compaction (exact): TAL assigns at most topk anchors per GT, so
-        # the CIoU+DFL terms only ever see <= topk*max_boxes foreground anchors.
-        # Gathering that static-size subset replaces all-anchor (B, A, 4, reg_max)
+        # fg compaction (mathematically exact: identical terms, different
+        # summation order — matches the all-anchor formula to float tolerance):
+        # TAL assigns at most topk anchors per GT, so the CIoU+DFL terms only
+        # ever see <= topk*max_boxes foreground anchors. Gathering that
+        # static-size subset replaces all-anchor (B, A, 4, reg_max)
         # log_softmax/CIoU work (A~27k at P2 scales) with (B, topk*N) work, and
         # lets the all-anchor decode feed TAL under stop_gradient only (no
-        # backward residuals). Kill switch for A/B: YOLO_TPU_LOSS_COMPACT=0.
-        import os
-
+        # backward residuals). Kill switch for A/B: YOLO_TPU_LOSS_COMPACT=0 —
+        # NOTE the flag is latched HERE, at construction: set it before the
+        # trainer/loss object is built (a jitted step caches the traced branch
+        # anyway, so a post-construction change could never take effect).
         self.compact = os.getenv("YOLO_TPU_LOSS_COMPACT", "1") != "0"
 
     def _fg_slots(self, fg_mask, weight, max_slots):
@@ -72,6 +77,27 @@ class v8DetectionLoss:
         """Gather (B, A, ...) → (B, M, ...) along the anchor axis."""
         idx = slot_idx.reshape(slot_idx.shape + (1,) * (x.ndim - 2))
         return jnp.take_along_axis(x, idx, axis=1)
+
+    def _compact_box_terms(self, pred_distri, anchor_points, stride_tensor, target_bboxes, slot_idx, s_w, target_scores_sum):
+        """Shared fg-slot box terms for the axis-aligned tasks (detect/pose/seg):
+        gather distri/anchors/targets onto the static slot table, decode, and
+        compute the CIoU + DFL losses. OBB's probiou/rbox variant stays in
+        v8OBBLoss (different decode and IoU).
+
+        Returns (s_anchor, s_stride, s_tb, loss_iou, loss_dfl)."""
+        b = pred_distri.shape[0]
+        M = slot_idx.shape[1]
+        s_anchor = anchor_points[slot_idx]  # (B, M, 2)
+        s_stride = stride_tensor[slot_idx]  # (B, M, 1)
+        s_tb = self._gather(target_bboxes, slot_idx) / s_stride
+        s_distri = self._gather(pred_distri, slot_idx).reshape(b, M, 4, self.reg_max)
+        s_dist = (jax.nn.softmax(s_distri, axis=-1) * self.proj).sum(-1)  # grad-carrying decode, fg only
+        s_pred = dist2bbox(s_dist, s_anchor, xywh=False, axis=-1)
+        iou = bbox_iou(s_pred, s_tb, xywh=False, CIoU=True)
+        loss_iou = ((1.0 - iou) * s_w).sum() / target_scores_sum
+        dfl = _df_loss(s_distri, bbox2dist(s_anchor, s_tb, self.reg_max - 1))  # (B, M)
+        loss_dfl = (dfl * s_w).sum() / target_scores_sum
+        return s_anchor, s_stride, s_tb, loss_iou, loss_dfl
 
     def __call__(self, feats, batch):
         """Compute (total_loss, detached (box, cls, dfl) components).
@@ -143,16 +169,9 @@ class v8DetectionLoss:
             # rank fg slots (weight >= 0) above background (-1); any order of
             # the fg anchors is fine — all of them fit in M by the TAL bound
             slot_idx, _, s_w = self._fg_slots(fg_mask, weight, M)
-            s_distri = self._gather(pred_distri, slot_idx).reshape(b, M, 4, self.reg_max)
-            s_anchor = anchor_points[slot_idx]  # (B, M, 2)
-            s_stride = stride_tensor[slot_idx]  # (B, M, 1)
-            s_tb = self._gather(target_bboxes, slot_idx) / s_stride
-            s_dist = (jax.nn.softmax(s_distri, axis=-1) * self.proj).sum(-1)  # grad-carrying decode, fg only
-            s_pred = dist2bbox(s_dist, s_anchor, xywh=False, axis=-1)
-            iou = bbox_iou(s_pred, s_tb, xywh=False, CIoU=True)
-            loss_iou = ((1.0 - iou) * s_w).sum() / target_scores_sum
-            dfl = _df_loss(s_distri, bbox2dist(s_anchor, s_tb, self.reg_max - 1))  # (B, M)
-            loss_dfl = (dfl * s_w).sum() / target_scores_sum
+            _, _, _, loss_iou, loss_dfl = self._compact_box_terms(
+                pred_distri, anchor_points, stride_tensor, target_bboxes, slot_idx, s_w, target_scores_sum
+            )
         else:
             target_bboxes_g = target_bboxes / stride_tensor[None]
             iou = bbox_iou(pred_bboxes, target_bboxes_g, xywh=False, CIoU=True)
@@ -256,16 +275,9 @@ class v8PoseLoss(v8DetectionLoss):
             # (B, topk*N) slot table; the kpt decode and the gt-kpt gather
             # never materialize at (B, A, nkpt, ndim)
             slot_idx, s_fg, s_w = self._fg_slots(fg_mask, weight, M)
-            s_anchor = anchor_points[slot_idx]  # (B, M, 2)
-            s_stride = stride_tensor[slot_idx]  # (B, M, 1)
-            s_tb = self._gather(target_bboxes, slot_idx) / s_stride
-            s_distri = self._gather(pred_distri, slot_idx).reshape(b, M, 4, self.reg_max)
-            s_dist = (jax.nn.softmax(s_distri, axis=-1) * self.proj).sum(-1)
-            s_pred = dist2bbox(s_dist, s_anchor, xywh=False, axis=-1)
-            iou = bbox_iou(s_pred, s_tb, xywh=False, CIoU=True)
-            loss_iou = ((1.0 - iou) * s_w).sum() / target_scores_sum
-            dfl = _df_loss(s_distri, bbox2dist(s_anchor, s_tb, self.reg_max - 1))
-            loss_dfl = (dfl * s_w).sum() / target_scores_sum
+            s_anchor, s_stride, s_tb, loss_iou, loss_dfl = self._compact_box_terms(
+                pred_distri, anchor_points, stride_tensor, target_bboxes, slot_idx, s_w, target_scores_sum
+            )
 
             s_kpts = kpts_decode(self._gather(pred_kpts, slot_idx), s_anchor)  # (B, M, nkpt, ndim)
             s_tgi = self._gather(target_gt_idx[..., None], slot_idx)[..., 0]  # (B, M)
@@ -511,17 +523,17 @@ class v8SegmentationLoss(v8DetectionLoss):
         fg = fg_mask.astype(jnp.float32)
         weight = target_scores.sum(-1) * fg
         if compact:
-            slot_idx2, _, s_w = self._fg_slots(fg_mask, weight, M)
-            s_anchor = anchor_points[slot_idx2]
-            s_stride = stride_tensor[slot_idx2]
-            s_tb = self._gather(target_bboxes, slot_idx2) / s_stride
-            s_distri = self._gather(pred_distri, slot_idx2).reshape(b, M, 4, self.reg_max)
-            s_dist = (jax.nn.softmax(s_distri, axis=-1) * self.proj).sum(-1)
-            s_pred = dist2bbox(s_dist, s_anchor, xywh=False, axis=-1)
-            iou = bbox_iou(s_pred, s_tb, xywh=False, CIoU=True)
-            loss_iou = ((1.0 - iou) * s_w).sum() / target_scores_sum
-            dfl = _df_loss(s_distri, bbox2dist(s_anchor, s_tb, self.reg_max - 1))
-            loss_dfl = (dfl * s_w).sum() / target_scores_sum
+            # ONE ranking serves both the box/DFL slot table (capacity M, the
+            # TAL bound) and the mask-loss slots (top max_fg by score): rank at
+            # capacity max(M, max_fg) and slice — the ranking keys coincide
+            # (weight == target_scores.sum(-1) on fg anchors, -1 on background)
+            K = max(M, self.max_fg)
+            slot_full, s_fg_full, s_w_full = self._fg_slots(fg_mask, weight, K)
+            _, _, _, loss_iou, loss_dfl = self._compact_box_terms(
+                pred_distri, anchor_points, stride_tensor, target_bboxes, slot_full[:, :M], s_w_full[:, :M], target_scores_sum
+            )
+            slot_idx = slot_full[:, : self.max_fg]  # (B, max_fg) mask-loss slots
+            slot_valid = s_fg_full[:, : self.max_fg]
         else:
             target_bboxes_g = target_bboxes / stride_tensor[None]
             iou = bbox_iou(pred_bboxes, target_bboxes_g, xywh=False, CIoU=True)
@@ -529,6 +541,9 @@ class v8SegmentationLoss(v8DetectionLoss):
             target_ltrb = bbox2dist(anchor_points[None], target_bboxes_g, self.reg_max - 1)
             dfl = _df_loss(pred_distri.reshape(b, a, 4, self.reg_max), target_ltrb)
             loss_dfl = ((dfl * weight) * fg).sum() / target_scores_sum
+            score_for_rank = jnp.where(fg_mask, target_scores.sum(-1), -1.0)
+            _, slot_idx = jax.lax.top_k(score_for_rank, self.max_fg)  # (B, max_fg)
+            slot_valid = jnp.take_along_axis(fg_mask, slot_idx, axis=1)
 
         # --- mask loss over the top-max_fg foreground slots ------------------------
         gt_masks = batch["masks"].astype(jnp.float32)  # (B, mh, mw) overlap map OR (B, N, mh, mw) per-instance
@@ -538,10 +553,6 @@ class v8SegmentationLoss(v8DetectionLoss):
             sy = gt_masks.shape[-2] // mh
             sx = gt_masks.shape[-1] // mw
             gt_masks = gt_masks[..., ::sy, ::sx][..., :mh, :mw]
-
-        score_for_rank = jnp.where(fg_mask, target_scores.sum(-1), -1.0)
-        _, slot_idx = jax.lax.top_k(score_for_rank, self.max_fg)  # (B, max_fg)
-        slot_valid = jnp.take_along_axis(fg_mask, slot_idx, axis=1)  # (B, max_fg)
 
         coefs = jnp.take_along_axis(pred_masks, slot_idx[..., None], axis=1)  # (B, M, nm)
         tb = jnp.take_along_axis(target_bboxes, slot_idx[..., None], axis=1)  # (B, M, 4) px
