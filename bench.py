@@ -311,6 +311,49 @@ def main():
         _ = float(np.asarray(r))
         dev_fps_byte = max(dev_fps_byte, n_dev_chunks * chunk / (time.perf_counter() - t0))
 
+    # --- model.track per-frame glue throughput (VERDICT r4 next#3): the
+    # tracker model.track now picks BY DEFAULT on TPU backends
+    # (trackers/track.py _device_tracker_default → BatchedBYTETracker), timed
+    # per-frame exactly as attach_tracker drives it, against the host STrack
+    # loop it replaced. Detections are precomputed host arrays — this isolates
+    # the flipped mode; the fused forward+NMS+scan bound is
+    # device_fps_byte_track above. NOTE: per-frame device dispatch rides this
+    # environment's serialized dev tunnel (one RTT per frame); on a
+    # local-attached chip the dispatch cost is orders of magnitude smaller.
+    from yolo_tpu.trackers.track import create_tracker
+
+    n_track_frames = int(os.getenv("BENCH_TRACK_FRAMES", "512"))
+    rng_k = np.random.default_rng(1)
+    det_seq = []
+    for f in range(n_track_frames):
+        tb_ = np.array([[100 + 0.5 * f, 100 + 0.1 * f, 20, 14], [300, 200 - 0.2 * f, 24, 18]], np.float32)
+        tb_ += rng_k.normal(0, 0.3, tb_.shape).astype(np.float32)
+        det_seq.append((tb_, np.array([0.9, 0.8], np.float32), np.zeros(2, np.float32)))
+
+    def _track_loop_fps(tracker):
+        for tb_, s_, c_ in det_seq[:8]:  # warm (compile for the device twin)
+            tracker.update(tb_, s_, c_)
+        if hasattr(tracker, "reset"):
+            tracker.reset()
+        t0 = time.perf_counter()
+        for tb_, s_, c_ in det_seq:
+            tracker.update(tb_, s_, c_)
+        return n_track_frames / (time.perf_counter() - t0)
+
+    track_mode = None
+    track_mode_fps = track_mode_fps_host = None
+    try:
+        shipped = create_tracker("bytetrack.yaml")  # the default route this backend gets
+        track_mode = type(shipped).__name__
+        track_mode_fps = _track_loop_fps(shipped)
+        os.environ["YOLO_TPU_DEVICE_TRACKER"] = "0"
+        try:
+            track_mode_fps_host = _track_loop_fps(create_tracker("bytetrack.yaml"))
+        finally:
+            os.environ.pop("YOLO_TPU_DEVICE_TRACKER", None)
+    except Exception as e:  # additive metric — never sink the bench line
+        print(f"track-mode bench skipped: {e}", file=sys.stderr)
+
     # --- trainer hot path: the exact jitted DP step DetectionTrainer runs
     # (fwd+bwd+opt+BN+EMA, donated) @ recipe batch 16 — demos/roofline_train.py
     # holds the roofline placement; this records throughput every round ---
@@ -385,6 +428,13 @@ def main():
                 # MOT model.track semantics on-device: fused forward+NMS +
                 # batched ByteTrack slot-table scan (trackers/batched.py)
                 "device_fps_byte_track": round(dev_fps_byte, 2),
+                # model.track's shipped per-frame tracker route (device twin is
+                # the TPU default since r5) vs the host STrack loop, detections
+                # precomputed — per-frame device dispatch pays one tunnel RTT
+                # per frame in this environment (see comment at the measurement)
+                **({"track_mode": track_mode} if track_mode else {}),
+                **({"track_mode_fps": round(track_mode_fps, 1)} if track_mode_fps else {}),
+                **({"track_mode_fps_host": round(track_mode_fps_host, 1)} if track_mode_fps_host else {}),
                 **({"device_fps_pallas_head": round(dev_fps_pallas_head, 2)} if dev_fps_pallas_head else {}),
                 **({"device_fps_no_neck_opt": round(dev_fps_no_neck_opt, 2)} if dev_fps_no_neck_opt else {}),
                 **({"device_fps_pallas_c2f": round(dev_fps_pallas_c2f, 2)} if dev_fps_pallas_c2f else {}),

@@ -129,39 +129,80 @@ def test_spatial_partition_gray_input():
     assert out["boxes"].shape == (1, 16, 4)
 
 
-@pytest.mark.heavy
-def test_dp_scaling_overhead_bound():
-    """The 8-way-sharded DP train step must cost within 2.5x of the 1-device
-    run at the SAME global batch on fake CPU devices (constant total work, so
-    the ratio bounds SPMD partition + collective overhead). Guards against the
-    serialization pathology MULTICHIP_r03 recorded (10.98x, contended host);
-    a quiet 1-core host measures 1.6-1.7x with min-of-reps timing.
-    Ref contract: the DDP path this replaces, reference engine/trainer.py:208-251.
-    """
+def _scaling_subprocess(d: int, *extra_args):
+    """Run __graft_entry__._scaling_run on a d-device fake-CPU mesh; returns
+    the parsed JSON row (ms_per_step, load1, ...)."""
     import json
     import subprocess
     import sys
     from pathlib import Path
 
     entry = Path(__file__).resolve().parents[1] / "__graft_entry__.py"
-    rows = {}
-    for d in (1, 8):
-        env = dict(os.environ)
-        env["JAX_PLATFORMS"] = "cpu"
-        flags = " ".join(
-            f for f in env.get("XLA_FLAGS", "").split()
-            if not f.startswith("--xla_force_host_platform_device_count")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if not f.startswith("--xla_force_host_platform_device_count")
+    )
+    env["XLA_FLAGS"] = (flags + f" --xla_force_host_platform_device_count={d}").strip()
+    proc = subprocess.run(
+        [sys.executable, str(entry), str(d), "--scale", *extra_args],
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = next(ln for ln in proc.stdout.splitlines() if ln.startswith("{"))
+    return json.loads(line)
+
+
+@pytest.mark.heavy
+def test_dp_scaling_overhead_bound():
+    """Load-aware DP scaling bound (VERDICT r4 next#6). Constant total work
+    across mesh sizes (fake CPU devices share the host cores), so the
+    8-dev/1-dev ms ratio bounds SPMD partition + collective overhead:
+
+      - quiet host (load1 < 1 before both runs): <= 1.8x — tight enough that a
+        genuine 1.5-1.7x collective pathology is near the trip-wire and a 2x
+        one FAILS (a quiet 1-core host measures 1.6-1.7x with min-of-reps);
+      - loaded host: only the loose 2.5x bound is meaningful (r03 recorded a
+        10.98x contention artifact) — assert it and warn.
+
+    The companion negative control (test_dp_scaling_detects_serialization)
+    proves these bounds can actually fail.
+    Ref contract: the DDP path this replaces, reference engine/trainer.py:208-251.
+    """
+    import warnings
+
+    rows = {d: _scaling_subprocess(d) for d in (1, 8)}
+    overhead = rows[8]["ms_per_step"] / rows[1]["ms_per_step"]
+    max_load = max(r.get("load1", float("inf")) for r in rows.values())
+    if max_load < 1.0:
+        assert overhead <= 1.8, (
+            f"8-device DP step overhead {overhead:.2f}x vs 1-device on a QUIET host "
+            f"(max load1 {max_load:.2f}, rows={rows}) — sharded-step serialization regression"
         )
-        env["XLA_FLAGS"] = (flags + f" --xla_force_host_platform_device_count={d}").strip()
-        proc = subprocess.run(
-            [sys.executable, str(entry), str(d), "--scale"],
-            env=env, capture_output=True, text=True, timeout=900,
+    else:
+        warnings.warn(
+            f"host loaded during scaling runs (max load1 {max_load:.2f}) — "
+            f"tight 1.8x bound skipped, asserting loose 2.5x (overhead {overhead:.2f}x)"
         )
-        assert proc.returncode == 0, proc.stderr[-2000:]
-        line = next(ln for ln in proc.stdout.splitlines() if ln.startswith("{"))
-        rows[d] = json.loads(line)["ms_per_step"]
-    overhead = rows[8] / rows[1]
-    assert overhead <= 2.5, (
-        f"8-device DP step overhead {overhead:.2f}x vs 1-device (rows={rows}) — "
-        f"sharded-step serialization regression (or run this on a quiet host)"
+        assert overhead <= 2.5, (
+            f"8-device DP step overhead {overhead:.2f}x vs 1-device (rows={rows}) — "
+            f"sharded-step serialization regression (or rerun on a quiet host)"
+        )
+
+
+@pytest.mark.heavy
+def test_dp_scaling_detects_serialization():
+    """NEGATIVE CONTROL: a deliberately serialized step — batch REPLICATED over
+    the 8-device mesh so every device computes the full global batch (8x total
+    work) — must FAIL even the loose 2.5x bound. If this stops failing, the
+    scaling harness has lost the ability to detect a real regression."""
+    base = _scaling_subprocess(1)
+    serial = _scaling_subprocess(8, "--serial")
+    assert serial["serial"] is True
+    overhead = serial["ms_per_step"] / base["ms_per_step"]
+    assert overhead > 2.5, (
+        f"replicated-batch 8-device step only {overhead:.2f}x of 1-device — the "
+        f"scaling bound could no longer catch a serialization pathology "
+        f"(base={base}, serial={serial})"
     )

@@ -290,6 +290,28 @@ def test_batched_byte_twin_scan_matches_stepwise():
         np.testing.assert_allclose(rows_stepwise[f], got, atol=1e-4, err_msg=f"frame {f}")
 
 
+def test_device_tracker_default_routing(monkeypatch):
+    """The batched device twin is the DEFAULT model.track bytetrack path on TPU
+    backends (VERDICT r4 next#3); YOLO_TPU_DEVICE_TRACKER is the override in
+    both directions; non-TPU backends default to the host STrack loop."""
+    import yolo_tpu.trackers.track as tmod
+    from yolo_tpu.trackers.batched import BatchedBYTETracker
+    from yolo_tpu.trackers.byte_tracker import BYTETracker
+
+    # default ON when the backend reports tpu, OFF otherwise
+    monkeypatch.setattr(tmod, "_device_tracker_default", lambda: True)
+    assert isinstance(tmod.create_tracker("bytetrack.yaml"), BatchedBYTETracker)
+    # kill switch wins over a TPU backend
+    monkeypatch.setenv("YOLO_TPU_DEVICE_TRACKER", "0")
+    assert isinstance(tmod.create_tracker("bytetrack.yaml"), BYTETracker)
+    monkeypatch.delenv("YOLO_TPU_DEVICE_TRACKER")
+    monkeypatch.setattr(tmod, "_device_tracker_default", lambda: False)
+    assert isinstance(tmod.create_tracker("bytetrack.yaml"), BYTETracker)
+    # botsort never routes through the byte twin regardless of backend
+    monkeypatch.setattr(tmod, "_device_tracker_default", lambda: True)
+    assert not isinstance(tmod.create_tracker("botsort.yaml"), BatchedBYTETracker)
+
+
 def test_device_tracker_glue_optin(monkeypatch):
     """YOLO_TPU_DEVICE_TRACKER=1 routes model.track's bytetrack through the
     batched device twin; track rows match the host tracker route."""
@@ -301,7 +323,7 @@ def test_device_tracker_glue_optin(monkeypatch):
     from yolo_tpu.trackers.batched import BatchedBYTETracker
 
     assert isinstance(dev, BatchedBYTETracker)
-    monkeypatch.delenv("YOLO_TPU_DEVICE_TRACKER")
+    monkeypatch.setenv("YOLO_TPU_DEVICE_TRACKER", "0")
     host = create_tracker("bytetrack.yaml")
     rng = np.random.default_rng(0)
     for f in range(20):
