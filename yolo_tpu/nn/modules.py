@@ -840,6 +840,138 @@ class Detect:
             clss.append(c.reshape(B, H * W, self.nc))
         return bins, clss, feat_shapes
 
+    def sparse_candidates(self, p, xs, ctx, conf_thres: float, max_nms: int, classes=None, agnostic: bool = False):
+        """Sparse box branch: the TPU-native inversion of the reference's
+        dense `_inference` (ref: head.py:152) for NMS-bound deployment.
+
+        The dense Detect head spends ~70% of its FLOPs and nearly all of its
+        HBM traffic on the 64-channel cv2 regression branch + all-anchor DFL
+        decode — yet NMS only ever consumes boxes for the top `max_nms`
+        candidates, which are ranked by SCORE alone. So: run only the cheap
+        cv3 classification branch densely, pick the global top-k anchors by
+        thresholded score (identical selection to
+        ops/nms.non_max_suppression_parts), then compute the cv2 chain + DFL
+        decode on gathered 5x5 input patches at just those k positions. At
+        the flagship 640x512/P2 geometry this removes the (B, 128, 160, 64/88)
+        regression maps and the (B, A, 4, 16) DFL chain from HBM entirely
+        (~10 GB per 512-chunk) and drops head FLOPs ~4x.
+
+        EXACTNESS: per candidate, the patch pipeline reproduces the dense
+        branch op-for-op — the 5x5 patch is zero-padded exactly like the
+        dense conv's SAME padding, a VALID 3x3 conv gives the 3x3 cv2[0]
+        neighborhood the second conv needs, and out-of-image neighbors are
+        masked to zero (what dense cv2[1] sees as padding). Every anchor's
+        box is therefore identical (float tolerance) to decode_from_inputs',
+        and since the top-k selection is the same, the (boxes, cls, conf)
+        triple fed to suppression matches non_max_suppression_parts' exactly.
+        Parity is pinned by tests/test_sparse_head.py.
+
+        Requires fused float params (inference) and the standard cv2
+        structure (ConvBNAct k3 x2 + Conv2d 1x1 — true for every Detect).
+        Returns (boxes_xyxy (B, K, 4) f32 px, cls_id (B, K) i32,
+        conf (B, K) f32 with below-threshold slots at -1) with
+        K = min(max_nms, A); feed ops/nms.non_max_suppression_sparse.
+        """
+        from yolo_tpu.ops.anchors import dist2bbox
+        from yolo_tpu.ops.boxes import xywh2xyxy
+
+        p20 = p["cv2"]["0"]["0"]
+        assert "bn" not in p20, "sparse_candidates needs FUSED params (model.fuse)"
+        assert "w_int8" not in p20["conv"], "sparse_candidates: int8 params unsupported"
+        proj = p["dfl"]["conv"]["weight"].reshape(self.reg_max).astype(jnp.float32)
+
+        # Per level: cls walk -> top-k_l -> ONE-HOT MATMUL patch selection ->
+        # mini box branch -> decode. Patch selection is two batched
+        # dot_generals (select 5 cols, then 5 rows): per-batch divergent row
+        # GATHERS are poison under XLA's batch-minor activation layouts (each
+        # lane wants a different row; measured +84 ms/512-chunk for
+        # take_along_axis patch pulls), while one-hot selection rides the MXU
+        # (~330 GFLOP at P2, ~2 ms). Out-of-image taps come out exactly zero
+        # (their one-hot rows are zeroed) — the dense conv's SAME padding.
+        d5 = jnp.arange(5) - 2
+        all_boxes, all_conf, all_cls = [], [], []
+        for l, x in enumerate(xs):
+            c = x
+            for j in range(3):
+                c = self.cv3[l][j](p["cv3"][str(l)][str(j)], c, ctx, f"head/cv3/{l}/{j}")
+            B, H, W, _ = c.shape
+            s = jax.nn.sigmoid(c.astype(jnp.float32))
+            if classes is not None:
+                allowed = jnp.zeros((self.nc,), bool).at[jnp.asarray(classes)].set(True)
+                s = jnp.where(allowed[None, None, None, :], s, 0.0)
+            conf_l = jnp.max(s, axis=-1).reshape(B, H * W)
+            conf_l = jnp.where(conf_l > conf_thres, conf_l, -1.0)
+            K = min(max_nms, H * W)
+            tc, ti = jax.lax.top_k(conf_l, K)  # (B, K)
+            if self.nc == 1:
+                cls_k = jnp.zeros((B, K), jnp.int32)
+            else:
+                cls_k = jnp.take_along_axis(jnp.argmax(s, axis=-1).reshape(B, H * W), ti, axis=1)
+            hh, ww = ti // W, ti % W  # (B, K)
+            rows = hh[..., None] + d5  # (B, K, 5) image coords h-2 .. h+2
+            cols = ww[..., None] + d5
+            ohw = jax.nn.one_hot(jnp.clip(cols, 0, W - 1), W, dtype=ctx.dtype)
+            ohw = ohw * ((cols >= 0) & (cols < W))[..., None].astype(ctx.dtype)  # (B, K, 5, W)
+            ohh = jax.nn.one_hot(jnp.clip(rows, 0, H - 1), H, dtype=ctx.dtype)
+            ohh = ohh * ((rows >= 0) & (rows < H))[..., None].astype(ctx.dtype)  # (B, K, 5, H)
+            # stage 1 — cols: (B, K*5v, W) . (B, H, W, C) over W -> (B, K*5v, H, C)
+            r1 = jax.lax.dot_general(
+                ohw.reshape(B, K * 5, W), x.astype(ctx.dtype),
+                (((2,), (2,)), ((0,), (0,))),
+            ).reshape(B, K, 5, H, -1)
+            # stage 2 — rows, batched over (B, K): (5u, H) . (5v, H, C) over H
+            patches = jax.lax.dot_general(
+                ohh, r1, (((3,), (3,)), ((0, 1), (0, 1))),
+            )  # (B, K, 5u, 5v, C)
+            # out-of-image mask for the 3x3 cv2[0] neighborhood: dense cv2[1]
+            # reads ZERO at padded positions, not silu(bias)
+            mask = ((rows >= 0) & (rows < H))[..., 1:4, None] & ((cols >= 0) & (cols < W))[..., None, 1:4]
+            bins = self._sparse_box_branch(p["cv2"][str(l)], patches, mask, ctx)  # (B, K, 64)
+            dist = dfl_project(bins.reshape(B, K, 4, self.reg_max), proj)  # (B, K, 4) f32
+            anchor_pts = jnp.stack([ww + 0.5, hh + 0.5], axis=-1).astype(jnp.float32)
+            xywh = dist2bbox(dist, anchor_pts, xywh=True, axis=-1) * float(self.stride[l])
+            all_boxes.append(xywh2xyxy(xywh))
+            all_conf.append(tc)
+            all_cls.append(cls_k)
+
+        # Union-compact the per-level top-k's to the global top-max_nms: the
+        # global top-k is always a subset of the per-level top-k union, so
+        # this reproduces the dense path's candidate set exactly (stable-sort
+        # tie order aside).
+        conf_u = jnp.concatenate(all_conf, axis=1)  # (B, sum K_l)
+        boxes_u = jnp.concatenate(all_boxes, axis=1)
+        cls_u = jnp.concatenate(all_cls, axis=1)
+        Kg = min(max_nms, conf_u.shape[1])
+        top_conf, gi = jax.lax.top_k(conf_u, Kg)
+        boxes = jnp.take_along_axis(boxes_u, gi[..., None], axis=1)
+        cls_k = jnp.take_along_axis(cls_u, gi, axis=1)
+        return boxes, cls_k, top_conf
+
+    def _sparse_box_branch(self, pl, patches, mask, ctx):
+        """cv2 chain on gathered patches: (B, K, 5, 5, C) -> raw reg bins
+        (B, K, 4*reg_max), as three plain 2D matmuls (im2col via 9 static
+        slices) — tiny-spatial convs on a huge patch batch lower badly on
+        TPU, while (B*K*9, 9C) @ (9C, c2) is a clean MXU shape. `mask`
+        (B, K, 3, 3) zeroes cv2[0] outputs at out-of-image positions (dense
+        SAME-padding semantics). Fused float params only."""
+        B, K, _, _, C = patches.shape
+        d = ctx.dtype
+        p0, p1, p2 = pl["0"]["conv"], pl["1"]["conv"], pl["2"]
+        # im2col of the 9 overlapping 3x3 windows, (u, v, c)-major like HWIO
+        wins = jnp.stack(
+            [patches[:, :, du : du + 3, dv : dv + 3, :] for du in range(3) for dv in range(3)],
+            axis=2,
+        )  # (B, K, 9, 3, 3, C)
+        w0 = p0["weight"].astype(d).reshape(9 * C, -1)  # (3,3,C,c2) -> (9C, c2)
+        y = silu(wins.reshape(B * K * 9, 9 * C) @ w0 + p0["bias"].astype(d))
+        c2 = y.shape[-1]
+        y = y.reshape(B, K, 3, 3, c2) * mask[..., None].astype(d)
+        w1 = p1["weight"].astype(d).reshape(9 * c2, c2)
+        y = silu(y.reshape(B * K, 9 * c2) @ w1 + p1["bias"].astype(d))
+        w2 = p2["weight"].reshape(c2, -1).astype(d)  # 1x1 conv == matmul
+        y = y @ w2 + p2["bias"].astype(d)
+        return y.reshape(B, K, -1)
+
     def decode_feats_pallas(self, p, xs, xywh: bool = True, interpret: bool = False, dtype=jnp.bfloat16):
         """decode_parts computed from the head INPUTS via the fused Pallas
         head kernel (ops/pallas_head.py): per level, both conv branches + the

@@ -636,6 +636,40 @@ class DetectionModel(BaseModel):
         _, _, col = self._walk(params, x, ctx, upto=spec.i, collect=set(spec.f))
         return self.head.logits_from_inputs(params["model"][str(spec.i)], [col[j] for j in spec.f], ctx)
 
+    def predict_sparse_det(
+        self,
+        params,
+        x,
+        conf_thres: float = 0.25,
+        iou_thres: float = 0.45,
+        max_det: int = 300,
+        max_nms: int = 1024,
+        dtype=jnp.float32,
+        neck_opt: bool = False,
+        classes=None,
+        agnostic: bool = False,
+    ):
+        """Sparse-box-head detection: dense cls branch -> global top-k by
+        score -> cv2 regression chain + DFL computed ONLY on gathered 5x5
+        patches at the k winning anchors -> suppression tail. Output dict is
+        the float-tolerance twin of
+        non_max_suppression_parts(predict_parts(...)) — the selection, decode
+        math and suppression are identical op-for-op; only the dense
+        regression maps and the all-anchor DFL chain never materialize (see
+        Detect.sparse_candidates for the accounting, tests/test_sparse_head.py
+        for the pinned parity). Plain fused Detect heads only."""
+        from yolo_tpu.ops.nms import non_max_suppression_sparse
+
+        ctx = M.Ctx(train=False, dtype=dtype, neck_opt=_neck_opt_flag(neck_opt))
+        assert type(self.head) is M.Detect, "sparse box head covers plain Detect heads — use predict()"
+        spec = self.layers[-1]
+        _, _, col = self._walk(params, x, ctx, upto=spec.i, collect=set(spec.f))
+        b, c, conf = self.head.sparse_candidates(
+            params["model"][str(spec.i)], [col[j] for j in spec.f], ctx,
+            conf_thres=conf_thres, max_nms=max_nms, classes=classes, agnostic=agnostic,
+        )
+        return non_max_suppression_sparse(b, c, conf, iou_thres=iou_thres, max_det=max_det, agnostic=agnostic)
+
     def predict_s2d(self, params, x, dtype=jnp.float32, parts: bool = False):
         """Decoded predictions from a space-to-depth packed input (nn/s2d.py).
 

@@ -241,6 +241,29 @@ def non_max_suppression_logits(
     return _suppress_tail(b, c, top_conf, offset, extra, iou_thres, max_det, 0)
 
 
+def non_max_suppression_sparse(
+    boxes_xyxy,
+    cls_id,
+    conf,
+    iou_thres: float = 0.45,
+    max_det: int = 300,
+    agnostic: bool = False,
+):
+    """Suppression tail over sparse-box-head candidates.
+
+    Takes the (boxes (B, K, 4) f32 xyxy, cls_id (B, K), conf (B, K)) triple
+    Detect.sparse_candidates produces — top-k selection, thresholding and box
+    decode already happened (sparsely) inside the head, so this is just the
+    class-offset + greedy-IoU tail shared with every other NMS entry. Output
+    dict matches non_max_suppression_parts exactly (float tolerance); parity
+    pinned by tests/test_sparse_head.py."""
+    import jax.numpy as jnp
+
+    offset = jnp.where(agnostic, 0.0, cls_id.astype(boxes_xyxy.dtype) * MAX_WH)
+    extra = jnp.zeros(boxes_xyxy.shape[:2] + (0,), boxes_xyxy.dtype)
+    return _suppress_tail(boxes_xyxy, cls_id, conf, offset, extra, iou_thres, max_det, 0)
+
+
 def _suppress_tail(b, c, top_conf, offset, extra, iou_thres, max_det, n_extra):
     """Shared IoU-suppression tail over the per-frame top-k candidates."""
     import jax

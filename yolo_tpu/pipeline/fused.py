@@ -96,6 +96,7 @@ class FusedDetectTrack:
         neck_opt: bool | None = None,
         pallas_c2f: bool = False,
         unroll: int | None = None,
+        sparse_head: bool | None = None,
     ):
         import jax
         import jax.numpy as jnp
@@ -198,6 +199,28 @@ class FusedDetectTrack:
             and not pallas_c2f
             and type(model.head) is _M.Detect
         )
+        # sparse box head (Detect.sparse_candidates): dense cls branch only,
+        # cv2 regression + DFL computed on one-hot-gathered 5x5 patches at
+        # the top-k anchors. Float-tolerance-exact vs the parts route
+        # (tests/test_sparse_head.py incl. on-chip parity in
+        # demos/sparse_ab.py). A/B status (demos/sparse_ab.py, v5e, chunk
+        # 512): dense 5775 vs sparse 4695 fps — the patch-selection matmuls
+        # still cost more than the dense regression maps they avoid; stays
+        # opt-in (YOLO_TPU_SPARSE_HEAD=1) until a measured win flips it.
+        if sparse_head is None:
+            from yolo_tpu.nn.tasks import params_are_fused_float
+
+            sparse_head = (
+                os.getenv("YOLO_TPU_SPARSE_HEAD", "0") == "1"
+                and not s2d
+                and not int8
+                and not pallas_head
+                and not pallas_c2f
+                and not self.lazy_decode
+                and type(model.head) is _M.Detect
+                and params_are_fused_float(params)
+            )
+        self.sparse_head = sparse_head
         self.chunk = chunk
         self.d_max = d_max
         self.n_max = n_max
@@ -237,7 +260,13 @@ class FusedDetectTrack:
                     x = jnp.broadcast_to(x, x.shape[:-1] + (3,))
                 elif frames.shape[-1] != 1:
                     x = x[..., ::-1]  # BGR→RGB
-                if self.lazy_decode:
+                if self.sparse_head:
+                    det = model.predict_sparse_det(
+                        p, x, conf_thres=conf, iou_thres=iou, max_det=d_max,
+                        max_nms=self.max_nms, dtype=dtype, neck_opt=neck_opt,
+                    )
+                    boxes_xywh = None
+                elif self.lazy_decode:
                     # lazy decode: top-k on scores FIRST, DFL-decode only the
                     # winners (bit-identical outputs; the all-anchor decode
                     # intermediates never materialize — see
