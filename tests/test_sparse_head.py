@@ -53,6 +53,7 @@ def test_sparse_matches_parts_random(small_model):
     _det_dicts_close(ref, out)
 
 
+@pytest.mark.heavy
 def test_sparse_matches_parts_border_targets(small_model):
     """Bright blobs in the image corners/edges: the winning anchors sit at
     feature-map borders where the 5x5 patch leaves the image — the masking
@@ -70,6 +71,7 @@ def test_sparse_matches_parts_border_targets(small_model):
     _det_dicts_close(ref, out)
 
 
+@pytest.mark.heavy
 def test_sparse_multiclass_and_filters():
     model = DetectionModel("yolov8n.yaml", ch=3, nc=80)
     params = model.fuse(model.init(0))
@@ -87,6 +89,7 @@ def test_sparse_multiclass_and_filters():
         _det_dicts_close(ref, out)
 
 
+@pytest.mark.heavy
 def test_fused_pipeline_sparse_route_matches_dense():
     """FusedDetectTrack(sparse_head=True) vs (sparse_head=False) end to end on
     a synthetic IR chunk: identical track tables + contract stats."""

@@ -254,12 +254,18 @@ class DetectionTrainer:
 
         # s2d packed stem for the TRAIN forward (nn/s2d.py stem_apply_train):
         # at small batch the P1 activation lane-pads 8x (r4 train roofline's
-        # 335.5 MB x4 buffer); the packed form pads 2x. Opt-in while the A/B
-        # is collected: YOLO_TPU_TRAIN_S2D=4. Requires the standard yolov8
-        # 3x3/s2 stem and no skip consumer of layers 0-1.
+        # 335.5 MB x4 buffer); the packed form pads 2x. Won the on-chip A/B
+        # (274.6 vs 256.6 imgs/s @b16 recipe, 2026-08-21) — DEFAULT ON for
+        # TPU backends with a qualifying stem (standard yolov8 3x3/s2, no
+        # skip consumer of layers 0-1). YOLO_TPU_TRAIN_S2D=0 kills; =4 forces
+        # on other backends (CPU tests keep the standard walk by default to
+        # hold the suite's compile budget).
         import os as _os
 
-        s2d_r = int(_os.getenv("YOLO_TPU_TRAIN_S2D", "0") or 0)
+        import jax as _jax
+
+        _s2d_default = "4" if _jax.default_backend() == "tpu" else "0"
+        s2d_r = int(_os.getenv("YOLO_TPU_TRAIN_S2D", _s2d_default) or 0)
         if s2d_r:
             try:
                 from yolo_tpu.nn.s2d import validate_stem

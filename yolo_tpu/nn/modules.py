@@ -795,14 +795,15 @@ class Detect:
             proj,
         )
 
-    def _branch_walk(self, p, xs, ctx):
+    def _branch_walk(self, p, xs, ctx, levels=None):
         """Shared cv2/cv3 conv walk from the head inputs: per level returns
         raw reg bins (B, A_l, 4*reg_max), raw cls logits (B, A_l, nc), and the
         feature shapes. Merges the two branches' first 3x3 convs into one conv
-        when params allow (exact algebra; one read of x)."""
+        when params allow (exact algebra; one read of x). `levels` restricts
+        the walk to those level indices (xs then lists just their inputs)."""
         bins, clss = [], []
         feat_shapes = []
-        for l, x in enumerate(xs):
+        for l, x in zip(levels if levels is not None else range(len(xs)), xs):
             p2, p3 = p["cv2"][str(l)]["0"], p["cv3"][str(l)]["0"]
             merged = (
                 self.legacy
@@ -971,6 +972,44 @@ class Detect:
         w2 = p2["weight"].reshape(c2, -1).astype(d)  # 1x1 conv == matmul
         y = y @ w2 + p2["bias"].astype(d)
         return y.reshape(B, K, -1)
+
+    def decode_from_inputs_cm(self, p, xs, ctx, xywh: bool = True, interpret: bool = False, levels=None):
+        """decode_from_inputs with the channel-major fused Pallas kernel
+        (ops/pallas_head2.py) computing the per-level branch walk + DFL for
+        every level with a valid W tile (others fall back to the XLA walk).
+        Same output contract as decode_from_inputs, float-tolerance parity
+        (tests/test_pallas_head2.py). Fused legacy params only. `levels`
+        restricts the kernel to those level indices (A/B knob)."""
+        from yolo_tpu.ops.anchors import dist2bbox, make_anchors
+        from yolo_tpu.ops.pallas_head2 import head_level_cm, pick_wt
+
+        p20 = p["cv2"]["0"]["0"]
+        assert self.legacy and "bn" not in p20, "pallas_head2 needs FUSED legacy params (model.fuse)"
+        proj_np = jnp.reshape(p["dfl"]["conv"]["weight"], (self.reg_max,))  # traced-safe
+        nl = len(xs)
+        dists, clss = [None] * nl, [None] * nl
+        feat_shapes = [(x.shape[1], x.shape[2]) for x in xs]
+        rest = []
+        for l, x in enumerate(xs):
+            if (levels is None or l in levels) and pick_wt(x.shape[2]):
+                dists[l], clss[l] = head_level_cm(
+                    x, p["cv2"][str(l)], p["cv3"][str(l)], proj_np, self.nc,
+                    interpret=interpret, dtype=ctx.dtype,
+                )
+            else:
+                rest.append(l)
+        if rest:
+            proj = jnp.asarray(proj_np)
+            bins, cl, _ = self._branch_walk(p, [xs[l] for l in rest], ctx, levels=rest)
+            for i, l in enumerate(rest):
+                b = bins[i]
+                dists[l] = dfl_project(b.reshape(b.shape[0], b.shape[1], 4, self.reg_max), proj)
+                clss[l] = jax.nn.sigmoid(cl[i].astype(jnp.float32))
+        anchors, strides = make_anchors(feat_shapes, self.stride, 0.5)
+        dist = jnp.concatenate(dists, axis=1)  # (B, A, 4) f32
+        cls = jnp.concatenate(clss, axis=1)
+        dbox = dist2bbox(dist, jnp.asarray(anchors)[None], xywh=xywh, axis=-1) * jnp.asarray(strides)[None]
+        return dbox, cls
 
     def decode_feats_pallas(self, p, xs, xywh: bool = True, interpret: bool = False, dtype=jnp.bfloat16):
         """decode_parts computed from the head INPUTS via the fused Pallas

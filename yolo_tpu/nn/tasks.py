@@ -579,6 +579,8 @@ class DetectionModel(BaseModel):
         pallas_interpret: bool = False,
         neck_opt: bool = False,
         pallas_c2f: bool = False,
+        pallas_head2: bool = False,
+        pallas_head2_levels=None,
     ):
         """Decoded (boxes (B, A, 4) px-xywh, scores (B, A, nc)) — the
         anchors-major hot path for fused NMS (ops/nms.py
@@ -606,6 +608,18 @@ class DetectionModel(BaseModel):
             _, _, col = self._walk(params, x, ctx, upto=spec.i, collect=set(spec.f))
             return self.head.decode_feats_pallas(
                 hp, [col[j] for j in spec.f], interpret=pallas_interpret, dtype=dtype
+            )
+        if pallas_head2 or os.getenv("YOLO_TPU_PALLAS_HEAD2") == "1":
+            # channel-major fused head kernel (ops/pallas_head2.py, round 5)
+            spec = self.layers[-1]
+            assert type(self.head) is M.Detect, "pallas head2 kernel covers plain Detect heads"
+            if pallas_head2_levels is None:
+                lv = os.getenv("YOLO_TPU_PALLAS_HEAD2_LEVELS", "")
+                pallas_head2_levels = tuple(int(v) for v in lv.split(",") if v != "") or None
+            _, _, col = self._walk(params, x, ctx, upto=spec.i, collect=set(spec.f))
+            return self.head.decode_from_inputs_cm(
+                hp, [col[j] for j in spec.f], ctx, interpret=pallas_interpret,
+                levels=pallas_head2_levels,
             )
         if type(self.head) is M.Detect:
             # enter the head from its INPUTS so branches + DFL decode fuse

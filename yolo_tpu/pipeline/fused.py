@@ -97,6 +97,7 @@ class FusedDetectTrack:
         pallas_c2f: bool = False,
         unroll: int | None = None,
         sparse_head: bool | None = None,
+        pallas_head2: bool = False,
     ):
         import jax
         import jax.numpy as jnp
@@ -216,6 +217,7 @@ class FusedDetectTrack:
                 and not int8
                 and not pallas_head
                 and not pallas_c2f
+                and not pallas_head2
                 and not self.lazy_decode
                 and type(model.head) is _M.Detect
                 and params_are_fused_float(params)
@@ -282,7 +284,7 @@ class FusedDetectTrack:
                 else:
                     boxes_xywh, scores = model.predict_parts(
                         p, x, dtype=dtype, pallas_head=pallas_head, neck_opt=neck_opt,
-                        pallas_c2f=pallas_c2f,
+                        pallas_c2f=pallas_c2f, pallas_head2=pallas_head2,
                     )
             if boxes_xywh is not None:
                 det = non_max_suppression_parts(boxes_xywh, scores, conf_thres=conf, iou_thres=iou, max_det=d_max, max_nms=self.max_nms)
