@@ -72,6 +72,7 @@ def _assert_lazy_matches_parts(dtype):
         np.testing.assert_array_equal(np.asarray(det_a[k]), np.asarray(det_b[k]), err_msg=f"{dtype} {k}")
 
 
+@pytest.mark.heavy  # r5 tier rebalance: lazy decode is opt-in; parity nightly
 def test_lazy_decode_matches_parts_route():
     """non_max_suppression_logits (top-k first, DFL-decode only the winners)
     is bit-identical to decode-everything + non_max_suppression_parts — same

@@ -352,6 +352,7 @@ def test_loss_fg_compaction_exact():
         assert float(jnp.max(jnp.abs(a - b))) <= 1e-5 * max(1.0, scale)
 
 
+@pytest.mark.heavy  # r5 tier rebalance: detect fg-compaction variant stays default; task variants nightly
 @pytest.mark.parametrize("task", ["pose", "obb", "segment"])
 def test_loss_fg_compaction_exact_tasks(task):
     """Pose / OBB / Segment losses: the compacted fg-slot path computes the

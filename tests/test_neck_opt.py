@@ -35,6 +35,7 @@ def test_neck_opt_parity_f32():
     np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.heavy  # r5 tier rebalance: f32 parity stays default
 def test_neck_opt_parity_bf16():
     m, params = _model()
     rng = np.random.default_rng(1)

@@ -128,6 +128,7 @@ def test_train_stem_parity():
         np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), atol=2e-4 * scale, err_msg=ks)
 
 
+@pytest.mark.heavy  # r5 tier rebalance: stem_apply_train math parity (test_train_stem_parity) stays default
 def test_trainer_s2d_step_matches_standard(tmp_path, monkeypatch):
     """A full DetectionTrainer jitted step with YOLO_TPU_TRAIN_S2D=4 produces
     the same loss components and (near-)identical updated params as the

@@ -41,6 +41,7 @@ def small_model():
     return model, params
 
 
+@pytest.mark.heavy  # r5 tier rebalance: sparse head is opt-in; full parity nightly (flag test stays default)
 def test_sparse_matches_parts_random(small_model):
     model, params = small_model
     rng = np.random.default_rng(0)
