@@ -77,7 +77,11 @@ def main():
     # — 512 is the sweet spot (smaller activation working set, same MXU
     # utilization); raise for hosts with slower dispatch. Re-swept after the
     # neck fold + select-max NMS landed (2026-08-18): 384→5259, 512→5386,
-    # 640→5132 — 512 still wins.
+    # 640→5132 — 512 still wins. Round 5 committed the full curve (fps +
+    # compiled HBM temp footprint per chunk) as
+    # demos/artifacts/chunk_curve_r5.txt via demos/chunk_curve.py so the
+    # choice survives hardware/driver drift; within that window 512 vs the
+    # best point differed by less than the tunnel's run-to-run drift.
     chunk = int(os.getenv("BENCH_CHUNK", "512"))
     h, w = 512, 640
 
